@@ -1,0 +1,41 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware. Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+DATA_DIR = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> pathlib.Path:
+    return DATA_DIR
+
+
+@pytest.fixture(scope="session")
+def small_vcf() -> bytes:
+    return (DATA_DIR / "small.vcf").read_bytes()
+
+
+@pytest.fixture(scope="session")
+def small_vcfc() -> bytes:
+    return (DATA_DIR / "small.vcfc").read_bytes()
+
+
+@pytest.fixture(scope="session")
+def sv_vcf() -> bytes:
+    return (DATA_DIR / "sv.vcf").read_bytes()
+
+
+@pytest.fixture(scope="session")
+def sv_vcfc() -> bytes:
+    return (DATA_DIR / "sv.vcfc").read_bytes()
