@@ -1,0 +1,109 @@
+"""Device-path engine tests: the jnp RLE kernels + host assembly must equal
+the oracle (and therefore the reference binary) byte-for-byte."""
+
+import numpy as np
+import pytest
+
+from vcfc_tpu import engine
+from vcfc_tpu.format import compress_bytes, decompress_bytes
+from vcfc_tpu.ops.rle import rle_decode, rle_encode
+
+
+class TestRleKernels:
+    def _np_reference_flags(self, row):
+        """Scalar-oracle RLE of a single code row (caps 127/31/1)."""
+        caps = [127, 31, 31, 31, 1]
+        bases = [0x00, 0xA0, 0xC0, 0x80, 0xE0]
+        out, starts = [], []
+        i, n = 0, len(row)
+        while i < n:
+            c = row[i]
+            j = i + 1
+            if c != 4:
+                while j < n and row[j] == c and j - i < caps[c]:
+                    j += 1
+            out.append(bases[c] | (j - i))
+            starts.append(i)
+            i = j
+        return out, starts
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_encode_matches_scalar_oracle(self, seed):
+        rng = np.random.default_rng(seed)
+        S = 300
+        codes = rng.choice(5, size=(7, S), p=[0.7, 0.1, 0.1, 0.05, 0.05]).astype(np.uint8)
+        pad = np.zeros((7, 384), np.uint8)
+        pad[:, :S] = codes
+        flags, seg_start, nseg = map(np.asarray, rle_encode(pad, S))
+        for i in range(7):
+            want, want_starts = self._np_reference_flags(list(codes[i]))
+            assert list(flags[i, : nseg[i]]) == want
+            assert list(seg_start[i, : nseg[i]]) == want_starts
+
+    def test_long_run_caps(self):
+        pad = np.zeros((1, 384), np.uint8)
+        flags, _, nseg = map(np.asarray, rle_encode(pad, 300))
+        assert list(flags[0, : nseg[0]]) == [127, 127, 46]
+
+    def test_decode_inverts_encode(self):
+        rng = np.random.default_rng(3)
+        S = 257
+        codes = rng.choice(5, size=(5, S), p=[0.6, 0.15, 0.1, 0.1, 0.05]).astype(np.uint8)
+        pad = np.zeros((5, 384), np.uint8)
+        pad[:, :S] = codes
+        flags, _, nseg = map(np.asarray, rle_encode(pad, S))
+        codes2, text, decoded = map(np.asarray, rle_decode(flags, nseg, S, out_width=384))
+        assert (decoded == S).all()
+        np.testing.assert_array_equal(codes2[:, :S], codes)
+        # rendered text: each sample is 4 bytes "X|Y\t"
+        assert text.shape == (5, 384 * 4)
+        assert bytes(text[0, :4]) in (b"0|0\t", b"0|1\t", b"1|0\t", b"1|1\t", b"?|?\t")
+
+
+class TestEngineGolden:
+    def test_compress_small(self, small_vcf, small_vcfc):
+        assert engine.compress(small_vcf) == small_vcfc
+
+    def test_decompress_small(self, small_vcf, small_vcfc):
+        assert engine.decompress(small_vcfc) == small_vcf
+
+    def test_compress_sv(self, sv_vcf, sv_vcfc):
+        assert engine.compress(sv_vcf) == sv_vcfc
+
+    def test_decompress_sv(self, sv_vcf, sv_vcfc):
+        assert engine.decompress(sv_vcfc) == sv_vcf
+
+
+class TestEngineProperty:
+    @pytest.mark.parametrize("seed,samples,variants", [(11, 1, 30), (12, 31, 64), (13, 260, 17)])
+    def test_random_roundtrip_vs_oracle(self, seed, samples, variants):
+        rng = np.random.default_rng(seed)
+        gts = [b"0|0", b"0|1", b"1|0", b"1|1", b"2|0", b"0|2", b"2|2", b"./."]
+        p = [0.55, 0.1, 0.1, 0.05, 0.06, 0.06, 0.04, 0.04]
+        lines = [b"##fileformat=VCFv4.2\n##x=1\n"]
+        hdr = b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+        hdr += b"".join(b"\tS%d" % j for j in range(samples))
+        lines.append(hdr + b"\n")
+        pos = 100
+        for i in range(variants):
+            row = [b"1", str(pos).encode(), b"v%d" % i, b"A", b"T", b"9", b"PASS", b".", b"GT"]
+            row += list(rng.choice(gts, p=p, size=samples))
+            lines.append(b"\t".join(row) + b"\n")
+            pos += int(rng.integers(1, 5))
+        vcf = b"".join(lines)
+
+        oracle = compress_bytes(vcf)
+        fast = engine.compress(vcf)
+        assert fast == oracle
+        assert engine.decompress(fast) == vcf
+        assert decompress_bytes(fast) == vcf
+
+    def test_wide_fields_fall_back(self):
+        # "10|2"-style wide fields force the irregular path
+        vcf = (
+            b"##f=1\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB\tC\n"
+            b"1\t10\tv\tA\tT,G,C,AA,AT,AG,AC,TA,TT\t9\tPASS\t.\tGT\t10|2\t0|0\t0|0\n"
+        )
+        fast = engine.compress(vcf)
+        assert fast == compress_bytes(vcf)
+        assert engine.decompress(fast) == vcf

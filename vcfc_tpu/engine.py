@@ -1,0 +1,82 @@
+"""End-to-end device-path codec engine.
+
+Wires the host layer (vectorized parse / assembly) to the device kernels
+(ops.rle) with static-shape batching: lines stream through in fixed-size
+buckets so XLA compiles each kernel once per (bucket, sample-width) shape.
+Output is byte-for-byte identical to the reference encoder — the oracle in
+``vcfc_tpu.format`` defines the contract; the engine is the fast path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .host.assemble import assemble_vcf, assemble_vcfc, parse_vcfc_bytes
+from .host.parse import parse_vcf_bytes
+from .ops.rle import rle_decode, rle_encode
+
+_LINE_BATCH = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def compress(vcf: bytes, line_batch: int = _LINE_BATCH) -> bytes:
+    """Device-path compress: parse -> RLE encode on device -> assemble."""
+    parsed = parse_vcf_bytes(vcf)
+    L, S = parsed.n_lines, parsed.n_samples
+    if L == 0 or S == 0:
+        from .format.vcf import compress_bytes
+
+        return compress_bytes(vcf)
+
+    S_pad = max(_round_up(S, 128), 128)
+    flags = np.zeros((L, S_pad), np.uint8)
+    seg_start = np.zeros((L, S_pad), np.int32)
+    nseg = np.zeros(L, np.int32)
+
+    pad_codes = np.zeros((min(line_batch, _round_up(L, line_batch)), S_pad), np.uint8)
+    for lo in range(0, L, line_batch):
+        hi = min(lo + line_batch, L)
+        n = hi - lo
+        batch = np.zeros((line_batch, S_pad), np.uint8) if n < line_batch else pad_codes
+        batch[:n, :S] = parsed.codes[lo:hi]
+        f, s, k = rle_encode(batch, S)
+        flags[lo:hi] = np.asarray(f)[:n]
+        seg_start[lo:hi] = np.asarray(s)[:n]
+        nseg[lo:hi] = np.asarray(k)[:n]
+        if batch is pad_codes:
+            batch[:n, :S] = 0
+
+    return assemble_vcfc(parsed, flags, seg_start, nseg)
+
+
+def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH) -> bytes:
+    """Device-path decompress: walk stream -> RLE decode on device -> render."""
+    parsed = parse_vcfc_bytes(vcfc)
+    L = parsed.n_lines
+    S = parsed.header.schema.sample_count
+    if L == 0 or S == 0:
+        from .format.vcf import decompress_bytes
+
+        return decompress_bytes(vcfc)
+
+    M = parsed.flags.shape[1]
+    M_pad = max(_round_up(M, 128), 128)
+    S_pad = max(_round_up(S, 128), 128)
+    text = np.zeros((L, S_pad * 4), np.uint8)
+    decoded = np.zeros(L, np.int32)
+
+    for lo in range(0, L, line_batch):
+        hi = min(lo + line_batch, L)
+        n = hi - lo
+        batch = np.zeros((line_batch, M_pad), np.uint8)
+        batch[:n, :M] = parsed.flags[lo:hi]
+        counts = np.zeros(line_batch, np.int32)
+        counts[:n] = parsed.nflags[lo:hi]
+        _, t, d = rle_decode(batch, counts, S, out_width=S_pad)
+        text[lo:hi] = np.asarray(t)[:n]
+        decoded[lo:hi] = np.asarray(d)[:n]
+
+    return assemble_vcf(parsed, text, decoded)

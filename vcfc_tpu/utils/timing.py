@@ -1,0 +1,53 @@
+"""Structured timing probes.
+
+The reference brackets query phases with `TIMING <label>: <nanoseconds>`
+lines on stdout under -DTIMING (e.g. main.cpp:3174-3178, 3336-3344), and
+its Python harness regex-parses them (command.py:135-158).  We keep the
+label taxonomy (`decompress2_metadata_headers`, `index_search`,
+`decompress_seeking`, `decompress_iteration`, ...) for comparability, but
+timing is runtime-switchable instead of a compile-time build flavor, and
+probes also accumulate in-process for the eval harness.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import sys
+import time
+from collections import defaultdict
+
+_ENABLED = os.environ.get("VCFC_TIMING", "") not in ("", "0", "false")
+_ACCUM: dict[str, int] = defaultdict(int)
+
+
+def enable(on: bool = True) -> None:
+    global _ENABLED
+    _ENABLED = on
+
+
+def enabled() -> bool:
+    return _ENABLED
+
+
+def reset() -> None:
+    _ACCUM.clear()
+
+
+def totals() -> dict[str, int]:
+    """Accumulated nanoseconds per label since the last reset()."""
+    return dict(_ACCUM)
+
+
+@contextlib.contextmanager
+def timing_probe(label: str):
+    if not _ENABLED:
+        yield
+        return
+    start = time.perf_counter_ns()
+    try:
+        yield
+    finally:
+        dur = time.perf_counter_ns() - start
+        _ACCUM[label] += dur
+        print(f"TIMING {label}: {dur}", file=sys.stdout)
