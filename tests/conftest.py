@@ -11,7 +11,7 @@ if "xla_force_host_platform_device_count" not in flags:
 # Persistent compile cache: XLA-CPU compiles of the codec kernels take tens
 # of seconds; cache them across pytest runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
 
 import pathlib

@@ -1,0 +1,174 @@
+"""Sparse index layers + CLI: differential tests against the full-scan
+query path and golden fixtures, plus filesystem-sparse-file behavior."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from vcfc_tpu.index.sparse_external import (
+    create_sparse_external_index,
+    query_sparse_external_index,
+)
+from vcfc_tpu.index.sparsify import query_sparse_file, sparsify_file
+from vcfc_tpu.query.coordinate import CoordinateQuery, parse_coordinate_string
+from vcfc_tpu.query.engine import gap_analysis, query_full_scan
+from vcfc_tpu.utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, SparseConfig
+
+# a tiny address space keeps test files small while exercising the same code
+TEST_SPARSE = SparseConfig(multiplication_factor=1, block_size=256, max_position=100_000)
+
+
+def _seek_data_supported(tmp_path) -> bool:
+    p = tmp_path / "probe"
+    with open(p, "wb") as f:
+        f.seek(1 << 20)
+        f.write(b"x")
+    with open(p, "rb") as f:
+        try:
+            return os.lseek(f.fileno(), 0, os.SEEK_DATA) >= 0
+        except OSError:
+            return False
+
+
+class TestFullScanQuery:
+    def test_matches_reference_stdout(self, data_dir, small_vcfc):
+        golden = (data_dir / "q_small_10100_10150.out").read_bytes()
+        q = parse_coordinate_string("1:10100-10150")
+        assert b"".join(query_full_scan(small_vcfc, q)) == golden
+
+    def test_ref_only_query(self, data_dir, sv_vcfc):
+        golden = (data_dir / "q_sv_chr2.out").read_bytes()
+        q = parse_coordinate_string("2")
+        assert b"".join(query_full_scan(sv_vcfc, q)) == golden
+
+    def test_full_scan_is_point_match_not_sv_aware(self, sv_vcfc):
+        # full-scan uses POS only (main.cpp:3880): the DEL spanning 200-450
+        # is NOT returned for 1:400-460
+        q = parse_coordinate_string("1:400-460")
+        assert b"".join(query_full_scan(sv_vcfc, q)) == b""
+
+
+class TestGapAnalysis:
+    def test_sizes_consistent(self, small_vcf, small_vcfc):
+        rows = list(gap_analysis(small_vcfc))
+        assert len(rows) == 200
+        data_lines = [l for l in small_vcf.split(b"\n") if l and not l.startswith(b"#")]
+        assert sum(r[1] for r in rows) == sum(len(l) + 1 for l in data_lines)
+        header_end = small_vcfc.find(b"\n#CHROM")
+        header_end = small_vcfc.find(b"\n", header_end + 1) + 1
+        assert sum(r[2] for r in rows) == len(small_vcfc) - header_end
+
+
+class TestSparsify:
+    # offset-as-index files are per-chromosome by design (sparse.hpp:15);
+    # small.vcfc is single-chrom with positions within TEST_SPARSE range
+    def test_roundtrip_queries(self, tmp_path, small_vcfc):
+        if not _seek_data_supported(tmp_path):
+            pytest.skip("filesystem lacks SEEK_DATA hole support")
+        path = str(tmp_path / "small.sparse")
+        sparsify_file(small_vcfc, path, TEST_SPARSE)
+        q = CoordinateQuery.range("1", 10100, 10150)
+        got = b"".join(query_sparse_file(path, q, TEST_SPARSE))
+        want = b"".join(query_full_scan(small_vcfc, q))
+        assert got == want
+
+    def test_range_from_hole_start(self, tmp_path, small_vcfc):
+        if not _seek_data_supported(tmp_path):
+            pytest.skip("filesystem lacks SEEK_DATA hole support")
+        path = str(tmp_path / "small.sparse")
+        sparsify_file(small_vcfc, path, TEST_SPARSE)
+        # query start below the first variant: must realign over the hole
+        q = CoordinateQuery.range("1", 1, 10010)
+        got = b"".join(query_sparse_file(path, q, TEST_SPARSE))
+        want = b"".join(query_full_scan(small_vcfc, q))
+        assert got == want
+
+    def test_single_variant_hit_and_miss(self, tmp_path, small_vcfc):
+        if not _seek_data_supported(tmp_path):
+            pytest.skip("filesystem lacks SEEK_DATA hole support")
+        path = str(tmp_path / "small.sparse")
+        sparsify_file(small_vcfc, path, TEST_SPARSE)
+        hit = b"".join(
+            query_sparse_file(path, CoordinateQuery.range("1", 10100, 10100), TEST_SPARSE)
+        )
+        assert hit.startswith(b"1\t10100\t")
+        miss = b"".join(
+            query_sparse_file(path, CoordinateQuery.range("1", 10101, 10101), TEST_SPARSE)
+        )
+        assert miss == b""
+
+    def test_file_is_sparse(self, tmp_path, small_vcfc):
+        path = str(tmp_path / "small.sparse")
+        sparsify_file(small_vcfc, path, TEST_SPARSE)
+        st = os.stat(path)
+        assert st.st_size > 25_000_000  # logical size: beyond max_position*block
+        assert st.st_blocks * 512 < 5_000_000  # physical: just the data
+
+
+class TestSparseExternalIndex:
+    def test_query_matches_full_scan(self, tmp_path, small_vcfc):
+        if not _seek_data_supported(tmp_path):
+            pytest.skip("filesystem lacks SEEK_DATA hole support")
+        path = str(tmp_path / "small.vcfci-sparse")
+        create_sparse_external_index(small_vcfc, path, TEST_SPARSE)
+        for region in ["1:10100-10150", "1:10000-10010", "1:10390-10500"]:
+            q = parse_coordinate_string(region)
+            got = b"".join(query_sparse_external_index(small_vcfc, path, q, TEST_SPARSE))
+            want = b"".join(query_full_scan(small_vcfc, q))
+            assert got == want, region
+
+    def test_exact_miss_returns_nothing(self, tmp_path, small_vcfc):
+        path = str(tmp_path / "small.vcfci-sparse")
+        create_sparse_external_index(small_vcfc, path, TEST_SPARSE)
+        q = CoordinateQuery.range("1", 10001, 10001)  # positions are even
+        assert b"".join(query_sparse_external_index(small_vcfc, path, q, TEST_SPARSE)) == b""
+
+
+class TestCli:
+    def _run(self, *args, cwd=None):
+        return subprocess.run(
+            [sys.executable, "-m", "vcfc_tpu.cli", *args],
+            capture_output=True,
+            cwd=cwd,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+
+    def test_compress_decompress_roundtrip(self, tmp_path, data_dir):
+        vcf_in = data_dir / "sv.vcf"
+        out_c = tmp_path / "x.vcfc"
+        out_d = tmp_path / "x.vcf"
+        r = self._run("compress", str(vcf_in), str(out_c))
+        assert r.returncode == 0, r.stderr
+        assert out_c.read_bytes() == (data_dir / "sv.vcfc").read_bytes()
+        r = self._run("decompress", str(out_c), str(out_d))
+        assert r.returncode == 0, r.stderr
+        assert out_d.read_bytes() == vcf_in.read_bytes()
+
+    def test_binned_index_cycle(self, tmp_path, data_dir):
+        vcfc = tmp_path / "sv.vcfc"
+        vcfc.write_bytes((data_dir / "sv.vcfc").read_bytes())
+        r = self._run("create-binned-index", "2", str(vcfc))
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "sv.vcfc.vcfci").read_bytes() == (
+            data_dir / "sv.vcfc.vcfci-b2"
+        ).read_bytes()
+        r = self._run("query-binned-index", str(vcfc), "1:400-460")
+        assert r.returncode == 0, r.stderr
+        assert r.stdout == (data_dir / "qb_sv_400_460.out").read_bytes()
+
+    def test_query_stdout(self, tmp_path, data_dir):
+        r = self._run("query", str(data_dir / "sv.vcfc"), "2")
+        assert r.returncode == 0, r.stderr
+        assert r.stdout == (data_dir / "q_sv_chr2.out").read_bytes()
+
+    def test_unknown_action(self):
+        r = self._run("frobnicate")
+        assert r.returncode == 1
+        assert b"Unknown action" in r.stdout
+
+    def test_bad_bin_size(self, data_dir):
+        r = self._run("create-binned-index", "zero", str(data_dir / "sv.vcfc"))
+        assert r.returncode == 1
+        assert b"positive integer" in r.stdout

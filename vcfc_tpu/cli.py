@@ -1,0 +1,195 @@
+"""Command-line interface with the reference's argv shapes
+(main.cpp:4028-4185):
+
+  compress <input> <output>
+  decompress <input> <output>
+  query <input.vcfc> <region>
+  gap-analysis <input.vcfc>
+  sparsify <input.vcfc> <output>
+  sparse-query <sparse-file> <region>
+  create-binned-index <bin-size> <input.vcfc>      -> <input>.vcfci
+  query-binned-index <input.vcfc> <region>
+  create-sparse-index <input.vcfc>                 -> <input>.vcfci-sparse
+  query-sparse-index <input.vcfc> <region>
+
+Region syntax: "<ref>" or "<ref>:<start>-<end>".
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# Persist XLA compiles of the codec kernels across CLI invocations.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/vcfc_tpu/jax")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
+
+from .format.constants import VCFC_BINNING_INDEX_EXTENSION
+from .query.coordinate import parse_coordinate_string
+from .utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, BinnedIndexConfig
+
+USAGE = """usage: vcfc <action> ...
+actions: compress decompress query gap-analysis sparsify sparse-query
+         create-binned-index query-binned-index create-sparse-index
+         query-sparse-index"""
+
+
+def _read(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _write(path: str, data: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _emit(chunks) -> None:
+    out = sys.stdout.buffer
+    for chunk in chunks:
+        out.write(chunk)
+    out.flush()
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(USAGE, file=sys.stderr)
+        return 1
+    action, args = argv[0], argv[1:]
+
+    if action in ("compress", "decompress"):
+        if len(args) != 2:
+            print(USAGE, file=sys.stderr)
+            return 1
+        input_filename, output_filename = args
+        if not os.path.exists(input_filename):
+            print(f"Input file does not exist: {input_filename}")
+            return 1
+        if input_filename == output_filename:
+            raise RuntimeError("input and output file are the same")
+        from . import engine
+
+        data = _read(input_filename)
+        result = engine.compress(data) if action == "compress" else engine.decompress(data)
+        _write(output_filename, result)
+        return 0
+
+    if action == "query":
+        if len(args) != 2:
+            print(USAGE, file=sys.stderr)
+            return 1
+        from .query.engine import query_full_scan
+
+        query = parse_coordinate_string(args[1])
+        _emit(query_full_scan(_read(args[0]), query))
+        return 0
+
+    if action == "gap-analysis":
+        if len(args) != 1:
+            print(USAGE, file=sys.stderr)
+            return 1
+        from .query.engine import gap_analysis
+
+        with open("start-positions.txt", "w") as f:
+            for pos, size, compressed in gap_analysis(_read(args[0])):
+                f.write(f"{pos.decode()} {size} {compressed}\n")
+        return 0
+
+    if action == "sparsify":
+        if len(args) != 2:
+            print(USAGE, file=sys.stderr)
+            return 1
+        input_filename, output_filename = args
+        if input_filename == output_filename:
+            raise RuntimeError("input and output file are the same")
+        if not os.path.exists(input_filename):
+            print(f"Input file does not exist: {input_filename}")
+            return 1
+        from .index.sparsify import sparsify_file
+
+        sparsify_file(_read(input_filename), output_filename)
+        return 0
+
+    if action == "sparse-query":
+        if len(args) != 2:
+            print(USAGE, file=sys.stderr)
+            return 1
+        from .index.sparsify import query_sparse_file
+
+        query = parse_coordinate_string(args[1])
+        _emit(query_sparse_file(args[0], query))
+        return 0
+
+    if action == "create-binned-index":
+        if len(args) != 2:
+            print("Usage: vcfc create-binned-index <bin-size> <compressed-filename>")
+            return 1
+        try:
+            bin_size = int(args[0])
+            if bin_size <= 0:
+                raise ValueError
+        except ValueError:
+            print("bin size must be a positive integer")
+            return 1
+        from .index.binned import build_binned_index
+
+        input_filename = args[1]
+        index = build_binned_index(_read(input_filename), BinnedIndexConfig(bin_size))
+        _write(input_filename + VCFC_BINNING_INDEX_EXTENSION, index)
+        return 0
+
+    if action == "query-binned-index":
+        if len(args) != 2:
+            print("Usage: vcfc query-binned-index <compressed-filename> <region>")
+            return 1
+        input_filename = args[0]
+        index_filename = input_filename + VCFC_BINNING_INDEX_EXTENSION
+        for path in (input_filename, index_filename):
+            if not os.path.exists(path):
+                print(f"File does not exist: {path}")
+                return 1
+        from .index.binned import query_binned_index
+
+        query = parse_coordinate_string(args[1])
+        _emit(query_binned_index(_read(input_filename), _read(index_filename), query))
+        return 0
+
+    if action == "create-sparse-index":
+        if len(args) != 1:
+            print("Usage: vcfc create-sparse-index <compressed-filename>")
+            return 1
+        from .index.sparse_external import create_sparse_external_index
+
+        input_filename = args[0]
+        index_filename = input_filename + VCFC_BINNING_INDEX_EXTENSION + "-sparse"
+        create_sparse_external_index(
+            _read(input_filename), index_filename, SPARSE_EXTERNAL_INDEX_CONFIG
+        )
+        return 0
+
+    if action == "query-sparse-index":
+        if len(args) != 2:
+            print("Usage: vcfc query-sparse-index <compressed-filename> <region>")
+            return 1
+        from .index.sparse_external import query_sparse_external_index
+
+        input_filename = args[0]
+        index_filename = input_filename + VCFC_BINNING_INDEX_EXTENSION + "-sparse"
+        query = parse_coordinate_string(args[1])
+        _emit(
+            query_sparse_external_index(
+                _read(input_filename), index_filename, query, SPARSE_EXTERNAL_INDEX_CONFIG
+            )
+        )
+        return 0
+
+    print(f"Unknown action name: {action}")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

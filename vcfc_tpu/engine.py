@@ -16,6 +16,9 @@ from .host.parse import parse_vcf_bytes
 from .ops.rle import rle_decode, rle_encode
 
 _LINE_BATCH = 2048
+# Below this many genotype cells the XLA compile + dispatch overhead
+# dominates; route through the host oracle instead.
+_DEVICE_MIN_CELLS = 1 << 18
 
 
 def _round_up(x: int, m: int) -> int:
@@ -26,7 +29,7 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH) -> bytes:
     """Device-path compress: parse -> RLE encode on device -> assemble."""
     parsed = parse_vcf_bytes(vcf)
     L, S = parsed.n_lines, parsed.n_samples
-    if L == 0 or S == 0:
+    if L == 0 or S == 0 or L * S < _DEVICE_MIN_CELLS:
         from .format.vcf import compress_bytes
 
         return compress_bytes(vcf)
@@ -57,7 +60,7 @@ def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH) -> bytes:
     parsed = parse_vcfc_bytes(vcfc)
     L = parsed.n_lines
     S = parsed.header.schema.sample_count
-    if L == 0 or S == 0:
+    if L == 0 or S == 0 or L * S < _DEVICE_MIN_CELLS:
         from .format.vcf import decompress_bytes
 
         return decompress_bytes(vcfc)

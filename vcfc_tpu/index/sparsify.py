@@ -66,6 +66,10 @@ def sparsify_file(vcfc: bytes, out_path: str, config: SparseConfig | None = None
             variant_offset = config.compute_sparse_offset(chrom, pos)
             file_offset = data_start + variant_offset
 
+            # Distances are u64; like the reference's unsigned arithmetic
+            # they wrap silently if positions regress (offset-as-index
+            # files are per-chromosome by design; sparse.hpp:15).
+            dist = (file_offset - prev_file_offset) & 0xFFFF_FFFF_FFFF_FFFF
             if first:
                 f.seek(data_start - 8)
                 f.write(_LE.pack(variant_offset))  # native-endian quirk preserved
@@ -73,10 +77,10 @@ def sparsify_file(vcfc: bytes, out_path: str, config: SparseConfig | None = None
             else:
                 # backpatch previous line's distance_to_next
                 f.seek(prev_file_offset + 8)
-                f.write(_BE.pack(file_offset - prev_file_offset))
+                f.write(_BE.pack(dist))
 
             f.seek(file_offset)
-            f.write(_BE.pack(file_offset - prev_file_offset))  # distance_to_previous
+            f.write(_BE.pack(dist))  # distance_to_previous
             f.write(_BE.pack(0))  # distance_to_next (backpatched by successor)
             f.write(vcfc[offset : offset + 4 + line_length])
 

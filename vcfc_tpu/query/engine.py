@@ -1,0 +1,38 @@
+"""Query engines over .vcfc streams.
+
+Full-scan query (query_compressed_file, main.cpp:3777-3929): walk every
+line, parse CHROM/POS from the uncompressed region, decode matches.
+Point-match semantics (query.matches) — no SV-aware end positions, unlike
+the binned-index query.  gap_analysis (main.cpp:3931-3980) decodes every
+line and reports (POS, decoded size, compressed size) triples.
+"""
+
+from __future__ import annotations
+
+from ..format.lines import decode_data_line
+from ..format.vcf import parse_metadata_headers
+from ..index.scan import scan_lines
+from .coordinate import CoordinateQuery
+
+
+def query_full_scan(vcfc: bytes, query: CoordinateQuery):
+    """Yield decompressed lines whose (CHROM, POS) match the query."""
+    header = parse_metadata_headers(vcfc)
+    sample_count = header.schema.sample_count
+    for rec in scan_lines(vcfc, header=header):
+        if query.matches(rec.chrom.decode(), rec.pos):
+            line, _ = decode_data_line(vcfc, rec.offset, sample_count)
+            yield line
+
+
+def gap_analysis(vcfc: bytes):
+    """Yield (pos_str, decompressed_size, compressed_size) per line, the
+    contents of the reference's start-positions.txt."""
+    header = parse_metadata_headers(vcfc)
+    sample_count = header.schema.sample_count
+    offset = header.data_offset
+    while offset < len(vcfc):
+        line, consumed = decode_data_line(vcfc, offset, sample_count)
+        pos = line.split(b"\t", 2)[1]
+        yield pos, len(line), consumed
+        offset += consumed
