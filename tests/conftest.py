@@ -2,7 +2,12 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins a TPU platform: this machine's
+# sitecustomize registers the axon TPU plugin and pins
+# jax.config jax_platforms="axon,cpu" at interpreter start, so the env var
+# alone is not enough — update the config after import as well.  The suite
+# needs the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +21,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
 
 import pathlib
 
+import jax
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
 
 DATA_DIR = pathlib.Path(__file__).parent / "data"
 

@@ -1,0 +1,85 @@
+"""Sharded codec steps over a device mesh.
+
+Variant-line batches are sharded across the ``data`` axis; each device
+RLE-encodes its shard locally (lines are independent), then:
+
+  * symbol histograms merge with ``psum`` (global codebook input),
+  * per-shard compressed byte counts ``all_gather`` into a deterministic
+    exclusive prefix — every shard learns its output byte offset without
+    host round-trips, fixed by shard index rather than arrival order
+    (SURVEY.md §7 hard part 3).
+
+This is the TPU-native replacement for the reference's nonexistent
+distribution story (it ran single-threaded; SLURM fan-out only,
+run-all.sh:25).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.histogram import masked_code_histogram
+from ..ops.rle import rle_decode, rle_encode
+from .mesh import DATA_AXIS
+
+
+def make_sharded_encode_step(mesh):
+    """Build a pjit-compiled sharded encode step.
+
+    fn(codes, n_samples) -> (flags, seg_start, nseg, global_hist,
+    shard_byte_offset) with codes sharded (data, None).
+    """
+
+    def _shard_body(codes, n_samples):
+        flags, seg_start, nseg = rle_encode(codes, n_samples)
+        hist = masked_code_histogram(codes, n_samples)
+        hist = jax.lax.psum(hist, DATA_AXIS)
+        # deterministic cross-shard exclusive byte-offset scan
+        shard_bytes = nseg.sum()[None]
+        all_bytes = jax.lax.all_gather(shard_bytes, DATA_AXIS).reshape(-1)
+        my_index = jax.lax.axis_index(DATA_AXIS)
+        my_offset = jnp.where(
+            jnp.arange(all_bytes.shape[0]) < my_index, all_bytes, 0
+        ).sum()[None]
+        return flags, seg_start, nseg, hist, my_offset
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS), P(), P(DATA_AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_roundtrip_step(mesh, out_width: int):
+    """Encode + decode on-device roundtrip step (used by multichip dry runs
+    and correctness sweeps): returns decoded codes and a per-shard match
+    flag reduced with psum."""
+
+    def _shard_body(codes, n_samples):
+        flags, _seg, nseg = rle_encode(codes, n_samples)
+        hist = jax.lax.psum(masked_code_histogram(codes, n_samples), DATA_AXIS)
+        decoded_codes, _text, decoded = rle_decode(flags, nseg, n_samples, out_width=out_width)
+        S_pad = codes.shape[1]
+        valid = jnp.arange(S_pad, dtype=jnp.int32)[None, :] < n_samples
+        ok = jnp.all(
+            jnp.where(valid, decoded_codes[:, :S_pad] == codes, True)
+        ) & jnp.all(decoded == n_samples)
+        n_ok = jax.lax.psum(ok.astype(jnp.int32), DATA_AXIS)
+        return decoded_codes, n_ok, hist
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
