@@ -107,3 +107,31 @@ class TestEngineProperty:
         fast = engine.compress(vcf)
         assert fast == compress_bytes(vcf)
         assert engine.decompress(fast) == vcf
+
+
+class TestForcedDevicePath:
+    """Exercise the device + native-assembly path on small fixtures by
+    bypassing the small-input oracle fallback."""
+
+    def test_golden_small_forced(self, small_vcf, small_vcfc):
+        assert engine.compress(small_vcf, force_device=True) == small_vcfc
+        assert engine.decompress(small_vcfc, force_device=True) == small_vcf
+
+    def test_golden_sv_forced(self, sv_vcf, sv_vcfc):
+        # escape + SV lines exercise the oracle splice inside native assembly
+        assert engine.compress(sv_vcf, force_device=True) == sv_vcfc
+        assert engine.decompress(sv_vcfc, force_device=True) == sv_vcf
+
+    def test_native_library_loads(self):
+        from vcfc_tpu.host import native
+
+        # the library ships in-tree and must build/load in CI environments
+        assert native.available() or "VCFC_NO_NATIVE" in __import__("os").environ
+
+    def test_numpy_fallback_matches_native(self, small_vcf, small_vcfc, monkeypatch):
+        monkeypatch.setenv("VCFC_NO_NATIVE", "1")
+        from vcfc_tpu.host import native
+
+        assert not native.available()
+        assert engine.compress(small_vcf, force_device=True) == small_vcfc
+        assert engine.decompress(small_vcfc, force_device=True) == small_vcf

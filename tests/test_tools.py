@@ -1,0 +1,64 @@
+"""uniqc + synthetic generator tests."""
+
+import io
+import sys
+
+import numpy as np
+
+from vcfc_tpu.eval.random_vcf import generate_vcf
+from vcfc_tpu.tools import uniqc
+
+
+def _capture(fn, text):
+    old_out, old_in = sys.stdout, sys.stdin
+    sys.stdout, sys.stdin = io.StringIO(), io.StringIO(text)
+    try:
+        fn(sys.stdin)
+        return sys.stdout.getvalue()
+    finally:
+        sys.stdout, sys.stdin = old_out, old_in
+
+
+class TestUniqc:
+    def test_counts(self):
+        out = _capture(uniqc.do_counts, "b a b\nc a\n")
+        assert out == "a 2\nb 2\nc 1\n"
+
+    def test_counts_by_line(self):
+        out = _capture(uniqc.do_counts_by_line, "b a b\na a\n")
+        assert out == "a 1\nb 2\na 2\n"
+
+    def test_runs_by_line(self):
+        out = _capture(uniqc.do_runs_by_line, "x x y x\nz\n")
+        assert out == "x 2\ny 1\nx 1\nz 1\n"
+
+
+class TestRandomVcf:
+    def test_shape_and_distribution(self):
+        vcf = generate_vcf(sample_count=50, variant_count=40, seed=5)
+        lines = vcf.split(b"\n")
+        assert lines[0] == b"##fileformat=VCFv4.1"
+        header = [l for l in lines if l.startswith(b"#CHROM")][0]
+        assert header.count(b"\t") == 8 + 50
+        data = [l for l in lines if l and not l.startswith(b"#")]
+        assert len(data) == 40
+        cols = data[0].split(b"\t")
+        assert len(cols) == 9 + 50
+        assert cols[8] == b"GT"
+        # ~81% 0|0 plus escape tail with allele 2 somewhere in the file
+        gts = b"\t".join(l.split(b"\t", 9)[9] for l in data).split(b"\t")
+        frac00 = sum(1 for g in gts if g == b"0|0") / len(gts)
+        assert 0.7 < frac00 < 0.9
+        assert any(b"2" in g for g in gts)
+
+    def test_seeded_determinism(self):
+        a = generate_vcf(sample_count=10, variant_count=5, seed=7)
+        b = generate_vcf(sample_count=10, variant_count=5, seed=7)
+        c = generate_vcf(sample_count=10, variant_count=5, seed=8)
+        assert a == b != c
+
+    def test_roundtrips_through_engine(self):
+        from vcfc_tpu.format import compress_bytes, decompress_bytes
+
+        vcf = generate_vcf(sample_count=30, variant_count=20, seed=5)
+        assert decompress_bytes(compress_bytes(vcf)) == vcf

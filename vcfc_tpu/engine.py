@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .host import native
 from .host.assemble import assemble_vcf, assemble_vcfc, parse_vcfc_bytes
 from .host.parse import parse_vcf_bytes
 from .ops.rle import rle_decode, rle_encode
@@ -25,11 +26,11 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def compress(vcf: bytes, line_batch: int = _LINE_BATCH) -> bytes:
+def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path compress: parse -> RLE encode on device -> assemble."""
     parsed = parse_vcf_bytes(vcf)
     L, S = parsed.n_lines, parsed.n_samples
-    if L == 0 or S == 0 or L * S < _DEVICE_MIN_CELLS:
+    if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
         from .format.vcf import compress_bytes
 
         return compress_bytes(vcf)
@@ -52,15 +53,25 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH) -> bytes:
         if batch is pad_codes:
             batch[:n, :S] = 0
 
+    if native.available():
+        from .host.fast import assemble_vcfc_native
+
+        return assemble_vcfc_native(parsed, flags, seg_start, nseg)
     return assemble_vcfc(parsed, flags, seg_start, nseg)
 
 
-def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH) -> bytes:
+def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path decompress: walk stream -> RLE decode on device -> render."""
-    parsed = parse_vcfc_bytes(vcfc)
+    use_native = native.available()
+    if use_native:
+        from .host.fast import parse_vcfc_native
+
+        parsed = parse_vcfc_native(vcfc)
+    else:
+        parsed = parse_vcfc_bytes(vcfc)
     L = parsed.n_lines
     S = parsed.header.schema.sample_count
-    if L == 0 or S == 0 or L * S < _DEVICE_MIN_CELLS:
+    if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
         from .format.vcf import decompress_bytes
 
         return decompress_bytes(vcfc)
@@ -82,4 +93,8 @@ def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH) -> bytes:
         text[lo:hi] = np.asarray(t)[:n]
         decoded[lo:hi] = np.asarray(d)[:n]
 
+    if use_native:
+        from .host.fast import assemble_vcf_native
+
+        return assemble_vcf_native(parsed, text, decoded)
     return assemble_vcf(parsed, text, decoded)

@@ -1,0 +1,85 @@
+"""Seeded synthetic VCF generator.
+
+Workload-compatible reimplementation of the reference's generator
+(other/random_vcf.py:1-75): GT-only FORMAT, allele distribution
+{0: 0.90, 1: 0.08, 2: 0.02} per haplotype (so ~81% "0|0" and a ~4%
+escape tail of genotypes containing allele 2), seeded for
+reproducibility.  Uses numpy vectorized sampling instead of the
+reference's per-call ``random.random()`` loop, so byte streams differ
+from the reference generator for the same seed while the statistical
+workload is identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+BASES = ["A", "T", "G", "C"]
+
+
+def generate_vcf(
+    sample_count: int = 1000,
+    variant_count: int = 1_000_000,
+    alt_count: int = 2,
+    seed: int = 5,
+    chrom: str = "1",
+    start_pos: int = 10_000,
+    pos_step: int = 2,
+    allele_probs: tuple[float, ...] = (0.90, 0.08, 0.02),
+) -> bytes:
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    out += b"##fileformat=VCFv4.1\n"
+    out += b'##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+    out += b"##fileDate=20150218\n"
+    header = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"]
+    digits = max(int(math.ceil(math.log10(max(sample_count, 2)))), 1)
+    header += [f"HG{j:0{digits}d}" for j in range(sample_count)]
+    out += "\t".join(header).encode() + b"\n"
+
+    alleles = np.arange(len(allele_probs))
+    # pre-render the genotype byte patterns "a|b"
+    gt_bytes = np.zeros((len(allele_probs), len(allele_probs), 4), np.uint8)
+    for a in alleles:
+        for b in alleles:
+            gt_bytes[a, b] = np.frombuffer(f"{a}|{b}\t".encode(), np.uint8)
+
+    pos = start_pos
+    for i in range(variant_count):
+        ref = BASES[rng.integers(len(BASES))]
+        alts = [b for b in BASES if b != ref]
+        rng.shuffle(alts)
+        alts = alts[:alt_count]
+        prefix = "\t".join(
+            [chrom, str(pos), f"var{i}", ref, ",".join(alts), "100", "PASS", "INFO", "GT"]
+        )
+        a1 = rng.choice(alleles, size=sample_count, p=allele_probs)
+        a2 = rng.choice(alleles, size=sample_count, p=allele_probs)
+        row = gt_bytes[a1, a2].reshape(-1)[:-1]  # drop trailing tab
+        out += prefix.encode() + b"\t" + row.tobytes() + b"\n"
+        pos += pos_step
+    return bytes(out)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--samples", type=int, default=1000)
+    p.add_argument("--variants", type=int, default=1_000_000)
+    p.add_argument("--alt-count", type=int, default=2)
+    p.add_argument("--seed", type=int, default=5)
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+    out = args.output or f"test-{args.samples}-{args.variants}.vcf"
+    data = generate_vcf(args.samples, args.variants, args.alt_count, args.seed)
+    with open(out, "wb") as f:
+        f.write(data)
+    print(f"finished writing {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,170 @@
+"""ctypes binding to the native host runtime (native/libvcfc_host.so).
+
+The native library provides thread-parallel byte plumbing around the
+device kernels: .vcfc stream walking, flag extraction, two-pass encode
+assembly, decode rendering, and sample-field classification.  Every entry
+point has a pure numpy/Python fallback in host/parse.py + host/assemble.py;
+``available()`` gates usage.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import lru_cache
+
+import numpy as np
+
+_LIB_ENV = "VCFC_NATIVE_LIB"
+_DEFAULT_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libvcfc_host.so"),
+    os.path.join(os.path.dirname(__file__), "libvcfc_host.so"),
+]
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i64 = ctypes.c_int64
+
+
+def _try_build() -> None:
+    """Best-effort in-tree build of the native library (g++ is in the image;
+    failures leave the numpy fallback in charge)."""
+    import subprocess
+
+    native_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    )
+    if not os.path.exists(os.path.join(native_dir, "Makefile")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
+@lru_cache(maxsize=1)
+def _load():
+    candidates = []
+    if os.environ.get(_LIB_ENV):
+        candidates.append(os.environ[_LIB_ENV])
+    candidates += [os.path.abspath(p) for p in _DEFAULT_PATHS]
+    if not any(os.path.exists(p) for p in candidates):
+        _try_build()
+    for path in candidates:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            lib.vcfc_scan.restype = _i64
+            lib.vcfc_scan.argtypes = [_u8p, _i64, _i64, _i64, _i64p, _i32p, _i32p]
+            lib.vcfc_extract_flags.restype = _i64
+            lib.vcfc_extract_flags.argtypes = [
+                _u8p, _i64p, _i32p, _i32p, _i64, _i64, _u8p, _i32p,
+            ]
+            lib.vcfc_measure.restype = None
+            lib.vcfc_measure.argtypes = [
+                _u8p, _i64p, _i64p, _u8p, _i32p, _u8p, _i64, _i64, _i64, _i64p,
+            ]
+            lib.vcfc_write.restype = None
+            lib.vcfc_write.argtypes = [
+                _u8p, _i64p, _i64p, _u8p, _i32p, _i32p, _u8p, _i64p, _i64p,
+                _i64, _i64, _i64, _u8p,
+            ]
+            lib.vcfc_render.restype = None
+            lib.vcfc_render.argtypes = [
+                _u8p, _i64p, _i32p, _u8p, _u8p, _i64p, _i64, _i64, _i64, _u8p,
+            ]
+            lib.vcfc_classify.restype = None
+            lib.vcfc_classify.argtypes = [
+                _u8p, _i64p, _i64p, _i64, _i64, _u8p, _u8p,
+            ]
+            return lib
+    return None
+
+
+def available() -> bool:
+    return _load() is not None and os.environ.get("VCFC_NO_NATIVE", "") == ""
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctype)
+
+
+def scan_vcfc(raw: np.ndarray, data_offset: int, max_lines: int):
+    """Returns (line_off int64[L], line_len int32[L], req_len int32[L])."""
+    lib = _load()
+    line_off = np.empty(max_lines, np.int64)
+    line_len = np.empty(max_lines, np.int32)
+    req_len = np.empty(max_lines, np.int32)
+    n = lib.vcfc_scan(
+        _ptr(raw, _u8p), len(raw), data_offset, max_lines,
+        _ptr(line_off, _i64p), _ptr(line_len, _i32p), _ptr(req_len, _i32p),
+    )
+    if n < 0:
+        raise ValueError(f"vcfc_scan failed with {n}")
+    return line_off[:n], line_len[:n], req_len[:n]
+
+
+def extract_flags(raw, line_off, line_len, req_len, width: int):
+    lib = _load()
+    L = len(line_off)
+    flags = np.zeros((L, width), np.uint8)
+    nflags = np.zeros(L, np.int32)
+    r = lib.vcfc_extract_flags(
+        _ptr(raw, _u8p), _ptr(line_off, _i64p), _ptr(line_len, _i32p),
+        _ptr(req_len, _i32p), L, width, _ptr(flags, _u8p), _ptr(nflags, _i32p),
+    )
+    if r == -2:
+        raise ValueError("flag width too small")
+    return flags, nflags
+
+
+def measure(body, line_start, sample_start, flags, nseg, irregular, S, sizes):
+    lib = _load()
+    L, W = flags.shape
+    lib.vcfc_measure(
+        _ptr(body, _u8p), _ptr(line_start, _i64p), _ptr(sample_start, _i64p),
+        _ptr(flags, _u8p), _ptr(nseg, _i32p), _ptr(irregular, _u8p),
+        L, W, S, _ptr(sizes, _i64p),
+    )
+
+
+def write(body, line_start, sample_start, flags, seg_start, nseg, irregular,
+          out_off, sizes, S, out):
+    lib = _load()
+    L, W = flags.shape
+    lib.vcfc_write(
+        _ptr(body, _u8p), _ptr(line_start, _i64p), _ptr(sample_start, _i64p),
+        _ptr(flags, _u8p), _ptr(seg_start, _i32p), _ptr(nseg, _i32p),
+        _ptr(irregular, _u8p), _ptr(out_off, _i64p), _ptr(sizes, _i64p),
+        L, W, S, _ptr(out, _u8p),
+    )
+
+
+def render(raw, line_off, req_len, text, escape_line, out_off, S, out):
+    lib = _load()
+    L, TW = text.shape
+    lib.vcfc_render(
+        _ptr(raw, _u8p), _ptr(line_off, _i64p), _ptr(req_len, _i32p),
+        _ptr(text, _u8p), _ptr(escape_line, _u8p), _ptr(out_off, _i64p),
+        L, TW, S, _ptr(out, _u8p),
+    )
+
+
+def classify(body, sample_start, line_end, S):
+    lib = _load()
+    L = len(sample_start)
+    codes = np.zeros((L, S), np.uint8)
+    regular = np.ones(L, np.uint8)
+    lib.vcfc_classify(
+        _ptr(body, _u8p), _ptr(sample_start, _i64p), _ptr(line_end, _i64p),
+        L, S, _ptr(codes, _u8p), _ptr(regular, _u8p),
+    )
+    return codes, regular
