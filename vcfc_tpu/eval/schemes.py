@@ -1,0 +1,190 @@
+"""Query schemes under measurement.
+
+Five schemes mirror the reference harness (evaluation_main.py,
+command.py): three VCFC index strategies plus tabix over bgzip and BCF.
+Ours run in-process; the external tabix/bcftools schemes shell out and
+are skipped automatically when the tools aren't installed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import time
+from dataclasses import dataclass
+
+from ..index.binned import build_binned_index, query_binned_index
+from ..index.sparse_external import (
+    create_sparse_external_index,
+    query_sparse_external_index,
+)
+from ..index.sparsify import query_sparse_file, sparsify_file
+from ..query.coordinate import CoordinateQuery
+from ..utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, BinnedIndexConfig, SparseConfig
+from .config import Dataset, flush_page_cache
+
+
+@dataclass
+class PreparedScheme:
+    name: str
+    query_single_fn: object  # (ref, pos) -> bytes
+    query_range_fn: object  # (ref, start, end) -> bytes
+    index_path: str | None = None
+
+
+def _time(fn, flush: bool = False) -> tuple[float, object]:
+    if flush:
+        flush_page_cache()
+    t0 = time.perf_counter()
+    result = fn()
+    return time.perf_counter() - t0, result
+
+
+class SchemeFactory:
+    """Prepares compressed artifacts once per dataset and builds
+    per-scheme query callables."""
+
+    def __init__(self, dataset: Dataset, workdir: str, bin_size: int = 150):
+        self.dataset = dataset
+        self.workdir = workdir
+        self.bin_size = bin_size
+        os.makedirs(workdir, exist_ok=True)
+        self.vcfc_path = os.path.join(workdir, dataset.name + ".vcfc")
+        if not os.path.exists(self.vcfc_path):
+            from .. import engine
+
+            with open(dataset.vcf_path, "rb") as f:
+                vcf = f.read()
+            with open(self.vcfc_path, "wb") as f:
+                f.write(engine.compress(vcf))
+        with open(self.vcfc_path, "rb") as f:
+            self.vcfc = f.read()
+
+    # -- VCFC schemes -----------------------------------------------------
+
+    def vcfc_binned(self, bin_size: int | None = None) -> PreparedScheme:
+        bin_size = bin_size or self.bin_size
+        index = build_binned_index(self.vcfc, BinnedIndexConfig(bin_size))
+        index_path = self.vcfc_path + f".vcfci-{bin_size}"
+        with open(index_path, "wb") as f:
+            f.write(index)
+
+        def single(ref, pos):
+            return b"".join(
+                query_binned_index(self.vcfc, index, CoordinateQuery.range(ref, pos, pos))
+            )
+
+        def range_(ref, start, end):
+            return b"".join(
+                query_binned_index(self.vcfc, index, CoordinateQuery.range(ref, start, end))
+            )
+
+        return PreparedScheme(f"vcfc-binned-{bin_size}", single, range_, index_path)
+
+    def vcfc_sparse(self) -> PreparedScheme:
+        sparse_path = self.vcfc_path + ".sparse"
+        config = SparseConfig()
+        if not os.path.exists(sparse_path):
+            sparsify_file(self.vcfc, sparse_path, config)
+
+        def single(ref, pos):
+            return b"".join(
+                query_sparse_file(sparse_path, CoordinateQuery.range(ref, pos, pos), config)
+            )
+
+        def range_(ref, start, end):
+            return b"".join(
+                query_sparse_file(
+                    sparse_path, CoordinateQuery.range(ref, start, end), config
+                )
+            )
+
+        return PreparedScheme("vcfc-sparse", single, range_, sparse_path)
+
+    def vcfc_sparse_external(self) -> PreparedScheme:
+        index_path = self.vcfc_path + ".vcfci-sparse"
+        config = SPARSE_EXTERNAL_INDEX_CONFIG
+        if not os.path.exists(index_path):
+            create_sparse_external_index(self.vcfc, index_path, config)
+
+        def single(ref, pos):
+            return b"".join(
+                query_sparse_external_index(
+                    self.vcfc, index_path, CoordinateQuery.range(ref, pos, pos), config
+                )
+            )
+
+        def range_(ref, start, end):
+            return b"".join(
+                query_sparse_external_index(
+                    self.vcfc, index_path, CoordinateQuery.range(ref, start, end), config
+                )
+            )
+
+        return PreparedScheme("vcfc-sparse-external", single, range_, index_path)
+
+    # -- external schemes (tabix / bcftools) ------------------------------
+
+    def tabix_bgzip(self) -> PreparedScheme | None:
+        if not (shutil.which("bgzip") and shutil.which("tabix")):
+            return None
+        gz = os.path.join(self.workdir, self.dataset.name + ".vcf.gz")
+        if not os.path.exists(gz):
+            with open(gz, "wb") as f:
+                subprocess.run(
+                    ["bgzip", "-c", self.dataset.vcf_path], stdout=f, check=True
+                )
+            subprocess.run(["tabix", "-p", "vcf", gz], check=True)
+
+        def single(ref, pos):
+            return subprocess.run(
+                ["tabix", gz, f"{ref}:{pos}-{pos}"], capture_output=True, check=True
+            ).stdout
+
+        def range_(ref, start, end):
+            return subprocess.run(
+                ["tabix", gz, f"{ref}:{start}-{end}"], capture_output=True, check=True
+            ).stdout
+
+        return PreparedScheme("tabix-bgzip", single, range_, gz + ".tbi")
+
+    def tabix_bcf(self) -> PreparedScheme | None:
+        if not (shutil.which("bcftools") and shutil.which("tabix")):
+            return None
+        bcf = os.path.join(self.workdir, self.dataset.name + ".bcf")
+        if not os.path.exists(bcf):
+            subprocess.run(
+                ["bcftools", "view", "-O", "b", "-o", bcf, self.dataset.vcf_path],
+                check=True,
+            )
+            subprocess.run(["bcftools", "index", bcf], check=True)
+
+        def single(ref, pos):
+            return subprocess.run(
+                ["bcftools", "view", "-H", bcf, f"{ref}:{pos}-{pos}"],
+                capture_output=True,
+                check=True,
+            ).stdout
+
+        def range_(ref, start, end):
+            return subprocess.run(
+                ["bcftools", "view", "-H", bcf, f"{ref}:{start}-{end}"],
+                capture_output=True,
+                check=True,
+            ).stdout
+
+        return PreparedScheme("tabix-bcf", single, range_, bcf + ".csi")
+
+    def build(self, name: str, **kw) -> PreparedScheme | None:
+        if name.startswith("vcfc-binned"):
+            return self.vcfc_binned(**kw)
+        if name == "vcfc-sparse":
+            return self.vcfc_sparse()
+        if name == "vcfc-sparse-external":
+            return self.vcfc_sparse_external()
+        if name == "tabix-bgzip":
+            return self.tabix_bgzip()
+        if name == "tabix-bcf":
+            return self.tabix_bcf()
+        raise ValueError(f"unknown scheme {name}")
