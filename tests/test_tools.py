@@ -62,3 +62,30 @@ class TestRandomVcf:
 
         vcf = generate_vcf(sample_count=30, variant_count=20, seed=5)
         assert decompress_bytes(compress_bytes(vcf)) == vcf
+
+
+class TestAnalysis:
+    def test_genotype_counts(self):
+        from vcfc_tpu.tools.analysis import genotype_counts
+
+        vcf = [b"##m=1\n", b"#CHROM\tx\n", b"1\t1\ti\tA\tT\t.\t.\t.\tGT\t0|0\t0|1\t0|0\n"]
+        assert genotype_counts(vcf) == {"0|0": 2, "0|1": 1}
+
+    def test_run_length_histograms_and_savings(self):
+        from vcfc_tpu.tools.analysis import rle_savings, run_length_histograms
+
+        vcf = [b"1\t1\ti\tA\tT\t.\t.\t.\tGT\t0|0\t0|0\t0|0\t1|1\n"]
+        hists = run_length_histograms(vcf)
+        assert hists == {"0|0": {3: 1}, "1|1": {1: 1}}
+        sv = rle_savings(hists, 100)
+        # run of 3 saves 4*3-1=11; run of 1 saves 3
+        assert sv["bytes_saved"] == 14 and sv["total_runs"] == 2
+
+    def test_gap_stats(self):
+        from vcfc_tpu.tools.analysis import gap_analysis_stats
+
+        rows = ["100 500 120\n", "102 480 100\n"]
+        st = gap_analysis_stats(rows)
+        assert st["lines"] == 2
+        assert st["compressed_total"] == 220
+        assert abs(st["ratio"] - 980 / 220) < 1e-9
