@@ -37,9 +37,9 @@ def main() -> None:
     n = np.int32(S)
 
     def step(c):
-        flags, seg_start, nseg = rle_encode(c, n)
-        dec_codes, _text, decoded = rle_decode(flags, nseg, n, out_width=S)
-        return flags, nseg, dec_codes, decoded
+        flagpos, nseg = rle_encode(c, n)
+        dec_codes, _text, decoded = rle_decode(flagpos, n)
+        return flagpos, nseg, dec_codes, decoded
 
     # warmup / compile
     out = step(codes)

@@ -1,19 +1,20 @@
 // vcfc_host: native host runtime for the TPU codec engine.
 //
-// The device kernels (vcfc_tpu.ops.rle) produce/consume dense flag
-// matrices; this library provides the thread-parallel byte plumbing around
-// them:
+// The device kernels (vcfc_tpu.ops.rle) produce/consume *positional flag*
+// matrices: a (L, S) uint8 plane holding the .vcfc flag byte at each
+// run-start sample position and 0 elsewhere (0 is never a legal flag
+// byte).  This library is the thread-parallel byte plumbing between that
+// dense device form and the ragged .vcfc stream:
 //
-//   * vcfc_scan      — walk a .vcfc stream: per-line offsets, header values,
-//                      escape detection, flag extraction into a dense matrix
-//   * vcfc_measure / vcfc_write — two-pass encode assembly: compute per-line
-//                      output sizes, then scatter-write all regular lines
-//                      into a single output buffer at precomputed offsets
-//                      (embarrassingly line-parallel)
-//   * vcfc_render    — decode assembly: required blob + rendered sample text
-//                      rows -> final VCF bytes
-//   * vcfc_classify  — VCF sample fields -> genotype code matrix (fast path
-//                      for 3-byte-wide fields)
+//   * vcfc_scan          — walk a .vcfc stream: per-line offsets + headers
+//   * vcfc_unpack        — file sample bytes -> positional flags, with
+//                          escape-column discovery (two-phase: count, fill)
+//   * vcfc_measure/write — two-pass encode assembly: per-line output sizes,
+//                          then scatter-write every line into one output
+//                          buffer at precomputed offsets (line-parallel)
+//   * vcfc_measure_render/render — two-pass decode assembly: required blob
+//                          + rendered sample text + escape splices
+//   * vcfc_classify      — VCF sample fields -> genotype code matrix
 //
 // Exposed as a plain C ABI for ctypes.  No Python.h dependency.
 
@@ -35,6 +36,12 @@ static inline int64_t get_len_header(const uint8_t* p) {
   return (static_cast<int64_t>(p[0] & 0x3F) << 24) |
          (static_cast<int64_t>(p[1]) << 16) |
          (static_cast<int64_t>(p[2]) << 8) | p[3];
+}
+
+static inline int64_t flag_run_len(uint8_t f) {
+  if ((f & 0x80) == 0) return f & 0x7F;
+  if ((f & 0xE0) == 0xE0) return f & 0x1F;  // escape column count
+  return f & 0x1F;
 }
 
 static int n_workers(int64_t items) {
@@ -62,13 +69,13 @@ static void parallel_for(int64_t n, F&& body) {
 }
 
 // ---------------------------------------------------------------------------
-// Pass A: walk a .vcfc stream, record line geometry.  Sequential (offsets
-// chain), but touches only 8 header bytes per line.
+// Walk a .vcfc stream, record line geometry.  Sequential (offsets chain),
+// but touches only 8 header bytes per line.
 // Returns number of lines, or negative on error (-2 = out capacity, -3 =
 // malformed header).
 extern "C" int64_t vcfc_scan(const uint8_t* raw, int64_t n, int64_t data_off,
-                  int64_t max_lines, int64_t* line_off, int32_t* line_len,
-                  int32_t* req_len) {
+                             int64_t max_lines, int64_t* line_off,
+                             int32_t* line_len, int32_t* req_len) {
   int64_t off = data_off;
   int64_t count = 0;
   while (off < n) {
@@ -86,118 +93,165 @@ extern "C" int64_t vcfc_scan(const uint8_t* raw, int64_t n, int64_t data_off,
   return count;
 }
 
-// Pass B: extract flag bytes into a dense (L, W) matrix; detect escape
-// lines (any byte >= 0xE0 in the sample region).  Line-parallel.
-// For escape lines nflags[i] = -1 and the row is left zeroed.
-// Returns max sample-region length seen (<= W required), or -2 if W too
-// small for some escape-free line.
-extern "C" int64_t vcfc_extract_flags(const uint8_t* raw, const int64_t* line_off,
-                           const int32_t* line_len, const int32_t* req_len,
-                           int64_t L, int64_t W, uint8_t* flags,
-                           int32_t* nflags) {
-  std::vector<int64_t> maxes(n_workers(L), 0);
-  std::vector<int64_t> errs(n_workers(L), 0);
-  int64_t widx = 0;
-  (void)widx;
-  int64_t global_max = 0;
-  bool overflow = false;
+// ---------------------------------------------------------------------------
+// Decode-side unpack: .vcfc sample bytes -> positional flags.
+//
+// status[i]: 0 ok; 1 malformed (sample count mismatch / truncation);
+//            2 unsupported shape (escape flag with count != 1) — the
+//            caller routes such lines through the Python oracle.
+// esc_count[i]: number of escape columns on line i.
+//
+// Phase 2 (vcfc_collect_escapes) re-walks escape lines, filling flattened
+// arrays at caller-prefix-summed bases: for each escape column, its
+// sample position, absolute byte offset of the ASCII, and byte length.
+extern "C" void vcfc_unpack(const uint8_t* raw, const int64_t* line_off,
+                            const int32_t* line_len, const int32_t* req_len,
+                            int64_t L, int64_t S, int64_t W, uint8_t* flagpos,
+                            int32_t* esc_count, uint8_t* status) {
   parallel_for(L, [&](int64_t lo, int64_t hi) {
-    int64_t local_max = 0;
     for (int64_t i = lo; i < hi; ++i) {
       const uint8_t* body = raw + line_off[i] + 8 + req_len[i];
-      int64_t blen = static_cast<int64_t>(line_len[i]) - 4 - req_len[i] - 1;
-      bool esc = false;
-      for (int64_t j = 0; j < blen; ++j) {
-        if (body[j] >= 0xE0) {
-          esc = true;
-          break;
+      const uint8_t* end =
+          body + (static_cast<int64_t>(line_len[i]) - 4 - req_len[i] - 1);
+      uint8_t* row = flagpos + i * W;
+      const uint8_t* p = body;
+      int64_t pos = 0;
+      int32_t escs = 0;
+      uint8_t st = 0;
+      while (p < end) {
+        uint8_t f = *p++;
+        if ((f & 0xE0) == 0xE0) {
+          int64_t n_cols = f & 0x1F;
+          if (n_cols != 1) {
+            st = 2;  // reference never emits this; oracle handles it
+            break;
+          }
+          if (pos >= S) {
+            st = 1;
+            break;
+          }
+          row[pos] = f;
+          // ASCII column runs to '\t' (consumed) or region end
+          while (p < end && *p != '\t') ++p;
+          bool last_sample = (pos == S - 1);
+          if (p < end && *p == '\t') {
+            if (last_sample) {
+              st = 1;  // tab after final sample is malformed
+              break;
+            }
+            ++p;
+          } else if (!last_sample) {
+            st = 1;  // mid-line escape must be tab-terminated
+            break;
+          }
+          ++escs;
+          ++pos;
+        } else {
+          int64_t rl = flag_run_len(f);
+          if (rl == 0 || pos >= S) {
+            st = 1;
+            break;
+          }
+          row[pos] = f;
+          pos += rl;
         }
       }
-      if (esc) {
-        nflags[i] = -1;
-        continue;
-      }
-      if (blen > W) {
-        overflow = true;
-        continue;
-      }
-      std::memcpy(flags + i * W, body, static_cast<size_t>(blen));
-      nflags[i] = static_cast<int32_t>(blen);
-      if (blen > local_max) local_max = blen;
+      if (st == 0 && (pos != S || p != end)) st = 1;
+      status[i] = st;
+      esc_count[i] = escs;
     }
-    // benign race on global_max: guarded by join + re-reduce below
-    if (local_max > global_max) global_max = local_max;
   });
-  if (overflow) return -2;
-  return global_max;
+}
+
+extern "C" void vcfc_collect_escapes(const uint8_t* raw, const int64_t* line_off,
+                                     const int32_t* line_len,
+                                     const int32_t* req_len,
+                                     const int32_t* esc_count,
+                                     const int64_t* esc_base, int64_t L,
+                                     int64_t S, int32_t* esc_sample,
+                                     int64_t* esc_off, int32_t* esc_len) {
+  parallel_for(L, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (esc_count[i] == 0) continue;
+      const uint8_t* base = raw;
+      const uint8_t* body = raw + line_off[i] + 8 + req_len[i];
+      const uint8_t* end =
+          body + (static_cast<int64_t>(line_len[i]) - 4 - req_len[i] - 1);
+      const uint8_t* p = body;
+      int64_t pos = 0;
+      int64_t w = esc_base[i];
+      const int64_t w_end = esc_base[i] + esc_count[i];
+      while (p < end && w < w_end) {
+        uint8_t f = *p++;
+        if ((f & 0xE0) == 0xE0) {
+          const uint8_t* start = p;
+          while (p < end && *p != '\t') ++p;
+          esc_sample[w] = static_cast<int32_t>(pos);
+          esc_off[w] = start - base;
+          esc_len[w] = static_cast<int32_t>(p - start);
+          ++w;
+          if (p < end && *p == '\t') ++p;
+          ++pos;
+        } else {
+          pos += flag_run_len(f);
+        }
+      }
+    }
+  });
 }
 
 // ---------------------------------------------------------------------------
-// Encode assembly.
+// Encode assembly from positional flags.
 //
-// Inputs per line i (regular lines only; irregular lines have sizes[i]
-// preset by the caller and are skipped via the irregular mask):
+// Per line i (regular layout: every sample field is 3 ASCII bytes at
+// sample_start[i] + 4*j):
 //   required blob = body[line_start[i] .. sample_start[i])
-//   flags row     = flags[i*W .. i*W + nseg[i])
-//   escape splice: a flag 0xE1 at packed slot k consumes sample
-//     seg_start[i*W+k]; its ASCII lives at body[sample_start[i] + 4*j .. +3]
-//     (3-byte fast layout), followed by '\t' unless it is the last sample.
-//
-// Pass 1: vcfc_measure fills sizes[i] for regular lines.
-// Pass 2 (after the caller prefix-sums offsets): vcfc_write emits bytes.
+//   flag at position j -> one output byte; escape flags additionally
+//   splice the 3-byte field + '\t' unless j == S-1.
+// Irregular lines have sizes[i] preset by the caller and are skipped.
 
 extern "C" void vcfc_measure(const uint8_t* body, const int64_t* line_start,
-                  const int64_t* sample_start, const uint8_t* flags,
-                  const int32_t* nseg, const uint8_t* irregular, int64_t L,
-                  int64_t W, int64_t S, int64_t* sizes) {
+                             const int64_t* sample_start,
+                             const uint8_t* flagpos, const uint8_t* irregular,
+                             int64_t L, int64_t W, int64_t S, int64_t* sizes) {
   parallel_for(L, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       if (irregular[i]) continue;  // caller preset
+      const uint8_t* row = flagpos + i * W;
       int64_t req = sample_start[i] - line_start[i];
-      int64_t n = nseg[i];
-      const uint8_t* row = flags + i * W;
-      int64_t extra = 0;
-      // escapes are rare; count them and their splice bytes
-      for (int64_t k = 0; k < n; ++k) {
-        if ((row[k] & 0xE0) == 0xE0) extra += 3;  // 3-byte field
+      int64_t bytes = 0;
+      for (int64_t j = 0; j < S; ++j) {
+        uint8_t f = row[j];
+        if (!f) continue;
+        ++bytes;
+        if ((f & 0xE0) == 0xE0) bytes += 3 + (j < S - 1 ? 1 : 0);
       }
-      if (extra) {
-        // each escape but a line-final one carries a '\t'
-        for (int64_t k = 0; k < n; ++k) {
-          if ((row[k] & 0xE0) == 0xE0) extra += 1;
-        }
-        // line-final escape has no tab; detect via last slot
-        if ((row[n - 1] & 0xE0) == 0xE0) extra -= 1;
-      }
-      sizes[i] = 8 + req + n + extra + 1;
+      sizes[i] = 8 + req + bytes + 1;
     }
   });
 }
 
 extern "C" void vcfc_write(const uint8_t* body, const int64_t* line_start,
-                const int64_t* sample_start, const uint8_t* flags,
-                const int32_t* seg_start, const int32_t* nseg,
-                const uint8_t* irregular, const int64_t* out_off,
-                const int64_t* sizes, int64_t L, int64_t W, int64_t S,
-                uint8_t* out) {
+                           const int64_t* sample_start, const uint8_t* flagpos,
+                           const uint8_t* irregular, const int64_t* out_off,
+                           const int64_t* sizes, int64_t L, int64_t W,
+                           int64_t S, uint8_t* out) {
   parallel_for(L, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       if (irregular[i]) continue;  // caller splices these
       uint8_t* p = out + out_off[i];
+      const uint8_t* row = flagpos + i * W;
       int64_t req = sample_start[i] - line_start[i];
       put_len_header(p, static_cast<uint32_t>(sizes[i] - 4));
       put_len_header(p + 4, static_cast<uint32_t>(req));
       p += 8;
       std::memcpy(p, body + line_start[i], static_cast<size_t>(req));
       p += req;
-      const uint8_t* row = flags + i * W;
-      const int32_t* starts = seg_start + i * W;
-      int64_t n = nseg[i];
-      for (int64_t k = 0; k < n; ++k) {
-        uint8_t f = row[k];
+      for (int64_t j = 0; j < S; ++j) {
+        uint8_t f = row[j];
+        if (!f) continue;
         *p++ = f;
         if ((f & 0xE0) == 0xE0) {
-          int64_t j = starts[k];
           const uint8_t* field = body + sample_start[i] + 4 * j;
           *p++ = field[0];
           *p++ = field[1];
@@ -211,23 +265,66 @@ extern "C" void vcfc_write(const uint8_t* body, const int64_t* line_start,
 }
 
 // ---------------------------------------------------------------------------
-// Decode assembly: per line, required blob + text row (4 bytes per sample,
-// trailing tab dropped) + newline at precomputed offsets.
-extern "C" void vcfc_render(const uint8_t* raw, const int64_t* line_off,
-                 const int32_t* req_len, const uint8_t* text,
-                 const uint8_t* escape_line, const int64_t* out_off,
-                 int64_t L, int64_t TW, int64_t S, uint8_t* out) {
-  int64_t sample_bytes = 4 * S - 1;
+// Decode assembly: required blob + rendered sample text + escape splices.
+// Output line size = req + (4*S - 1) + 1 + sum(esc_len - 3)  [escapes
+// replace a 3-byte "?|?" placeholder].
+
+extern "C" void vcfc_measure_render(const int32_t* req_len,
+                                    const int32_t* esc_count,
+                                    const int64_t* esc_base,
+                                    const int32_t* esc_len, int64_t L,
+                                    int64_t S, int64_t* sizes) {
   parallel_for(L, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
-      if (escape_line[i]) continue;  // caller splices these
+      int64_t extra = 0;
+      int64_t b = esc_base[i];
+      for (int32_t k = 0; k < esc_count[i]; ++k) extra += esc_len[b + k] - 3;
+      sizes[i] = req_len[i] + (4 * S - 1) + 1 + extra;
+    }
+  });
+}
+
+extern "C" void vcfc_render(const uint8_t* raw, const int64_t* line_off,
+                            const int32_t* req_len, const uint8_t* text,
+                            const int32_t* esc_count, const int64_t* esc_base,
+                            const int32_t* esc_sample, const int64_t* esc_off,
+                            const int32_t* esc_len, const uint8_t* skip,
+                            const int64_t* out_off, int64_t L, int64_t TW,
+                            int64_t S, uint8_t* out) {
+  parallel_for(L, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (skip[i]) continue;  // caller splices these (oracle lines)
       uint8_t* p = out + out_off[i];
       int64_t req = req_len[i];
       std::memcpy(p, raw + line_off[i] + 8, static_cast<size_t>(req));
       p += req;
-      std::memcpy(p, text + i * TW, static_cast<size_t>(sample_bytes));
-      p += sample_bytes;
-      *p = '\n';
+      const uint8_t* trow = text + i * TW;
+      if (esc_count[i] == 0) {
+        std::memcpy(p, trow, static_cast<size_t>(4 * S - 1));
+        p += 4 * S - 1;
+      } else {
+        int64_t b = esc_base[i];
+        int64_t j = 0;  // sample cursor
+        for (int32_t k = 0; k < esc_count[i]; ++k) {
+          int64_t ej = esc_sample[b + k];
+          // copy text for samples [j, ej): 4 bytes each incl. tab
+          if (ej > j) {
+            std::memcpy(p, trow + 4 * j, static_cast<size_t>(4 * (ej - j)));
+            p += 4 * (ej - j);
+          }
+          std::memcpy(p, raw + esc_off[b + k],
+                      static_cast<size_t>(esc_len[b + k]));
+          p += esc_len[b + k];
+          if (ej < S - 1) *p++ = '\t';
+          j = ej + 1;
+        }
+        if (j < S) {
+          // trailing non-escape samples; drop the final tab
+          std::memcpy(p, trow + 4 * j, static_cast<size_t>(4 * (S - j) - 1));
+          p += 4 * (S - j) - 1;
+        }
+      }
+      *p++ = '\n';
     }
   });
 }
@@ -238,8 +335,8 @@ extern "C" void vcfc_render(const uint8_t* raw, const int64_t* line_off,
 // for the biallelic phased GTs, 4 otherwise.  Verifies the 4-byte layout
 // (separators must be tabs); sets regular[i] = 0 on mismatch.
 extern "C" void vcfc_classify(const uint8_t* body, const int64_t* sample_start,
-                   const int64_t* line_end, int64_t L, int64_t S,
-                   uint8_t* codes, uint8_t* regular) {
+                              const int64_t* line_end, int64_t L, int64_t S,
+                              uint8_t* codes, uint8_t* regular) {
   parallel_for(L, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       if (!regular[i]) continue;
@@ -267,4 +364,3 @@ extern "C" void vcfc_classify(const uint8_t* body, const int64_t* sample_start,
     }
   });
 }
-

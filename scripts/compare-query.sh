@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Time tabix vs vcfc_tpu binned-index query on a region (reference analog:
+# compare-query.sh; its unquoted-region argv bug is fixed here).
+set -euo pipefail
+vcfc=${1:?usage: compare-query.sh <file.vcfc> <region> [vcf.gz]}
+region=${2:?region, e.g. 22:23521891-23660224}
+gz=${3:-}
+sync || true
+[ -w /proc/sys/vm/drop_caches ] && echo 3 > /proc/sys/vm/drop_caches || true
+if [ -n "$gz" ] && command -v tabix >/dev/null; then
+  time tabix "$gz" "$region" > /tmp/tabix-result.txt
+fi
+[ -f "$vcfc.vcfci" ] || python -m vcfc_tpu.cli create-binned-index 150 "$vcfc"
+time python -m vcfc_tpu.cli query-binned-index "$vcfc" "$region" > /tmp/vcfc-result.txt
+wc -l /tmp/*-result.txt 2>/dev/null || true

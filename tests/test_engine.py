@@ -11,7 +11,8 @@ from vcfc_tpu.ops.rle import rle_decode, rle_encode
 
 class TestRleKernels:
     def _np_reference_flags(self, row):
-        """Scalar-oracle RLE of a single code row (caps 127/31/1)."""
+        """Scalar-oracle RLE of a single code row (caps 127/31/1):
+        returns (flag, start-position) pairs."""
         caps = [127, 31, 31, 31, 1]
         bases = [0x00, 0xA0, 0xC0, 0x80, 0xE0]
         out, starts = [], []
@@ -34,16 +35,20 @@ class TestRleKernels:
         codes = rng.choice(5, size=(7, S), p=[0.7, 0.1, 0.1, 0.05, 0.05]).astype(np.uint8)
         pad = np.zeros((7, 384), np.uint8)
         pad[:, :S] = codes
-        flags, seg_start, nseg = map(np.asarray, rle_encode(pad, S))
+        flagpos, nseg = map(np.asarray, rle_encode(pad, S))
         for i in range(7):
             want, want_starts = self._np_reference_flags(list(codes[i]))
-            assert list(flags[i, : nseg[i]]) == want
-            assert list(seg_start[i, : nseg[i]]) == want_starts
+            got_starts = np.flatnonzero(flagpos[i]).tolist()
+            assert got_starts == want_starts
+            assert flagpos[i][got_starts].tolist() == want
+            assert nseg[i] == len(want)
 
     def test_long_run_caps(self):
         pad = np.zeros((1, 384), np.uint8)
-        flags, _, nseg = map(np.asarray, rle_encode(pad, 300))
-        assert list(flags[0, : nseg[0]]) == [127, 127, 46]
+        flagpos, nseg = map(np.asarray, rle_encode(pad, 300))
+        assert flagpos[0][np.flatnonzero(flagpos[0])].tolist() == [127, 127, 46]
+        assert np.flatnonzero(flagpos[0]).tolist() == [0, 127, 254]
+        assert nseg[0] == 3
 
     def test_decode_inverts_encode(self):
         rng = np.random.default_rng(3)
@@ -51,13 +56,21 @@ class TestRleKernels:
         codes = rng.choice(5, size=(5, S), p=[0.6, 0.15, 0.1, 0.1, 0.05]).astype(np.uint8)
         pad = np.zeros((5, 384), np.uint8)
         pad[:, :S] = codes
-        flags, _, nseg = map(np.asarray, rle_encode(pad, S))
-        codes2, text, decoded = map(np.asarray, rle_decode(flags, nseg, S, out_width=384))
+        flagpos, nseg = map(np.asarray, rle_encode(pad, S))
+        codes2, text, decoded = map(np.asarray, rle_decode(flagpos, S))
         assert (decoded == S).all()
         np.testing.assert_array_equal(codes2[:, :S], codes)
         # rendered text: each sample is 4 bytes "X|Y\t"
         assert text.shape == (5, 384 * 4)
         assert bytes(text[0, :4]) in (b"0|0\t", b"0|1\t", b"1|0\t", b"1|1\t", b"?|?\t")
+
+    def test_expand_packed_flags(self):
+        from vcfc_tpu.ops.rle import expand_packed_flags
+
+        packed = np.zeros((1, 8), np.uint8)
+        packed[0, :3] = [127, 127, 46]
+        flagpos = np.asarray(expand_packed_flags(packed, np.array([3], np.int32), out_width=384))
+        assert np.flatnonzero(flagpos[0]).tolist() == [0, 127, 254]
 
 
 class TestEngineGolden:

@@ -34,10 +34,10 @@ def test_sharded_encode_matches_single_device():
 
     mesh = make_data_mesh(8)
     step = make_sharded_encode_step(mesh)
-    flags, seg_start, nseg, hist, offsets = map(np.asarray, step(codes, S))
+    flags, nseg, hist, offsets = map(np.asarray, step(codes, S))
 
     # single-device reference
-    f1, s1, k1 = map(np.asarray, rle_encode(codes, S))
+    f1, k1 = map(np.asarray, rle_encode(codes, S))
     np.testing.assert_array_equal(flags, f1)
     np.testing.assert_array_equal(nseg, k1)
 

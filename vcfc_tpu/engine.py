@@ -1,10 +1,11 @@
 """End-to-end device-path codec engine.
 
-Wires the host layer (vectorized parse / assembly) to the device kernels
-(ops.rle) with static-shape batching: lines stream through in fixed-size
-buckets so XLA compiles each kernel once per (bucket, sample-width) shape.
-Output is byte-for-byte identical to the reference encoder — the oracle in
-``vcfc_tpu.format`` defines the contract; the engine is the fast path.
+Wires the host layer (parse / assembly, native C++ or numpy) to the
+device kernels (ops.rle) with static-shape batching: lines stream
+through in fixed-size buckets so XLA compiles each kernel once per
+(bucket, padded-width) shape.  Output is byte-for-byte identical to the
+reference encoder — the oracle in ``vcfc_tpu.format`` defines the
+contract; the engine is the fast path.
 """
 
 from __future__ import annotations
@@ -36,32 +37,27 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = Fal
         return compress_bytes(vcf)
 
     S_pad = max(_round_up(S, 128), 128)
-    flags = np.zeros((L, S_pad), np.uint8)
-    seg_start = np.zeros((L, S_pad), np.int32)
+    flagpos = np.zeros((L, S_pad), np.uint8)
     nseg = np.zeros(L, np.int32)
 
-    pad_codes = np.zeros((min(line_batch, _round_up(L, line_batch)), S_pad), np.uint8)
     for lo in range(0, L, line_batch):
         hi = min(lo + line_batch, L)
         n = hi - lo
-        batch = np.zeros((line_batch, S_pad), np.uint8) if n < line_batch else pad_codes
+        batch = np.zeros((line_batch, S_pad), np.uint8)
         batch[:n, :S] = parsed.codes[lo:hi]
-        f, s, k = rle_encode(batch, S)
-        flags[lo:hi] = np.asarray(f)[:n]
-        seg_start[lo:hi] = np.asarray(s)[:n]
+        f, k = rle_encode(batch, S)
+        flagpos[lo:hi] = np.asarray(f)[:n]
         nseg[lo:hi] = np.asarray(k)[:n]
-        if batch is pad_codes:
-            batch[:n, :S] = 0
 
     if native.available():
         from .host.fast import assemble_vcfc_native
 
-        return assemble_vcfc_native(parsed, flags, seg_start, nseg)
-    return assemble_vcfc(parsed, flags, seg_start, nseg)
+        return assemble_vcfc_native(parsed, flagpos, nseg)
+    return assemble_vcfc(parsed, flagpos, nseg)
 
 
 def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
-    """Device-path decompress: walk stream -> RLE decode on device -> render."""
+    """Device-path decompress: unpack stream -> RLE decode on device -> render."""
     use_native = native.available()
     if use_native:
         from .host.fast import parse_vcfc_native
@@ -76,20 +72,17 @@ def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = 
 
         return decompress_bytes(vcfc)
 
-    M = parsed.flags.shape[1]
-    M_pad = max(_round_up(M, 128), 128)
-    S_pad = max(_round_up(S, 128), 128)
+    W = parsed.flags.shape[1]
+    S_pad = max(_round_up(max(S, W), 128), 128)
     text = np.zeros((L, S_pad * 4), np.uint8)
     decoded = np.zeros(L, np.int32)
 
     for lo in range(0, L, line_batch):
         hi = min(lo + line_batch, L)
         n = hi - lo
-        batch = np.zeros((line_batch, M_pad), np.uint8)
-        batch[:n, :M] = parsed.flags[lo:hi]
-        counts = np.zeros(line_batch, np.int32)
-        counts[:n] = parsed.nflags[lo:hi]
-        _, t, d = rle_decode(batch, counts, S, out_width=S_pad)
+        batch = np.zeros((line_batch, S_pad), np.uint8)
+        batch[:n, :W] = parsed.flags[lo:hi]
+        _, t, d = rle_decode(batch, S)
         text[lo:hi] = np.asarray(t)[:n]
         decoded[lo:hi] = np.asarray(d)[:n]
 

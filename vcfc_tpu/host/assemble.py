@@ -1,13 +1,15 @@
-"""Host-side assembly: device kernel outputs <-> final byte streams.
+"""Host-side assembly (numpy fallback): device kernel outputs <-> byte
+streams.
 
-Encode direction: takes the packed flag bytes produced by
-``vcfc_tpu.ops.rle.rle_encode`` and splices them with the verbatim
-required-column blobs and escape-string side channel into the exact
-.vcfc byte stream (layout per compress.cpp:5-203).
+Encode: merge *positional* flag bytes from ``vcfc_tpu.ops.rle.rle_encode``
+(flag value at each run-start sample position, 0 elsewhere) with verbatim
+required-column blobs and the escape side channel into the exact .vcfc
+stream (layout per compress.cpp:5-203).
 
-Decode direction: walks a .vcfc stream, separates flag bytes from inline
-escape ASCII, feeds dense flag matrices to ``rle_decode``, and splices
-rendered sample text back into VCF lines.
+Decode: walk a .vcfc stream into positional flag matrices for
+``rle_decode``; splice rendered sample text back into VCF lines.  Lines
+containing escape columns are decoded by the oracle in this fallback (the
+native path in host/fast.py splices them without the oracle).
 """
 
 from __future__ import annotations
@@ -27,38 +29,32 @@ _ESC = SAMPLE_MASKED_UNCOMPRESSED
 
 def assemble_vcfc(
     parsed: ParsedVcf,
-    flags: np.ndarray,  # (L, S_pad) uint8 packed flag bytes
-    seg_start: np.ndarray,  # (L, S_pad) int32 sample index per segment
+    flagpos: np.ndarray,  # (L, S_pad) uint8 positional flag bytes
     nseg: np.ndarray,  # (L,) int32
 ) -> bytes:
-    """Merge device-encoded flag bytes with host blobs into .vcfc bytes."""
+    """Merge device-encoded positional flags with host blobs into .vcfc."""
     out = bytearray()
     for line in parsed.header.meta_lines:
         out += line
     out += parsed.header.header_line
 
     S = parsed.n_samples
-    esc_flag = np.uint8(_ESC | 1)
     for i in range(parsed.n_lines):
         if parsed.irregular[i]:
-            # arbitrary-width sample fields: oracle path
             out += encode_data_line(parsed.line_text(i), add_newline=True)
             continue
-        n = int(nseg[i])
-        row = flags[i, :n]
+        row = flagpos[i]
+        positions = np.flatnonzero(row[:S])
         blob = parsed.required_blob(i)
         req_len = len(blob)
-        has_escape = bool((row & SAMPLE_MASK_UNCOMPRESSED == _ESC).any())
-        if not has_escape:
-            body = row.tobytes()
+        flags = row[positions]
+        if not (flags & SAMPLE_MASK_UNCOMPRESSED == _ESC).any():
+            body = flags.tobytes()
         else:
             pieces = []
-            starts = seg_start[i, :n]
-            for k in range(n):
-                b = int(row[k])
-                pieces.append(row[k : k + 1].tobytes())
-                if (b & SAMPLE_MASK_UNCOMPRESSED) == _ESC:
-                    j = int(starts[k])
+            for j, f in zip(positions.tolist(), flags.tolist()):
+                pieces.append(bytes([f]))
+                if (f & SAMPLE_MASK_UNCOMPRESSED) == _ESC:
                     pieces.append(parsed.sample_field(i, j))
                     if j < S - 1:
                         pieces.append(b"\t")
@@ -81,9 +77,9 @@ class ParsedVcfc:
     line_offset: np.ndarray  # (L,) int64 — absolute offset of each data line
     line_length: np.ndarray  # (L,) int32 — header #1 value
     required_length: np.ndarray  # (L,) int32 — header #2 value
-    flags: np.ndarray  # (L, M) uint8 — packed flag bytes (escape-free lines)
-    nflags: np.ndarray  # (L,) int32
-    escape_line: np.ndarray  # (L,) bool — lines containing escape columns
+    flags: np.ndarray  # (L, W) uint8 — positional flag bytes
+    nflags: np.ndarray  # (L,) int32 — flag count per line
+    oracle_line: np.ndarray  # (L,) bool — lines decoded by the oracle
 
     @property
     def n_lines(self) -> int:
@@ -94,16 +90,17 @@ class ParsedVcfc:
         return self.raw[off : off + int(self.required_length[i])]
 
 
-def parse_vcfc_bytes(raw: bytes) -> ParsedVcfc:
-    """Walk a .vcfc stream and extract dense flag matrices.
+def parse_vcfc_bytes(raw: bytes, width: int | None = None) -> ParsedVcfc:
+    """Walk a .vcfc stream into positional flag matrices (numpy fallback).
 
-    Escape-free lines (the overwhelming majority in cohort data) become rows
-    of a dense (L, M) flag matrix for the device decoder.  Lines containing
-    escape bytes (>= 0xE0) keep ragged inline ASCII and are decoded by the
-    oracle in ``decompress_vcfc``.
+    Escape-free lines yield rows with flags at their run-start positions;
+    lines containing escape bytes (>= 0xE0 in the sample region) are
+    marked ``oracle_line`` and decoded by the oracle in assemble_vcf.
     """
     header = parse_metadata_headers(raw)
-    offsets, lengths, req_lengths, flag_rows, escs = [], [], [], [], []
+    S = header.schema.sample_count
+    W = width or max(S, 1)
+    offsets, lengths, req_lengths, rows, counts, oracle = [], [], [], [], [], []
     offset = header.data_offset
     n = len(raw)
     while offset < n:
@@ -117,19 +114,30 @@ def parse_vcfc_bytes(raw: bytes) -> ParsedVcfc:
             count=line_length - 4 - required_length - 1,
             offset=offset + 8 + required_length,
         )
-        is_esc = bool((body >= _ESC).any())
-        escs.append(is_esc)
-        flag_rows.append(None if is_esc else body)
+        if bool((body >= _ESC).any()):
+            oracle.append(True)
+            rows.append(None)
+            counts.append(0)
+        else:
+            oracle.append(False)
+            # positional placement: flag k sits at the cumulative sample
+            # position of the preceding runs
+            fi = body.astype(np.int32)
+            run_len = np.where(fi & 0x80 == 0, fi & 0x7F, fi & 0x1F)
+            starts = np.cumsum(run_len) - run_len
+            row = np.zeros(W, np.uint8)
+            if starts.size and (starts[-1] >= W or run_len.min() < 1):
+                raise ValueError(f"malformed flag stream at line offset {offset}")
+            row[starts] = body
+            rows.append(row)
+            counts.append(len(body))
         offset += 4 + line_length
 
     L = len(offsets)
-    M = max((len(r) for r in flag_rows if r is not None), default=0)
-    flags = np.zeros((L, M), np.uint8)
-    nflags = np.zeros(L, np.int32)
-    for i, r in enumerate(flag_rows):
+    flags = np.zeros((L, W), np.uint8)
+    for i, r in enumerate(rows):
         if r is not None:
-            flags[i, : len(r)] = r
-            nflags[i] = len(r)
+            flags[i] = r
     return ParsedVcfc(
         header,
         raw,
@@ -137,14 +145,14 @@ def parse_vcfc_bytes(raw: bytes) -> ParsedVcfc:
         np.array(lengths, np.int32),
         np.array(req_lengths, np.int32),
         flags,
-        nflags,
-        np.array(escs, bool),
+        np.array(counts, np.int32),
+        np.array(oracle, bool),
     )
 
 
 def assemble_vcf(
     parsed: ParsedVcfc,
-    text: np.ndarray,  # (L, S*4) uint8 rendered sample text from rle_decode
+    text: np.ndarray,  # (L, TW) uint8 rendered sample text from rle_decode
     decoded: np.ndarray,  # (L,) int32 samples produced per line
 ) -> bytes:
     """Merge rendered sample text with required blobs into VCF bytes."""
@@ -157,10 +165,8 @@ def assemble_vcf(
     out += parsed.header.header_line
 
     for i in range(parsed.n_lines):
-        if parsed.escape_line[i]:
-            line, _ = decode_data_line(
-                parsed.raw, int(parsed.line_offset[i]), S
-            )
+        if parsed.oracle_line[i]:
+            line, _ = decode_data_line(parsed.raw, int(parsed.line_offset[i]), S)
             out += line
             continue
         if int(decoded[i]) != S:

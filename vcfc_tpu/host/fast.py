@@ -1,12 +1,15 @@
 """Native-accelerated host paths (thread-parallel C++ via ctypes).
 
-Mirrors host/assemble.py's interfaces; used by the engine when
-``native.available()``.  Irregular/escape lines are spliced by the oracle
-codec exactly as in the numpy path — the native library handles the
-regular fast path only.
+Mirrors host/assemble.py's interfaces on the positional-flag
+representation.  Unlike the numpy fallback, the native decode path
+splices escape columns itself — only structurally unsupported lines
+(escape flags with count != 1, which the reference encoder never emits)
+fall back to the Python oracle.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -19,8 +22,7 @@ from .parse import ParsedVcf
 
 def assemble_vcfc_native(
     parsed: ParsedVcf,
-    flags: np.ndarray,
-    seg_start: np.ndarray,
+    flagpos: np.ndarray,  # (L, S_pad) uint8 positional flags
     nseg: np.ndarray,
 ) -> bytes:
     L, S = parsed.n_lines, parsed.n_samples
@@ -35,51 +37,78 @@ def assemble_vcfc_native(
         sizes[i] = len(enc)
 
     native.measure(
-        parsed.data, parsed.line_start, parsed.sample_start, flags, nseg,
-        irregular, S, sizes,
+        parsed.data, parsed.line_start, parsed.sample_start, flagpos, irregular,
+        S, sizes,
     )
-    out_off = np.empty(L, np.int64)
     base = len(header_blob)
-    np.cumsum(sizes[:-1], out=out_off[1:]) if L > 1 else None
+    out_off = np.empty(L, np.int64)
     out_off[0] = 0
+    if L > 1:
+        np.cumsum(sizes[:-1], out=out_off[1:])
     out_off += base
     total = base + int(sizes.sum())
 
     out = np.empty(total, np.uint8)
     out[:base] = np.frombuffer(header_blob, np.uint8)
     native.write(
-        parsed.data, parsed.line_start, parsed.sample_start, flags, seg_start,
-        nseg, irregular, out_off, sizes, S, out,
+        parsed.data, parsed.line_start, parsed.sample_start, flagpos, irregular,
+        out_off, sizes, S, out,
     )
     for i, enc in oracle_lines.items():
         out[out_off[i] : out_off[i] + len(enc)] = np.frombuffer(enc, np.uint8)
     return out.tobytes()
 
 
-def parse_vcfc_native(raw: bytes, flag_width_hint: int = 0) -> ParsedVcfc:
+@dataclass
+class NativeParsedVcfc(ParsedVcfc):
+    """ParsedVcfc extended with the native escape side channel."""
+
+    esc_count: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    esc_base: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    esc_sample: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    esc_off: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    esc_len: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+
+
+def parse_vcfc_native(raw: bytes, width: int | None = None) -> NativeParsedVcfc:
     header = parse_metadata_headers(raw)
+    S = header.schema.sample_count
     raw_np = np.frombuffer(raw, np.uint8)
-    # upper bound on line count: every line is >= 10 bytes
     max_lines = max((len(raw) - header.data_offset) // 10 + 2, 16)
     line_off, line_len, req_len = native.scan_vcfc(raw_np, header.data_offset, max_lines)
     L = len(line_off)
+    W = width or max(S, 1)
     if L == 0:
-        return ParsedVcfc(
+        return NativeParsedVcfc(
             header, raw, line_off, line_len, req_len,
-            np.zeros((0, 0), np.uint8), np.zeros(0, np.int32), np.zeros(0, bool),
+            np.zeros((0, W), np.uint8), np.zeros(0, np.int32), np.zeros(0, bool),
         )
-    width = int((line_len - 5 - req_len).max())
-    width = max(width, flag_width_hint, 1)
-    flags, nflags = native.extract_flags(raw_np, line_off, line_len, req_len, width)
-    escape_line = nflags < 0
-    nflags = np.where(escape_line, 0, nflags).astype(np.int32)
-    return ParsedVcfc(
-        header, raw, line_off, line_len, req_len, flags, nflags, escape_line
+    flagpos, esc_count, status = native.unpack(
+        raw_np, line_off, line_len, req_len, S, W
+    )
+    bad = status == 1
+    if bad.any():
+        i = int(np.flatnonzero(bad)[0])
+        from ..format.lines import VcfValidationError
+
+        raise VcfValidationError(f"malformed compressed line at offset {int(line_off[i])}")
+    oracle_line = status != 0
+    esc_count = np.where(oracle_line, 0, esc_count).astype(np.int32)
+    esc_base = np.zeros(L, np.int64)
+    if L > 1:
+        np.cumsum(esc_count[:-1], out=esc_base[1:], dtype=np.int64)
+    esc_sample, esc_off, esc_len = native.collect_escapes(
+        raw_np, line_off, line_len, req_len, esc_count, esc_base, S
+    )
+    nflags = (flagpos > 0).sum(axis=1).astype(np.int32)
+    return NativeParsedVcfc(
+        header, raw, line_off, line_len, req_len, flagpos, nflags, oracle_line,
+        esc_count, esc_base, esc_sample, esc_off, esc_len,
     )
 
 
 def assemble_vcf_native(
-    parsed: ParsedVcfc,
+    parsed: NativeParsedVcfc,
     text: np.ndarray,  # (L, TW) rendered sample text, TW >= 4*S
     decoded: np.ndarray,
 ) -> bytes:
@@ -90,18 +119,20 @@ def assemble_vcf_native(
     header_blob = b"".join(parsed.header.meta_lines) + parsed.header.header_line
     base = len(header_blob)
 
-    bad = (~parsed.escape_line) & (decoded != S)
+    bad = (~parsed.oracle_line) & (decoded != S)
     if bad.any():
         i = int(np.flatnonzero(bad)[0])
         raise VcfValidationError(
             f"line {i}: decoded {int(decoded[i])} samples, expected {S}"
         )
 
-    sizes = np.where(
-        parsed.escape_line, 0, parsed.required_length.astype(np.int64) + 4 * S
+    sizes = np.zeros(L, np.int64)
+    native.measure_render(
+        parsed.required_length, parsed.esc_count, parsed.esc_base,
+        parsed.esc_len, S, sizes,
     )
     oracle_lines: dict[int, bytes] = {}
-    for i in np.flatnonzero(parsed.escape_line):
+    for i in np.flatnonzero(parsed.oracle_line):
         line, _ = decode_data_line(parsed.raw, int(parsed.line_offset[i]), S)
         oracle_lines[int(i)] = line
         sizes[i] = len(line)
@@ -117,8 +148,9 @@ def assemble_vcf_native(
     out[:base] = np.frombuffer(header_blob, np.uint8)
     native.render(
         np.frombuffer(parsed.raw, np.uint8), parsed.line_offset,
-        parsed.required_length, text, parsed.escape_line.astype(np.uint8),
-        out_off, S, out,
+        parsed.required_length, text, parsed.esc_count, parsed.esc_base,
+        parsed.esc_sample, parsed.esc_off, parsed.esc_len,
+        parsed.oracle_line.astype(np.uint8), out_off, S, out,
     )
     for i, line in oracle_lines.items():
         out[out_off[i] : out_off[i] + len(line)] = np.frombuffer(line, np.uint8)

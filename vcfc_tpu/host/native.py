@@ -1,10 +1,11 @@
 """ctypes binding to the native host runtime (native/libvcfc_host.so).
 
 The native library provides thread-parallel byte plumbing around the
-device kernels: .vcfc stream walking, flag extraction, two-pass encode
-assembly, decode rendering, and sample-field classification.  Every entry
-point has a pure numpy/Python fallback in host/parse.py + host/assemble.py;
-``available()`` gates usage.
+device kernels: .vcfc stream walking, positional-flag unpack with escape
+discovery, two-pass encode assembly, escape-splicing decode rendering,
+and sample-field classification.  Every entry point has a numpy/Python
+fallback in host/parse.py + host/assemble.py; ``available()`` gates usage
+and VCFC_NO_NATIVE=1 disables it.
 """
 
 from __future__ import annotations
@@ -39,10 +40,7 @@ def _try_build() -> None:
         return
     try:
         subprocess.run(
-            ["make", "-C", native_dir],
-            capture_output=True,
-            timeout=120,
-            check=False,
+            ["make", "-C", native_dir], capture_output=True, timeout=120, check=False
         )
     except Exception:
         pass
@@ -64,22 +62,31 @@ def _load():
                 continue
             lib.vcfc_scan.restype = _i64
             lib.vcfc_scan.argtypes = [_u8p, _i64, _i64, _i64, _i64p, _i32p, _i32p]
-            lib.vcfc_extract_flags.restype = _i64
-            lib.vcfc_extract_flags.argtypes = [
-                _u8p, _i64p, _i32p, _i32p, _i64, _i64, _u8p, _i32p,
+            lib.vcfc_unpack.restype = None
+            lib.vcfc_unpack.argtypes = [
+                _u8p, _i64p, _i32p, _i32p, _i64, _i64, _i64, _u8p, _i32p, _u8p,
+            ]
+            lib.vcfc_collect_escapes.restype = None
+            lib.vcfc_collect_escapes.argtypes = [
+                _u8p, _i64p, _i32p, _i32p, _i32p, _i64p, _i64, _i64,
+                _i32p, _i64p, _i32p,
             ]
             lib.vcfc_measure.restype = None
             lib.vcfc_measure.argtypes = [
-                _u8p, _i64p, _i64p, _u8p, _i32p, _u8p, _i64, _i64, _i64, _i64p,
+                _u8p, _i64p, _i64p, _u8p, _u8p, _i64, _i64, _i64, _i64p,
             ]
             lib.vcfc_write.restype = None
             lib.vcfc_write.argtypes = [
-                _u8p, _i64p, _i64p, _u8p, _i32p, _i32p, _u8p, _i64p, _i64p,
-                _i64, _i64, _i64, _u8p,
+                _u8p, _i64p, _i64p, _u8p, _u8p, _i64p, _i64p, _i64, _i64, _i64, _u8p,
+            ]
+            lib.vcfc_measure_render.restype = None
+            lib.vcfc_measure_render.argtypes = [
+                _i32p, _i32p, _i64p, _i32p, _i64, _i64, _i64p,
             ]
             lib.vcfc_render.restype = None
             lib.vcfc_render.argtypes = [
-                _u8p, _i64p, _i32p, _u8p, _u8p, _i64p, _i64, _i64, _i64, _u8p,
+                _u8p, _i64p, _i32p, _u8p, _i32p, _i64p, _i32p, _i64p, _i32p,
+                _u8p, _i64p, _i64, _i64, _i64, _u8p,
             ]
             lib.vcfc_classify.restype = None
             lib.vcfc_classify.argtypes = [
@@ -112,49 +119,73 @@ def scan_vcfc(raw: np.ndarray, data_offset: int, max_lines: int):
     return line_off[:n], line_len[:n], req_len[:n]
 
 
-def extract_flags(raw, line_off, line_len, req_len, width: int):
+def unpack(raw, line_off, line_len, req_len, S: int, width: int):
+    """File sample bytes -> positional flags + escape counts + status."""
     lib = _load()
     L = len(line_off)
-    flags = np.zeros((L, width), np.uint8)
-    nflags = np.zeros(L, np.int32)
-    r = lib.vcfc_extract_flags(
+    flagpos = np.zeros((L, width), np.uint8)
+    esc_count = np.zeros(L, np.int32)
+    status = np.zeros(L, np.uint8)
+    lib.vcfc_unpack(
         _ptr(raw, _u8p), _ptr(line_off, _i64p), _ptr(line_len, _i32p),
-        _ptr(req_len, _i32p), L, width, _ptr(flags, _u8p), _ptr(nflags, _i32p),
+        _ptr(req_len, _i32p), L, S, width,
+        _ptr(flagpos, _u8p), _ptr(esc_count, _i32p), _ptr(status, _u8p),
     )
-    if r == -2:
-        raise ValueError("flag width too small")
-    return flags, nflags
+    return flagpos, esc_count, status
 
 
-def measure(body, line_start, sample_start, flags, nseg, irregular, S, sizes):
+def collect_escapes(raw, line_off, line_len, req_len, esc_count, esc_base, S: int):
     lib = _load()
-    L, W = flags.shape
+    L = len(line_off)
+    total = int(esc_count.sum())
+    esc_sample = np.empty(total, np.int32)
+    esc_off = np.empty(total, np.int64)
+    esc_len = np.empty(total, np.int32)
+    lib.vcfc_collect_escapes(
+        _ptr(raw, _u8p), _ptr(line_off, _i64p), _ptr(line_len, _i32p),
+        _ptr(req_len, _i32p), _ptr(esc_count, _i32p), _ptr(esc_base, _i64p),
+        L, S, _ptr(esc_sample, _i32p), _ptr(esc_off, _i64p), _ptr(esc_len, _i32p),
+    )
+    return esc_sample, esc_off, esc_len
+
+
+def measure(body, line_start, sample_start, flagpos, irregular, S, sizes):
+    lib = _load()
+    L, W = flagpos.shape
     lib.vcfc_measure(
         _ptr(body, _u8p), _ptr(line_start, _i64p), _ptr(sample_start, _i64p),
-        _ptr(flags, _u8p), _ptr(nseg, _i32p), _ptr(irregular, _u8p),
-        L, W, S, _ptr(sizes, _i64p),
+        _ptr(flagpos, _u8p), _ptr(irregular, _u8p), L, W, S, _ptr(sizes, _i64p),
     )
 
 
-def write(body, line_start, sample_start, flags, seg_start, nseg, irregular,
-          out_off, sizes, S, out):
+def write(body, line_start, sample_start, flagpos, irregular, out_off, sizes, S, out):
     lib = _load()
-    L, W = flags.shape
+    L, W = flagpos.shape
     lib.vcfc_write(
         _ptr(body, _u8p), _ptr(line_start, _i64p), _ptr(sample_start, _i64p),
-        _ptr(flags, _u8p), _ptr(seg_start, _i32p), _ptr(nseg, _i32p),
-        _ptr(irregular, _u8p), _ptr(out_off, _i64p), _ptr(sizes, _i64p),
-        L, W, S, _ptr(out, _u8p),
+        _ptr(flagpos, _u8p), _ptr(irregular, _u8p), _ptr(out_off, _i64p),
+        _ptr(sizes, _i64p), L, W, S, _ptr(out, _u8p),
     )
 
 
-def render(raw, line_off, req_len, text, escape_line, out_off, S, out):
+def measure_render(req_len, esc_count, esc_base, esc_len, S, sizes):
+    lib = _load()
+    L = len(req_len)
+    lib.vcfc_measure_render(
+        _ptr(req_len, _i32p), _ptr(esc_count, _i32p), _ptr(esc_base, _i64p),
+        _ptr(esc_len, _i32p), L, S, _ptr(sizes, _i64p),
+    )
+
+
+def render(raw, line_off, req_len, text, esc_count, esc_base, esc_sample,
+           esc_off, esc_len, skip, out_off, S, out):
     lib = _load()
     L, TW = text.shape
     lib.vcfc_render(
         _ptr(raw, _u8p), _ptr(line_off, _i64p), _ptr(req_len, _i32p),
-        _ptr(text, _u8p), _ptr(escape_line, _u8p), _ptr(out_off, _i64p),
-        L, TW, S, _ptr(out, _u8p),
+        _ptr(text, _u8p), _ptr(esc_count, _i32p), _ptr(esc_base, _i64p),
+        _ptr(esc_sample, _i32p), _ptr(esc_off, _i64p), _ptr(esc_len, _i32p),
+        _ptr(skip, _u8p), _ptr(out_off, _i64p), L, TW, S, _ptr(out, _u8p),
     )
 
 

@@ -2,24 +2,33 @@
 
 TPU-first design: where the reference walks samples byte-at-a-time in a
 scalar loop (compress.cpp:124-186, 832-954), we operate on a dense
-(lines x samples) uint8 code matrix with data-parallel VPU primitives:
+(lines x samples) uint8 code matrix with data-parallel VPU primitives.
+
+Representation: *positional flags*.  A legal .vcfc flag byte is never
+0x00 (its count field is >= 1), so a (L, S) matrix holding the flag byte
+at each run-start sample position — and 0 elsewhere — is a lossless,
+fixed-shape encoding of the ragged flag stream.  The device does all the
+dense O(L*S) work on this form; the native host runtime (or numpy
+fallback) performs the tiny O(runs-per-line) positional<->packed
+transforms during file I/O.
+
+Why: profiled on TPU v5e, the dense scans run at ~3-4 Gcell/s while any
+scatter/gather-based compaction or expansion is 20-50x slower (XLA
+serializes 2-D scatters; lane gathers are similarly slow).  The
+positional form needs neither:
 
   encode:  run boundaries  = shifted-compare + per-code run-cap splitting
            run starts      = cummax segmented scan
            run lengths     = reverse cummin of boundary positions
-           flag bytes      = mask LUT | run length
-           compaction      = cumsum prefix positions + scatter
+           flag bytes      = arithmetic mask selects (no table gather)
 
-  decode:  run lengths     = flag-byte bit masks
-           sample offsets  = exclusive cumsum
-           segment expand  = scatter-ones + cumsum + gather
-           ASCII render    = 4-byte LUT per code ("0|0\t", ...)
-
-Everything is jit-compiled with static shapes; lines are batched into
-fixed-size buckets by the host layer so XLA compiles once per bucket.
+  decode:  segment fill    = last-nonzero associative scan
+           codes           = flag-byte bit tests
+           ASCII render    = arithmetic byte synthesis ("X|Y\t")
 
 Genotype codes: 0="0|0", 1="0|1", 2="1|0", 3="1|1", 4=escape (any other
 ASCII genotype; carried in a host-side side channel).
+Flag scheme: utils.hpp:44-56; caps 127/31/1: compress.cpp:126-127,171-185.
 """
 
 from __future__ import annotations
@@ -28,46 +37,48 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..format.constants import (
     CODE_ESCAPE,
-    MAX_RUN_00,
-    MAX_RUN_HET,
     SAMPLE_MASKED_01,
     SAMPLE_MASKED_10,
     SAMPLE_MASKED_11,
     SAMPLE_MASKED_UNCOMPRESSED,
 )
 
-# Per-code run-length caps (compress.cpp:126-127; escapes are emitted one at
-# a time with count 1, compress.cpp:171-185).
-_CAPS = np.array([MAX_RUN_00, MAX_RUN_HET, MAX_RUN_HET, MAX_RUN_HET, 1], np.int32)
-# Flag byte base value per code (utils.hpp:44-56).
-_FLAG_BASE = np.array(
-    [0x00, SAMPLE_MASKED_01, SAMPLE_MASKED_10, SAMPLE_MASKED_11, SAMPLE_MASKED_UNCOMPRESSED],
-    np.int32,
-)
-# ASCII render LUT: code -> b"X|Y\t" (escape renders a placeholder patched by
-# the host assembler).
-_TEXT = np.zeros((5, 4), np.uint8)
-for _c, _s in enumerate([b"0|0\t", b"0|1\t", b"1|0\t", b"1|1\t", b"?|?\t"]):
-    _TEXT[_c] = np.frombuffer(_s, np.uint8)
+
+def _flag_base(c: jax.Array) -> jax.Array:
+    """Flag-byte base value per code, as selects (no table gather)."""
+    return jnp.where(
+        c == 0,
+        0,
+        jnp.where(
+            c == 1,
+            SAMPLE_MASKED_01,
+            jnp.where(
+                c == 2,
+                SAMPLE_MASKED_10,
+                jnp.where(c == 3, SAMPLE_MASKED_11, SAMPLE_MASKED_UNCOMPRESSED),
+            ),
+        ),
+    )
+
+
+def _run_cap(c: jax.Array) -> jax.Array:
+    return jnp.where(c == 0, 127, jnp.where(c >= CODE_ESCAPE, 1, 31))
 
 
 @jax.jit
 def rle_encode(codes: jax.Array, n_samples: jax.Array):
-    """Encode a (L, S_pad) uint8 code matrix into packed .vcfc flag bytes.
+    """Encode a (L, S_pad) uint8 code matrix into positional flag bytes.
 
-    Columns >= ``n_samples`` are padding and produce no output.
-    ``n_samples`` is a traced scalar so one compilation serves every sample
-    count within a padded width.
+    Columns >= ``n_samples`` are padding and produce no flags.
+    ``n_samples`` is a traced scalar: one compile per padded shape.
 
     Returns:
-      flags:     (L, S_pad) uint8 — flag bytes left-packed per row
-      seg_start: (L, S_pad) int32 — sample index of each packed segment's
-                 first sample (for escape side-channel lookup); -1 padding
-      nseg:      (L,) int32 — number of valid flag bytes per row
+      flagpos: (L, S_pad) uint8 — flag byte at each run-start position,
+               0 elsewhere (0 is never a legal flag byte)
+      nseg:    (L,) int32 — number of flag bytes per row
     """
     L, S_pad = codes.shape
     c = codes.astype(jnp.int32)
@@ -77,57 +88,56 @@ def rle_encode(codes: jax.Array, n_samples: jax.Array):
     new_run = (c != prev) | (c == CODE_ESCAPE) | (prev == CODE_ESCAPE)
 
     run_start = jax.lax.cummax(jnp.where(new_run, idx, -1), axis=1)
-    cap = jnp.asarray(_CAPS)[jnp.clip(c, 0, 4)]
-    boundary = ((idx - run_start) % cap == 0) & (idx < n_samples)
+    boundary = ((idx - run_start) % _run_cap(c) == 0) & (idx < n_samples)
 
-    # next boundary position to the right (inclusive scan on reversed axis),
-    # sentinel n_samples closes the final run
+    # next boundary position to the right; sentinel n_samples closes the
+    # final run
     bpos = jnp.where(boundary, idx, n_samples)
     nb_incl = jax.lax.cummin(bpos[:, ::-1], axis=1)[:, ::-1]
     nb_excl = jnp.pad(nb_incl[:, 1:], ((0, 0), (0, 1)), constant_values=n_samples)
 
-    seg_len = jnp.where(boundary, jnp.minimum(nb_excl, n_samples) - idx, 0)
-    flag = jnp.asarray(_FLAG_BASE)[jnp.clip(c, 0, 4)] | seg_len
-
-    # left-pack the boundary flags: dest position = prefix count of boundaries
-    pos = jnp.cumsum(boundary.astype(jnp.int32), axis=1) - 1
-    dest = jnp.where(boundary, pos, S_pad)  # out-of-range -> dropped
-    rows = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, S_pad))
-    flags = (
-        jnp.zeros((L, S_pad), jnp.uint8)
-        .at[rows, dest]
-        .set(flag.astype(jnp.uint8), mode="drop")
-    )
-    seg_start = (
-        jnp.full((L, S_pad), -1, jnp.int32).at[rows, dest].set(idx, mode="drop")
-    )
+    seg_len = jnp.minimum(nb_excl, n_samples) - idx
+    flagpos = jnp.where(boundary, _flag_base(c) | seg_len, 0).astype(jnp.uint8)
     nseg = boundary.sum(axis=1, dtype=jnp.int32)
-    return flags, seg_start, nseg
+    return flagpos, nseg
 
 
-@functools.partial(jax.jit, static_argnames=("out_width",))
-def rle_decode(flags: jax.Array, nflags: jax.Array, n_samples: jax.Array, *, out_width: int):
-    """Decode packed flag bytes back to codes and rendered ASCII.
+def _last_set_scan(values: jax.Array, present: jax.Array) -> jax.Array:
+    """Forward-fill `values` over positions where ``present`` is False
+    (associative last-set scan along axis 1)."""
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    filled, _ = jax.lax.associative_scan(op, (values, present), axis=1)
+    return filled
+
+
+@jax.jit
+def rle_decode(flagpos: jax.Array, n_samples: jax.Array):
+    """Decode positional flag bytes back to codes and rendered ASCII.
 
     Args:
-      flags:     (L, M) uint8 — flag bytes, left-packed per row
-      nflags:    (L,) int32 — valid flag count per row
-      n_samples: traced scalar — true sample count (columns beyond it pad)
-      out_width: static padded sample width (>= n_samples)
+      flagpos:   (L, S_pad) uint8 — flag byte at each run-start position
+      n_samples: traced scalar — true sample count
 
     Returns:
-      codes:   (L, out_width) uint8 (columns >= n_samples are padding)
-      text:    (L, out_width * 4) uint8 — "X|Y\t" per sample (escape samples
+      codes:   (L, S_pad) uint8 (columns >= n_samples are padding)
+      text:    (L, S_pad * 4) uint8 — "X|Y\t" per sample (escape samples
                render "?|?\t" and are patched by the host assembler; the
                final tab is dropped host-side)
-      decoded: (L,) int32 — number of samples produced (== n_samples iff the
-               stream is well-formed)
+      decoded: (L,) int32 — number of samples covered by the flags
+               (== n_samples iff the stream is well-formed)
     """
-    L, M = flags.shape
-    f = flags.astype(jnp.int32)
-    is00 = (f & 0x80) == 0
-    isesc = (f & 0xE0) == 0xE0
-    masked = f & 0xE0
+    L, S_pad = flagpos.shape
+    present = flagpos > 0
+    filled = _last_set_scan(flagpos, present).astype(jnp.int32)
+
+    is00 = (filled & 0x80) == 0
+    isesc = (filled & 0xE0) == 0xE0
+    masked = filled & 0xE0
     code = jnp.where(
         is00,
         0,
@@ -136,20 +146,51 @@ def rle_decode(flags: jax.Array, nflags: jax.Array, n_samples: jax.Array, *, out
             CODE_ESCAPE,
             jnp.where(masked == SAMPLE_MASKED_01, 1, jnp.where(masked == SAMPLE_MASKED_10, 2, 3)),
         ),
+    ).astype(jnp.uint8)
+
+    fi = flagpos.astype(jnp.int32)
+    run_len = jnp.where(
+        present,
+        jnp.where(
+            (fi & 0x80) == 0, fi & 0x7F, jnp.where((fi & 0xE0) == 0xE0, 1, fi & 0x1F)
+        ),
+        0,
     )
-    run_len = jnp.where(is00, f & 0x7F, jnp.where(isesc, 1, f & 0x1F))
-    valid = jnp.arange(M, dtype=jnp.int32)[None, :] < nflags[:, None]
-    run_len = jnp.where(valid, run_len, 0)
+    valid = jnp.arange(S_pad, dtype=jnp.int32)[None, :] < n_samples
+    decoded = jnp.sum(run_len * valid, axis=1, dtype=jnp.int32)
 
-    starts = jnp.cumsum(run_len, axis=1) - run_len  # exclusive prefix sum
-    decoded = jnp.sum(run_len, axis=1)
+    # ASCII synthesis: "a|b\t" with a = left allele, b = right allele,
+    # escapes render "?|?" for the host to patch
+    ci = code.astype(jnp.int32)
+    esc = ci == CODE_ESCAPE
+    b0 = jnp.where(esc, ord("?"), ord("0") + (ci >> 1)).astype(jnp.uint8)
+    b2 = jnp.where(esc, ord("?"), ord("0") + (ci & 1)).astype(jnp.uint8)
+    b1 = jnp.full((L, S_pad), ord("|"), jnp.uint8)
+    b3 = jnp.full((L, S_pad), ord("\t"), jnp.uint8)
+    text = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(L, S_pad * 4)
+    return code, text, decoded
 
+
+# Back-compat shim for packed-flag callers (tests, multichip roundtrip):
+@functools.partial(jax.jit, static_argnames=("out_width",))
+def expand_packed_flags(flags: jax.Array, nflags: jax.Array, *, out_width: int):
+    """Packed (left-aligned) flags -> positional flags.  Host-side code
+    should prefer the native unpack; this exists for device-only paths."""
+    fi = flags.astype(jnp.int32)
+    valid = jnp.arange(flags.shape[1], dtype=jnp.int32)[None, :] < nflags[:, None]
+    run_len = jnp.where(
+        valid,
+        jnp.where(
+            (fi & 0x80) == 0, fi & 0x7F, jnp.where((fi & 0xE0) == 0xE0, 1, fi & 0x1F)
+        ),
+        0,
+    )
+    starts = jnp.cumsum(run_len, axis=1) - run_len
+    L, M = flags.shape
     rows = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, M))
     dest = jnp.where(valid & (run_len > 0), starts, out_width)
-    seg_marks = (
-        jnp.zeros((L, out_width), jnp.int32).at[rows, dest].add(1, mode="drop")
+    return (
+        jnp.zeros((L, out_width), jnp.uint8)
+        .at[rows, dest]
+        .set(flags, mode="drop", indices_are_sorted=True, unique_indices=True)
     )
-    seg_id = jnp.cumsum(seg_marks, axis=1) - 1
-    codes = jnp.take_along_axis(code, jnp.clip(seg_id, 0, M - 1), axis=1).astype(jnp.uint8)
-    text = jnp.asarray(_TEXT)[codes].reshape(L, out_width * 4)
-    return codes, text, decoded

@@ -36,7 +36,7 @@ def make_sharded_encode_step(mesh):
     """
 
     def _shard_body(codes, n_samples):
-        flags, seg_start, nseg = rle_encode(codes, n_samples)
+        flagpos, nseg = rle_encode(codes, n_samples)
         hist = masked_code_histogram(codes, n_samples)
         hist = jax.lax.psum(hist, DATA_AXIS)
         # deterministic cross-shard exclusive byte-offset scan
@@ -46,31 +46,31 @@ def make_sharded_encode_step(mesh):
         my_offset = jnp.where(
             jnp.arange(all_bytes.shape[0]) < my_index, all_bytes, 0
         ).sum()[None]
-        return flags, seg_start, nseg, hist, my_offset
+        return flagpos, nseg, hist, my_offset
 
     sharded = shard_map(
         _shard_body,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P()),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS), P(), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(DATA_AXIS)),
         check_rep=False,
     )
     return jax.jit(sharded)
 
 
-def make_sharded_roundtrip_step(mesh, out_width: int):
+def make_sharded_roundtrip_step(mesh):
     """Encode + decode on-device roundtrip step (used by multichip dry runs
     and correctness sweeps): returns decoded codes and a per-shard match
     flag reduced with psum."""
 
     def _shard_body(codes, n_samples):
-        flags, _seg, nseg = rle_encode(codes, n_samples)
+        flagpos, nseg = rle_encode(codes, n_samples)
         hist = jax.lax.psum(masked_code_histogram(codes, n_samples), DATA_AXIS)
-        decoded_codes, _text, decoded = rle_decode(flags, nseg, n_samples, out_width=out_width)
+        decoded_codes, _text, decoded = rle_decode(flagpos, n_samples)
         S_pad = codes.shape[1]
         valid = jnp.arange(S_pad, dtype=jnp.int32)[None, :] < n_samples
         ok = jnp.all(
-            jnp.where(valid, decoded_codes[:, :S_pad] == codes, True)
+            jnp.where(valid, decoded_codes == codes, True)
         ) & jnp.all(decoded == n_samples)
         n_ok = jax.lax.psum(ok.astype(jnp.int32), DATA_AXIS)
         return decoded_codes, n_ok, hist
