@@ -38,7 +38,7 @@ def main() -> None:
 
     def step(c):
         flagpos, nseg = rle_encode(c, n)
-        dec_codes, _text, decoded = rle_decode(flagpos, n)
+        dec_codes, decoded = rle_decode(flagpos, n)
         return flagpos, nseg, dec_codes, decoded
 
     # warmup / compile

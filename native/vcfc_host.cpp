@@ -265,6 +265,73 @@ extern "C" void vcfc_write(const uint8_t* body, const int64_t* line_start,
 }
 
 // ---------------------------------------------------------------------------
+// Host-executor encode: genotype codes -> positional flags without the
+// device (run-scan with the reference's caps: 127 for 0|0, 31 for the
+// other phased GTs, 1 per escape; compress.cpp:126-127,171-185).
+extern "C" void vcfc_rle_encode(const uint8_t* codes, int64_t L, int64_t W,
+                                int64_t S, uint8_t* flagpos, int32_t* nseg) {
+  static const uint8_t kBase[5] = {0x00, 0xA0, 0xC0, 0x80, 0xE0};
+  static const int64_t kCap[5] = {127, 31, 31, 31, 1};
+  parallel_for(L, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* crow = codes + i * W;
+      uint8_t* frow = flagpos + i * W;
+      int64_t j = 0;
+      int32_t count = 0;
+      while (j < S) {
+        uint8_t c = crow[j];
+        int64_t k = j + 1;
+        if (c != 4) {
+          int64_t cap = kCap[c];
+          while (k < S && crow[k] == c && k - j < cap) ++k;
+        }
+        frow[j] = static_cast<uint8_t>(kBase[c] | (k - j));
+        ++count;
+        j = k;
+      }
+      nseg[i] = count;
+    }
+  });
+}
+
+// ---------------------------------------------------------------------------
+// Host-executor decode: expand positional flags to genotype codes without
+// the device (run-fill).  Used when device transfers are the bottleneck
+// (VCFC_EXECUTOR=host) and as the numpy-free fallback.
+extern "C" void vcfc_expand_codes(const uint8_t* flagpos, int64_t L, int64_t W,
+                                  int64_t S, uint8_t* codes) {
+  parallel_for(L, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* row = flagpos + i * W;
+      uint8_t* crow = codes + i * W;
+      int64_t j = 0;
+      while (j < S) {
+        uint8_t f = row[j];
+        if (!f) {  // malformed; caller validates via unpack status
+          ++j;
+          continue;
+        }
+        uint8_t c;
+        if ((f & 0x80) == 0) {
+          c = 0;
+        } else if ((f & 0xE0) == 0xE0) {
+          c = 4;
+        } else if ((f & 0xE0) == 0xA0) {
+          c = 1;
+        } else if ((f & 0xE0) == 0xC0) {
+          c = 2;
+        } else {
+          c = 3;
+        }
+        int64_t rl = flag_run_len(f);
+        std::memset(crow + j, c, static_cast<size_t>(std::min(rl, S - j)));
+        j += rl;
+      }
+    }
+  });
+}
+
+// ---------------------------------------------------------------------------
 // Decode assembly: required blob + rendered sample text + escape splices.
 // Output line size = req + (4*S - 1) + 1 + sum(esc_len - 3)  [escapes
 // replace a 3-byte "?|?" placeholder].
@@ -284,12 +351,29 @@ extern "C" void vcfc_measure_render(const int32_t* req_len,
   });
 }
 
+// Expand genotype codes to "a|b\t" ASCII words: code c in 0..3 renders
+// ('0'+(c>>1)) '|' ('0'+(c&1)) '\t' as one 32-bit store.
+static inline uint32_t code_word(uint8_t c) {
+  uint32_t b0 = '0' + (c >> 1), b2 = '0' + (c & 1);
+  return b0 | ('|' << 8) | (b2 << 16) | (0x09u << 24);  // little-endian
+}
+
+static inline uint8_t* render_codes(uint8_t* p, const uint8_t* crow,
+                                    int64_t j0, int64_t j1) {
+  for (int64_t j = j0; j < j1; ++j) {
+    uint32_t w = code_word(crow[j]);
+    std::memcpy(p, &w, 4);
+    p += 4;
+  }
+  return p;
+}
+
 extern "C" void vcfc_render(const uint8_t* raw, const int64_t* line_off,
-                            const int32_t* req_len, const uint8_t* text,
+                            const int32_t* req_len, const uint8_t* codes,
                             const int32_t* esc_count, const int64_t* esc_base,
                             const int32_t* esc_sample, const int64_t* esc_off,
                             const int32_t* esc_len, const uint8_t* skip,
-                            const int64_t* out_off, int64_t L, int64_t TW,
+                            const int64_t* out_off, int64_t L, int64_t CW,
                             int64_t S, uint8_t* out) {
   parallel_for(L, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
@@ -298,20 +382,16 @@ extern "C" void vcfc_render(const uint8_t* raw, const int64_t* line_off,
       int64_t req = req_len[i];
       std::memcpy(p, raw + line_off[i] + 8, static_cast<size_t>(req));
       p += req;
-      const uint8_t* trow = text + i * TW;
+      const uint8_t* crow = codes + i * CW;
       if (esc_count[i] == 0) {
-        std::memcpy(p, trow, static_cast<size_t>(4 * S - 1));
-        p += 4 * S - 1;
+        p = render_codes(p, crow, 0, S);
+        --p;  // drop the trailing tab
       } else {
         int64_t b = esc_base[i];
         int64_t j = 0;  // sample cursor
         for (int32_t k = 0; k < esc_count[i]; ++k) {
           int64_t ej = esc_sample[b + k];
-          // copy text for samples [j, ej): 4 bytes each incl. tab
-          if (ej > j) {
-            std::memcpy(p, trow + 4 * j, static_cast<size_t>(4 * (ej - j)));
-            p += 4 * (ej - j);
-          }
+          p = render_codes(p, crow, j, ej);
           std::memcpy(p, raw + esc_off[b + k],
                       static_cast<size_t>(esc_len[b + k]));
           p += esc_len[b + k];
@@ -319,14 +399,104 @@ extern "C" void vcfc_render(const uint8_t* raw, const int64_t* line_off,
           j = ej + 1;
         }
         if (j < S) {
-          // trailing non-escape samples; drop the final tab
-          std::memcpy(p, trow + 4 * j, static_cast<size_t>(4 * (S - j) - 1));
-          p += 4 * (S - j) - 1;
+          p = render_codes(p, crow, j, S);
+          --p;  // drop the trailing tab
         }
       }
       *p++ = '\n';
     }
   });
+}
+
+// ---------------------------------------------------------------------------
+// VCF text line indexing (encode parse): find every data line's start, end
+// (exclusive of '\n') and sample start (after the 9th tab).  Two-phase and
+// chunk-parallel: phase 1 counts lines per chunk, the caller prefix-sums,
+// phase 2 fills.  A line with fewer than 9 tabs gets sample_start = -1.
+
+static int64_t chunk_of(int64_t n, int64_t workers, int64_t w) {
+  return (n * w) / workers;
+}
+
+extern "C" int64_t vcfc_count_lines(const uint8_t* raw, int64_t n,
+                                    int64_t data_off, int64_t workers,
+                                    int64_t* per_chunk) {
+  const uint8_t* base = raw + data_off;
+  int64_t len = n - data_off;
+  std::vector<std::thread> ts;
+  for (int64_t w = 0; w < workers; ++w) {
+    ts.emplace_back([&, w] {
+      int64_t lo = chunk_of(len, workers, w), hi = chunk_of(len, workers, w + 1);
+      // own lines whose newline falls in [lo, hi)
+      int64_t count = 0;
+      const uint8_t* p = base + lo;
+      const uint8_t* end = base + hi;
+      while (p < end) {
+        const uint8_t* nl =
+            static_cast<const uint8_t*>(memchr(p, '\n', end - p));
+        if (!nl) break;
+        ++count;
+        p = nl + 1;
+      }
+      // final chunk also owns a trailing newline-less line
+      if (w == workers - 1 && len > 0 && base[len - 1] != '\n') ++count;
+      per_chunk[w] = count;
+    });
+  }
+  for (auto& t : ts) t.join();
+  int64_t total = 0;
+  for (int64_t w = 0; w < workers; ++w) total += per_chunk[w];
+  return total;
+}
+
+extern "C" void vcfc_index_lines(const uint8_t* raw, int64_t n,
+                                 int64_t data_off, int64_t workers,
+                                 const int64_t* chunk_base, int64_t* line_start,
+                                 int64_t* line_end, int64_t* sample_start) {
+  const uint8_t* base = raw + data_off;
+  int64_t len = n - data_off;
+  std::vector<std::thread> ts;
+  for (int64_t w = 0; w < workers; ++w) {
+    ts.emplace_back([&, w] {
+      int64_t lo = chunk_of(len, workers, w), hi = chunk_of(len, workers, w + 1);
+      int64_t idx = chunk_base[w];
+      // the line owning the newline at/after lo starts after the previous
+      // newline (scan back from lo)
+      int64_t start = lo;
+      while (start > 0 && base[start - 1] != '\n') --start;
+      const uint8_t* p = base + start;
+      const uint8_t* end = base + hi;
+      const uint8_t* hard_end = base + len;
+      while (p < hard_end) {
+        const uint8_t* nl =
+            static_cast<const uint8_t*>(memchr(p, '\n', hard_end - p));
+        const uint8_t* eol = nl ? nl : hard_end;
+        if (nl && nl >= end) break;           // owned by the next chunk
+        if (!nl && w != workers - 1) break;   // trailing line owned by last
+        line_start[idx] = p - base;
+        line_end[idx] = eol - base;
+        // 9th tab
+        const uint8_t* q = p;
+        int tabs = 0;
+        const uint8_t* found = nullptr;
+        while (q < eol) {
+          const uint8_t* tb =
+              static_cast<const uint8_t*>(memchr(q, '\t', eol - q));
+          if (!tb) break;
+          if (++tabs == 9) {
+            found = tb;
+            break;
+          }
+          q = tb + 1;
+        }
+        sample_start[idx] = found ? (found + 1 - base) : -1;
+        ++idx;
+        if (!nl) break;
+        p = nl + 1;
+      }
+    });
+  }
+  for (auto& t : ts) t.join();
 }
 
 // ---------------------------------------------------------------------------

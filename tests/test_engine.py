@@ -57,10 +57,13 @@ class TestRleKernels:
         pad = np.zeros((5, 384), np.uint8)
         pad[:, :S] = codes
         flagpos, nseg = map(np.asarray, rle_encode(pad, S))
-        codes2, text, decoded = map(np.asarray, rle_decode(flagpos, S))
+        codes2, decoded = map(np.asarray, rle_decode(flagpos, S))
         assert (decoded == S).all()
         np.testing.assert_array_equal(codes2[:, :S], codes)
         # rendered text: each sample is 4 bytes "X|Y\t"
+        from vcfc_tpu.ops.rle import render_text
+
+        text = render_text(codes2)
         assert text.shape == (5, 384 * 4)
         assert bytes(text[0, :4]) in (b"0|0\t", b"0|1\t", b"1|0\t", b"1|1\t", b"?|?\t")
 
@@ -148,3 +151,11 @@ class TestForcedDevicePath:
         assert not native.available()
         assert engine.compress(small_vcf, force_device=True) == small_vcfc
         assert engine.decompress(small_vcfc, force_device=True) == small_vcf
+
+    def test_host_executor_decode(self, small_vcfc, small_vcf, monkeypatch):
+        monkeypatch.setenv("VCFC_EXECUTOR", "host")
+        assert engine.decompress(small_vcfc, force_device=True) == small_vcf
+
+    def test_host_executor_encode(self, small_vcf, small_vcfc, monkeypatch):
+        monkeypatch.setenv("VCFC_EXECUTOR", "host")
+        assert engine.compress(small_vcf, force_device=True) == small_vcfc

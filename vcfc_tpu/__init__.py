@@ -20,3 +20,15 @@ Layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# The codec kernels are expensive to compile (minutes through remote-TPU
+# tunnels); persist compiled executables across processes unless the user
+# configured their own cache.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/vcfc_tpu/jax")
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
+del _os

@@ -10,6 +10,8 @@ contract; the engine is the fast path.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .host import native
@@ -36,18 +38,23 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = Fal
 
         return compress_bytes(vcf)
 
-    S_pad = max(_round_up(S, 128), 128)
-    flagpos = np.zeros((L, S_pad), np.uint8)
-    nseg = np.zeros(L, np.int32)
+    if native.available() and os.environ.get("VCFC_EXECUTOR", "device") == "host":
+        flagpos, nseg = native.rle_encode_host(parsed.codes, S)
+    else:
+        S_pad = max(_round_up(S, 128), 128)
+        flagpos = np.zeros((L, S_pad), np.uint8)
+        nseg = np.zeros(L, np.int32)
 
-    for lo in range(0, L, line_batch):
-        hi = min(lo + line_batch, L)
-        n = hi - lo
-        batch = np.zeros((line_batch, S_pad), np.uint8)
-        batch[:n, :S] = parsed.codes[lo:hi]
-        f, k = rle_encode(batch, S)
-        flagpos[lo:hi] = np.asarray(f)[:n]
-        nseg[lo:hi] = np.asarray(k)[:n]
+        # dispatch all batches first (async), then fetch
+        futures = []
+        for lo in range(0, L, line_batch):
+            hi = min(lo + line_batch, L)
+            batch = np.zeros((line_batch, S_pad), np.uint8)
+            batch[: hi - lo, :S] = parsed.codes[lo:hi]
+            futures.append((lo, hi, rle_encode(batch, S)))
+        for lo, hi, (f, k) in futures:
+            flagpos[lo:hi] = np.asarray(f)[: hi - lo]
+            nseg[lo:hi] = np.asarray(k)[: hi - lo]
 
     if native.available():
         from .host.fast import assemble_vcfc_native
@@ -73,21 +80,32 @@ def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = 
         return decompress_bytes(vcfc)
 
     W = parsed.flags.shape[1]
-    S_pad = max(_round_up(max(S, W), 128), 128)
-    text = np.zeros((L, S_pad * 4), np.uint8)
-    decoded = np.zeros(L, np.int32)
+    if use_native and os.environ.get("VCFC_EXECUTOR", "device") == "host":
+        # host executor: thread-parallel run-fill in C++ — useful when
+        # device transfers dominate (e.g. tunneled chips)
+        codes = native.expand_codes(parsed.flags, S)
+        decoded = np.full(L, S, np.int32)  # unpack already validated shape
+    else:
+        S_pad = max(_round_up(max(S, W), 128), 128)
+        codes = np.zeros((L, S_pad), np.uint8)
+        decoded = np.zeros(L, np.int32)
 
-    for lo in range(0, L, line_batch):
-        hi = min(lo + line_batch, L)
-        n = hi - lo
-        batch = np.zeros((line_batch, S_pad), np.uint8)
-        batch[:n, :W] = parsed.flags[lo:hi]
-        _, t, d = rle_decode(batch, S)
-        text[lo:hi] = np.asarray(t)[:n]
-        decoded[lo:hi] = np.asarray(d)[:n]
+        # dispatch all batches first (async), then fetch: overlaps H2D,
+        # compute, and D2H across batches
+        futures = []
+        for lo in range(0, L, line_batch):
+            hi = min(lo + line_batch, L)
+            batch = np.zeros((line_batch, S_pad), np.uint8)
+            batch[: hi - lo, :W] = parsed.flags[lo:hi]
+            futures.append((lo, hi, rle_decode(batch, S)))
+        for lo, hi, (c, d) in futures:
+            codes[lo:hi] = np.asarray(c)[: hi - lo]
+            decoded[lo:hi] = np.asarray(d)[: hi - lo]
 
     if use_native:
         from .host.fast import assemble_vcf_native
 
-        return assemble_vcf_native(parsed, text, decoded)
-    return assemble_vcf(parsed, text, decoded)
+        return assemble_vcf_native(parsed, codes, decoded)
+    from .ops.rle import render_text
+
+    return assemble_vcf(parsed, render_text(codes), decoded)

@@ -109,7 +109,7 @@ def parse_vcfc_native(raw: bytes, width: int | None = None) -> NativeParsedVcfc:
 
 def assemble_vcf_native(
     parsed: NativeParsedVcfc,
-    text: np.ndarray,  # (L, TW) rendered sample text, TW >= 4*S
+    codes: np.ndarray,  # (L, CW) decoded genotype codes, CW >= S
     decoded: np.ndarray,
 ) -> bytes:
     from ..format.lines import VcfValidationError
@@ -148,7 +148,7 @@ def assemble_vcf_native(
     out[:base] = np.frombuffer(header_blob, np.uint8)
     native.render(
         np.frombuffer(parsed.raw, np.uint8), parsed.line_offset,
-        parsed.required_length, text, parsed.esc_count, parsed.esc_base,
+        parsed.required_length, codes, parsed.esc_count, parsed.esc_base,
         parsed.esc_sample, parsed.esc_off, parsed.esc_len,
         parsed.oracle_line.astype(np.uint8), out_off, S, out,
     )

@@ -92,6 +92,16 @@ def _load():
             lib.vcfc_classify.argtypes = [
                 _u8p, _i64p, _i64p, _i64, _i64, _u8p, _u8p,
             ]
+            lib.vcfc_rle_encode.restype = None
+            lib.vcfc_rle_encode.argtypes = [_u8p, _i64, _i64, _i64, _u8p, _i32p]
+            lib.vcfc_expand_codes.restype = None
+            lib.vcfc_expand_codes.argtypes = [_u8p, _i64, _i64, _i64, _u8p]
+            lib.vcfc_count_lines.restype = _i64
+            lib.vcfc_count_lines.argtypes = [_u8p, _i64, _i64, _i64, _i64p]
+            lib.vcfc_index_lines.restype = None
+            lib.vcfc_index_lines.argtypes = [
+                _u8p, _i64, _i64, _i64, _i64p, _i64p, _i64p, _i64p,
+            ]
             return lib
     return None
 
@@ -177,16 +187,58 @@ def measure_render(req_len, esc_count, esc_base, esc_len, S, sizes):
     )
 
 
-def render(raw, line_off, req_len, text, esc_count, esc_base, esc_sample,
+def render(raw, line_off, req_len, codes, esc_count, esc_base, esc_sample,
            esc_off, esc_len, skip, out_off, S, out):
     lib = _load()
-    L, TW = text.shape
+    L, CW = codes.shape
     lib.vcfc_render(
         _ptr(raw, _u8p), _ptr(line_off, _i64p), _ptr(req_len, _i32p),
-        _ptr(text, _u8p), _ptr(esc_count, _i32p), _ptr(esc_base, _i64p),
+        _ptr(codes, _u8p), _ptr(esc_count, _i32p), _ptr(esc_base, _i64p),
         _ptr(esc_sample, _i32p), _ptr(esc_off, _i64p), _ptr(esc_len, _i32p),
-        _ptr(skip, _u8p), _ptr(out_off, _i64p), L, TW, S, _ptr(out, _u8p),
+        _ptr(skip, _u8p), _ptr(out_off, _i64p), L, CW, S, _ptr(out, _u8p),
     )
+
+
+def rle_encode_host(codes: np.ndarray, S: int):
+    """Host-executor encode: genotype codes -> positional flags (run-scan)."""
+    lib = _load()
+    L, W = codes.shape
+    flagpos = np.zeros((L, W), np.uint8)
+    nseg = np.zeros(L, np.int32)
+    lib.vcfc_rle_encode(_ptr(codes, _u8p), L, W, S, _ptr(flagpos, _u8p), _ptr(nseg, _i32p))
+    return flagpos, nseg
+
+
+def expand_codes(flagpos: np.ndarray, S: int) -> np.ndarray:
+    """Host-executor decode: positional flags -> genotype codes (run-fill)."""
+    lib = _load()
+    L, W = flagpos.shape
+    codes = np.zeros((L, W), np.uint8)
+    lib.vcfc_expand_codes(_ptr(flagpos, _u8p), L, W, S, _ptr(codes, _u8p))
+    return codes
+
+
+def index_lines(raw: np.ndarray, data_offset: int, workers: int = 0):
+    """Find data-line boundaries and sample starts (9th-tab + 1) in VCF
+    text.  Returns (line_start, line_end, sample_start) int64 arrays;
+    sample_start is -1 for lines with fewer than 9 tabs."""
+    lib = _load()
+    if workers <= 0:
+        workers = min(os.cpu_count() or 4, 16)
+    per_chunk = np.zeros(workers, np.int64)
+    total = lib.vcfc_count_lines(
+        _ptr(raw, _u8p), len(raw), data_offset, workers, _ptr(per_chunk, _i64p)
+    )
+    chunk_base = np.zeros(workers, np.int64)
+    np.cumsum(per_chunk[:-1], out=chunk_base[1:])
+    line_start = np.empty(total, np.int64)
+    line_end = np.empty(total, np.int64)
+    sample_start = np.empty(total, np.int64)
+    lib.vcfc_index_lines(
+        _ptr(raw, _u8p), len(raw), data_offset, workers, _ptr(chunk_base, _i64p),
+        _ptr(line_start, _i64p), _ptr(line_end, _i64p), _ptr(sample_start, _i64p),
+    )
+    return line_start, line_end, sample_start
 
 
 def classify(body, sample_start, line_end, S):

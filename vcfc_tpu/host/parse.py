@@ -63,8 +63,72 @@ class ParsedVcf:
 
 
 def parse_vcf_bytes(raw: bytes) -> ParsedVcf:
-    """Vectorized parse of a VCF byte stream (replaces the reference's
-    per-line getline + split_string hot loop, compress.cpp:218-244)."""
+    """Parse a VCF byte stream for the device encode path (replaces the
+    reference's per-line getline + split_string hot loop,
+    compress.cpp:218-244).  Uses the thread-parallel native indexer and
+    classifier when available, vectorized numpy otherwise."""
+    from . import native
+
+    if native.available():
+        return _parse_vcf_bytes_native(raw)
+    return _parse_vcf_bytes_numpy(raw)
+
+
+def _parse_vcf_bytes_native(raw: bytes) -> ParsedVcf:
+    from . import native
+
+    header = parse_metadata_headers(raw)
+    S = header.schema.sample_count
+    raw_np = np.frombuffer(raw, np.uint8)
+    # offsets come back relative to the data region (ParsedVcf.data contract)
+    line_start, line_end, sample_start = native.index_lines(
+        raw_np, header.data_offset
+    )
+    keep = line_end > line_start  # drop empty lines (compress.cpp:219-221)
+    line_start, line_end = line_start[keep], line_end[keep]
+    sample_start = sample_start[keep]
+    body = raw_np[header.data_offset :]
+    L = len(line_start)
+    if L == 0:
+        return ParsedVcf(
+            header, body, line_start, line_end,
+            np.zeros(0, np.int64), np.zeros((0, S), np.uint8), np.zeros(0, bool),
+        )
+    if (sample_start < 0).any():
+        bad = int(np.flatnonzero(sample_start < 0)[0])
+        raise VcfValidationError(
+            f"data line {bad} has no FORMAT column (fewer than 9 tabs)"
+        )
+    codes, regular = native.classify(body, sample_start, line_end, S)
+    irregular = regular == 0
+    if irregular.any():
+        _classify_irregular(body, line_start, line_end, codes, irregular, S)
+    return ParsedVcf(header, body, line_start, line_end, sample_start, codes, irregular)
+
+
+def _classify_irregular(body, line_start, line_end, codes, irregular, S):
+    for i in np.flatnonzero(irregular):
+        line = body[line_start[i] : line_end[i]].tobytes()
+        terms = split_terms(line)
+        samples = terms[9:]
+        if len(samples) != S:
+            raise VcfValidationError(
+                f"line {i}: expected {S} samples, found {len(samples)}"
+            )
+        for j, s in enumerate(samples):
+            if s == b"0|0":
+                codes[i, j] = 0
+            elif s == b"0|1":
+                codes[i, j] = 1
+            elif s == b"1|0":
+                codes[i, j] = 2
+            elif s == b"1|1":
+                codes[i, j] = 3
+            else:
+                codes[i, j] = 4
+
+
+def _parse_vcf_bytes_numpy(raw: bytes) -> ParsedVcf:
     header = parse_metadata_headers(raw)
     body = np.frombuffer(raw, np.uint8)[header.data_offset :]
     S = header.schema.sample_count

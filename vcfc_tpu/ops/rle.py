@@ -125,11 +125,12 @@ def rle_decode(flagpos: jax.Array, n_samples: jax.Array):
 
     Returns:
       codes:   (L, S_pad) uint8 (columns >= n_samples are padding)
-      text:    (L, S_pad * 4) uint8 — "X|Y\t" per sample (escape samples
-               render "?|?\t" and are patched by the host assembler; the
-               final tab is dropped host-side)
       decoded: (L,) int32 — number of samples covered by the flags
                (== n_samples iff the stream is well-formed)
+
+    ASCII rendering happens host-side (native render or render_text):
+    shipping 1 code byte per sample instead of 4 text bytes quarters the
+    device->host transfer.
     """
     L, S_pad = flagpos.shape
     present = flagpos > 0
@@ -158,17 +159,20 @@ def rle_decode(flagpos: jax.Array, n_samples: jax.Array):
     )
     valid = jnp.arange(S_pad, dtype=jnp.int32)[None, :] < n_samples
     decoded = jnp.sum(run_len * valid, axis=1, dtype=jnp.int32)
+    return code, decoded
 
-    # ASCII synthesis: "a|b\t" with a = left allele, b = right allele,
-    # escapes render "?|?" for the host to patch
-    ci = code.astype(jnp.int32)
-    esc = ci == CODE_ESCAPE
-    b0 = jnp.where(esc, ord("?"), ord("0") + (ci >> 1)).astype(jnp.uint8)
-    b2 = jnp.where(esc, ord("?"), ord("0") + (ci & 1)).astype(jnp.uint8)
-    b1 = jnp.full((L, S_pad), ord("|"), jnp.uint8)
-    b3 = jnp.full((L, S_pad), ord("\t"), jnp.uint8)
-    text = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(L, S_pad * 4)
-    return code, text, decoded
+
+def render_text(codes) -> "jax.Array":
+    """ASCII synthesis "a|b\t" per code (numpy fallback path; the native
+    renderer generates text directly from codes)."""
+    import numpy as np
+
+    lut = np.zeros((5, 4), np.uint8)
+    for c, s in enumerate([b"0|0\t", b"0|1\t", b"1|0\t", b"1|1\t", b"?|?\t"]):
+        lut[c] = np.frombuffer(s, np.uint8)
+    codes = np.asarray(codes)
+    L, S_pad = codes.shape
+    return lut[codes].reshape(L, S_pad * 4)
 
 
 # Back-compat shim for packed-flag callers (tests, multichip roundtrip):

@@ -66,7 +66,7 @@ def make_sharded_roundtrip_step(mesh):
     def _shard_body(codes, n_samples):
         flagpos, nseg = rle_encode(codes, n_samples)
         hist = jax.lax.psum(masked_code_histogram(codes, n_samples), DATA_AXIS)
-        decoded_codes, _text, decoded = rle_decode(flagpos, n_samples)
+        decoded_codes, decoded = rle_decode(flagpos, n_samples)
         S_pad = codes.shape[1]
         valid = jnp.arange(S_pad, dtype=jnp.int32)[None, :] < n_samples
         ok = jnp.all(
