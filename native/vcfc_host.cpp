@@ -409,6 +409,35 @@ extern "C" void vcfc_render(const uint8_t* raw, const int64_t* line_off,
 }
 
 // ---------------------------------------------------------------------------
+// Canonical Huffman decode for the .vcfz container: flat table lookup over
+// a MAX_CODE_LEN-bit window (table built host-side).  Sequential in the
+// bit stream, but blocks decode independently — callers parallelize at
+// the block level.
+extern "C" int64_t vcfz_huffman_decode(const uint8_t* payload, int64_t n_bytes,
+                                       int64_t n_symbols,
+                                       const int32_t* sym_table,
+                                       const uint8_t* len_table,
+                                       int32_t window_bits, int32_t* out) {
+  uint64_t acc = 0;   // bit accumulator, MSB-first
+  int navail = 0;     // bits in acc
+  int64_t byte_pos = 0;
+  const uint64_t mask = (1u << window_bits) - 1;
+  for (int64_t i = 0; i < n_symbols; ++i) {
+    while (navail < window_bits) {
+      uint8_t b = byte_pos < n_bytes ? payload[byte_pos++] : 0;
+      acc = (acc << 8) | b;
+      navail += 8;
+    }
+    uint32_t prefix = (acc >> (navail - window_bits)) & mask;
+    uint8_t ln = len_table[prefix];
+    if (ln == 0) return -1;  // invalid prefix
+    out[i] = sym_table[prefix];
+    navail -= ln;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // VCF text line indexing (encode parse): find every data line's start, end
 // (exclusive of '\n') and sample start (after the 9th tab).  Two-phase and
 // chunk-parallel: phase 1 counts lines per chunk, the caller prefix-sums,

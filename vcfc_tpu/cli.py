@@ -187,6 +187,50 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    # --- .vcfz extension verbs (beyond reference parity) ---
+    if action == "compress-z":
+        if len(args) != 2:
+            print("Usage: vcfc compress-z <input.vcf|.vcfc> <output.vcfz>")
+            return 1
+        from . import engine
+        from .format.headers import decode_length_header
+        from .format.vcf import parse_metadata_headers
+        from .format.vcfz import vcfz_from_vcfc
+
+        data = _read(args[0])
+        # accept plain VCF (compress first) or an existing .vcfc: a .vcfc
+        # data line starts with a 0xC0-flagged length header, ASCII never does
+        h = parse_metadata_headers(data)
+        is_vcfc = False
+        if h.data_offset < len(data):
+            try:
+                decode_length_header(data, h.data_offset)
+                is_vcfc = True
+            except ValueError:
+                is_vcfc = False
+        vcfc = data if is_vcfc else engine.compress(data)
+        _write(args[1], vcfz_from_vcfc(vcfc))
+        return 0
+
+    if action == "decompress-z":
+        if len(args) != 2:
+            print("Usage: vcfc decompress-z <input.vcfz> <output.vcf>")
+            return 1
+        from .format.vcfz import decompress_vcfz
+
+        _write(args[1], decompress_vcfz(_read(args[0])))
+        return 0
+
+    if action == "query-z":
+        if len(args) != 2:
+            print("Usage: vcfc query-z <input.vcfz> <region>")
+            return 1
+        from .format.vcfz import query_vcfz
+
+        query = parse_coordinate_string(args[1])
+        _emit(query_vcfz(_read(args[0]), query))
+        return 0
+
     print(f"Unknown action name: {action}")
     return 1
 

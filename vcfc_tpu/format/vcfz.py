@@ -1,0 +1,344 @@
+"""`.vcfz` — entropy-coded extension container (beyond reference parity).
+
+A lossless transcoding of `.vcfc`: the per-line sample stream (flag bytes
+plus escape columns) becomes a symbol stream — symbols 0..255 are flag
+bytes, 256+k is the k-th entry of a per-file escape-string dictionary —
+Huffman-coded with ONE global canonical codebook.  Lines are grouped into
+blocks that decode independently, and a block table with (first/last
+position, running-max end) gives O(log B) random access.  This is the
+"global codebook via collectives" path of BASELINE.json: histograms come
+from the device mesh (psum-merged), the codebook is replicated, blocks
+are data-parallel.
+
+Layout (little-endian):
+
+  magic "VCFZ" | u32 version=1 | u8 max_code_len | u32 block_lines
+  u64 n_lines | u32 n_samples
+  u64 header_len | header blob (meta + #CHROM lines verbatim)
+  u32 n_escapes | per escape: u16 len | bytes
+  u32 n_symbols | u8 lengths[n_symbols]          (canonical codebook)
+  u32 req_len[n_lines]                           (required-cols length)
+  u32 nsym[n_lines]                              (symbols per line)
+  u64 req_blob_len | concatenated required-column blobs
+  u32 n_blocks | per block:
+      u64 payload_len | u64 n_block_symbols
+      u8 ref_first | u32 pos_first | u8 ref_last | u32 pos_last | u32 cummax_end
+  payloads (bit-packed, byte-aligned per block)
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.huffman import MAX_CODE_LEN, Codebook, pack_symbols, unpack_symbols
+from ..query.coordinate import CoordinateQuery
+from ..utils.refmap import reference_to_int
+from .headers import encode_length_header
+from .lines import VcfValidationError
+from .vcf import parse_metadata_headers
+
+MAGIC = b"VCFZ"
+VERSION = 1
+DEFAULT_BLOCK_LINES = 256
+_ESC_FLAG = 0xE1
+
+
+def _line_symbol_stream(raw, line_off, line_len, req_len, escape_dict):
+    """Walk one compressed line's sample bytes into symbols (oracle walker,
+    shared by build paths)."""
+    body = raw[line_off + 8 + req_len : line_off + 4 + line_len - 1]
+    symbols = []
+    i = 0
+    n = len(body)
+    while i < n:
+        f = body[i]
+        i += 1
+        if (f & 0xE0) == 0xE0:
+            if (f & 0x1F) != 1:
+                raise VcfValidationError("escape flag with count != 1")
+            j = body.find(b"\t", i)
+            if j < 0:
+                j = n
+            key = bytes(body[i:j])
+            symbols.append(256 + escape_dict.setdefault(key, len(escape_dict)))
+            i = j + 1 if j < n else n
+        else:
+            symbols.append(f)
+    return symbols
+
+
+def vcfz_from_vcfc(vcfc: bytes, block_lines: int = DEFAULT_BLOCK_LINES) -> bytes:
+    """Transcode .vcfc -> .vcfz (lossless)."""
+    from ..index.scan import scan_lines
+
+    header = parse_metadata_headers(vcfc)
+    header_blob = b"".join(header.meta_lines) + header.header_line
+    S = header.schema.sample_count
+
+    recs = list(scan_lines(vcfc))
+    L = len(recs)
+    escape_dict: dict[bytes, int] = {}
+    raw = vcfc
+    per_line_syms: list[list[int]] = []
+    req_blobs = []
+    req_lens = np.empty(L, np.uint32)
+    positions = np.empty(L, np.uint32)
+    refs = np.empty(L, np.uint8)
+    ends = np.empty(L, np.uint32)
+    for i, r in enumerate(recs):
+        per_line_syms.append(
+            _line_symbol_stream(raw, r.offset, r.line_length, r.required_length, escape_dict)
+        )
+        req_blobs.append(raw[r.offset + 8 : r.offset + 8 + r.required_length])
+        req_lens[i] = r.required_length
+        positions[i] = r.pos
+        refs[i] = reference_to_int(r.chrom)
+        ends[i] = r.end_position()
+
+    n_symbols = 256 + len(escape_dict)
+    all_syms = np.concatenate(
+        [np.asarray(s, np.int32) for s in per_line_syms]
+    ) if per_line_syms else np.zeros(0, np.int32)
+    freqs = np.bincount(all_syms, minlength=n_symbols)
+    book = Codebook.from_frequencies(freqs)
+
+    nsym = np.array([len(s) for s in per_line_syms], np.uint32)
+    sym_ends = np.cumsum(nsym)
+
+    out = bytearray()
+    out += MAGIC + struct.pack("<IBI", VERSION, MAX_CODE_LEN, block_lines)
+    out += struct.pack("<QI", L, S)
+    out += struct.pack("<Q", len(header_blob)) + header_blob
+    esc_list = sorted(escape_dict, key=escape_dict.get)
+    out += struct.pack("<I", len(esc_list))
+    for e in esc_list:
+        out += struct.pack("<H", len(e)) + e
+    out += struct.pack("<I", n_symbols) + book.lengths.tobytes()
+    out += req_lens.tobytes()
+    out += nsym.tobytes()
+    req_blob = b"".join(req_blobs)
+    out += struct.pack("<Q", len(req_blob)) + req_blob
+
+    blocks = []
+    payloads = []
+    for lo in range(0, L, block_lines):
+        hi = min(lo + block_lines, L)
+        s0 = 0 if lo == 0 else int(sym_ends[lo - 1])
+        s1 = int(sym_ends[hi - 1])
+        payload, _bits = pack_symbols(all_syms[s0:s1], book)
+        cummax_end = int(ends[lo:hi].max())
+        blocks.append(
+            struct.pack(
+                "<QQBIBII",
+                len(payload),
+                s1 - s0,
+                int(refs[lo]),
+                int(positions[lo]),
+                int(refs[hi - 1]),
+                int(positions[hi - 1]),
+                cummax_end,
+            )
+        )
+        payloads.append(payload)
+    out += struct.pack("<I", len(blocks))
+    for b in blocks:
+        out += b
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+@dataclass
+class VcfzReader:
+    raw: bytes
+    block_lines: int
+    n_lines: int
+    n_samples: int
+    header_blob: bytes
+    escapes: list[bytes]
+    book: Codebook
+    req_lens: np.ndarray
+    nsym: np.ndarray
+    req_starts: np.ndarray  # offsets into req_blob per line
+    req_blob: bytes
+    blocks: list[dict]
+    payload_base: int
+
+    @classmethod
+    def parse(cls, data: bytes) -> "VcfzReader":
+        if data[:4] != MAGIC:
+            raise ValueError("not a .vcfz container")
+        off = 4
+        version, max_len, block_lines = struct.unpack_from("<IBI", data, off)
+        off += 9
+        if version != VERSION or max_len != MAX_CODE_LEN:
+            raise ValueError("unsupported .vcfz version")
+        L, S = struct.unpack_from("<QI", data, off)
+        off += 12
+        (hlen,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        header_blob = data[off : off + hlen]
+        off += hlen
+        (n_esc,) = struct.unpack_from("<I", data, off)
+        off += 4
+        escapes = []
+        for _ in range(n_esc):
+            (elen,) = struct.unpack_from("<H", data, off)
+            off += 2
+            escapes.append(data[off : off + elen])
+            off += elen
+        (n_symbols,) = struct.unpack_from("<I", data, off)
+        off += 4
+        lengths = np.frombuffer(data, np.uint8, n_symbols, off)
+        off += n_symbols
+        book = Codebook.from_lengths(lengths)
+        req_lens = np.frombuffer(data, np.uint32, L, off)
+        off += 4 * L
+        nsym = np.frombuffer(data, np.uint32, L, off)
+        off += 4 * L
+        (req_blob_len,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        req_blob = data[off : off + req_blob_len]
+        off += req_blob_len
+        (n_blocks,) = struct.unpack_from("<I", data, off)
+        off += 4
+        blocks = []
+        payload_off = 0
+        for _ in range(n_blocks):
+            plen, nsyms, rf, pf, rl, plast, cme = struct.unpack_from("<QQBIBII", data, off)
+            off += 8 + 8 + 1 + 4 + 1 + 4 + 4
+            blocks.append(
+                dict(
+                    payload_len=plen, n_symbols=nsyms, ref_first=rf, pos_first=pf,
+                    ref_last=rl, pos_last=plast, cummax_end=cme, payload_off=payload_off,
+                )
+            )
+            payload_off += plen
+        req_starts = np.zeros(L, np.int64)
+        np.cumsum(req_lens[:-1], out=req_starts[1:])
+        return cls(
+            data, block_lines, L, S, header_blob, escapes, book,
+            req_lens.astype(np.int64), nsym.astype(np.int64), req_starts,
+            req_blob, blocks, off,
+        )
+
+    def _decode_block_symbols(self, b: int) -> np.ndarray:
+        blk = self.blocks[b]
+        payload = self.raw[
+            self.payload_base + blk["payload_off"] :
+            self.payload_base + blk["payload_off"] + blk["payload_len"]
+        ]
+        from ..host import native
+
+        if native.available():
+            sym_t, len_t = self.book.decode_table()
+            return native.huffman_decode(payload, int(blk["n_symbols"]), sym_t, len_t)
+        return unpack_symbols(payload, int(blk["n_symbols"]), self.book)
+
+    def block_lines_vcfc(self, b: int) -> list[bytes]:
+        """Reconstruct the .vcfc line bytes of block b."""
+        lo = b * self.block_lines
+        hi = min(lo + self.block_lines, self.n_lines)
+        symbols = self._decode_block_symbols(b)
+        out = []
+        spos = 0
+        for i in range(lo, hi):
+            n = int(self.nsym[i])
+            syms = symbols[spos : spos + n]
+            spos += n
+            req = self.req_blob[
+                int(self.req_starts[i]) : int(self.req_starts[i]) + int(self.req_lens[i])
+            ]
+            pieces = []
+            for k, s in enumerate(syms):
+                if s < 256:
+                    pieces.append(bytes([s]))
+                else:
+                    esc = self.escapes[s - 256]
+                    # trailing escape has no tab; detect via remaining symbols
+                    # and the run structure: the tab is present unless this
+                    # escape covers the final sample of the line
+                    pieces.append(bytes([_ESC_FLAG]) + esc)
+            body = self._fix_escape_tabs(syms, pieces)
+            line = bytearray()
+            line += encode_length_header(4 + len(req) + len(body) + 1)
+            line += encode_length_header(len(req))
+            line += req
+            line += body
+            line += b"\n"
+            out.append(bytes(line))
+        return out
+
+    def _fix_escape_tabs(self, syms, pieces) -> bytes:
+        """Escape columns carry a '\t' unless they are the line's final
+        sample (compress.cpp:182-184).  Track covered samples to decide."""
+        S = self.n_samples
+        covered = 0
+        body = bytearray()
+        for s, piece in zip(syms, pieces):
+            if s < 256:
+                f = int(s)
+                run = (f & 0x7F) if (f & 0x80) == 0 else (f & 0x1F)
+                covered += run
+                body += piece
+            else:
+                covered += 1
+                body += piece
+                if covered < S:
+                    body += b"\t"
+        return bytes(body)
+
+    def to_vcfc(self) -> bytes:
+        out = bytearray(self.header_blob)
+        for b in range(len(self.blocks)):
+            for line in self.block_lines_vcfc(b):
+                out += line
+        return bytes(out)
+
+    def select_blocks(self, query: CoordinateQuery) -> list[int]:
+        """Blocks that may contain lines overlapping the query."""
+        q_ref = reference_to_int(query.reference_name)
+        out = []
+        for b, blk in enumerate(self.blocks):
+            if blk["ref_last"] < q_ref or blk["ref_first"] > q_ref:
+                continue
+            if query.has_start or query.has_end:
+                if blk["ref_first"] == q_ref and blk["pos_first"] > query.end_position:
+                    if blk["ref_first"] == blk["ref_last"]:
+                        continue
+                if blk["ref_last"] == q_ref and blk["cummax_end"] < query.start_position:
+                    if blk["ref_first"] == blk["ref_last"]:
+                        continue
+            out.append(b)
+        return out
+
+
+def decompress_vcfz(vcfz: bytes) -> bytes:
+    """`.vcfz` -> VCF text (via the .vcfc oracle decoder)."""
+    from .vcf import decompress_bytes
+
+    return decompress_bytes(VcfzReader.parse(vcfz).to_vcfc())
+
+
+def query_vcfz(vcfz: bytes, query: CoordinateQuery):
+    """Yield decompressed matching lines (SV-aware overlap, like the
+    binned-index query)."""
+    from .lines import decode_data_line
+    from ..query.coordinate import compute_end_position
+
+    reader = VcfzReader.parse(vcfz)
+    S = reader.n_samples
+    for b in reader.select_blocks(query):
+        for line_bytes in reader.block_lines_vcfc(b):
+            cols = line_bytes[8:].split(b"\t", 8)
+            chrom, pos = cols[0], int(cols[1])
+            end = compute_end_position(pos, cols[3], cols[4], cols[7])
+            cmp = query.compare_to_range(chrom.decode(), pos, end)
+            if cmp == 0:
+                line, _ = decode_data_line(line_bytes, 0, S)
+                yield line
+            elif cmp < 0:
+                return

@@ -96,6 +96,10 @@ def _load():
             lib.vcfc_rle_encode.argtypes = [_u8p, _i64, _i64, _i64, _u8p, _i32p]
             lib.vcfc_expand_codes.restype = None
             lib.vcfc_expand_codes.argtypes = [_u8p, _i64, _i64, _i64, _u8p]
+            lib.vcfz_huffman_decode.restype = _i64
+            lib.vcfz_huffman_decode.argtypes = [
+                _u8p, _i64, _i64, _i32p, _u8p, ctypes.c_int32, _i32p,
+            ]
             lib.vcfc_count_lines.restype = _i64
             lib.vcfc_count_lines.argtypes = [_u8p, _i64, _i64, _i64, _i64p]
             lib.vcfc_index_lines.restype = None
@@ -216,6 +220,26 @@ def expand_codes(flagpos: np.ndarray, S: int) -> np.ndarray:
     codes = np.zeros((L, W), np.uint8)
     lib.vcfc_expand_codes(_ptr(flagpos, _u8p), L, W, S, _ptr(codes, _u8p))
     return codes
+
+
+def huffman_decode(payload: bytes, n_symbols: int, sym_table: np.ndarray,
+                   len_table: np.ndarray) -> np.ndarray:
+    """Canonical Huffman decode via the flat prefix table."""
+    from ..ops.huffman import MAX_CODE_LEN
+
+    lib = _load()
+    buf = np.frombuffer(payload, np.uint8)
+    out = np.empty(n_symbols, np.int32)
+    sym_table = np.ascontiguousarray(sym_table, np.int32)
+    len_table = np.ascontiguousarray(len_table, np.uint8)
+    r = lib.vcfz_huffman_decode(
+        _ptr(buf, _u8p), len(buf), n_symbols,
+        _ptr(sym_table, _i32p), _ptr(len_table, _u8p), MAX_CODE_LEN,
+        _ptr(out, _i32p),
+    )
+    if r != 0:
+        raise ValueError("invalid Huffman stream")
+    return out
 
 
 def index_lines(raw: np.ndarray, data_offset: int, workers: int = 0):

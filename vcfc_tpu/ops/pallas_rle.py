@@ -1,0 +1,170 @@
+"""Fused Pallas TPU kernels for the RLE codec.
+
+The XLA path in ops/rle.py lowers to a chain of cummax/cummin/elementwise
+ops, each a separate HBM round-trip.  These kernels fuse the whole
+encode (or decode) into one pass: a (BLOCK_L, S_pad) tile is read into
+VMEM once, all scans run as log-step shift-and-select doubling on the
+VPU (pltpu.roll along the lane axis), and the result is written once.
+
+Semantics are identical to ops.rle (tested against it); the engine picks
+the Pallas path on TPU via VCFC_KERNEL=pallas.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format.constants import CODE_ESCAPE
+
+BLOCK_L = 128
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _shift_right(x, k, fill):
+    """x[i] -> x[i-k] along lanes; positions < k get `fill`."""
+    S = x.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    rolled = pltpu.roll(x, k, axis=len(x.shape) - 1)
+    return jnp.where(idx >= k, rolled, fill)
+
+
+def _shift_left(x, k, fill):
+    """x[i] -> x[i+k] along lanes; positions >= S-k get `fill`.
+    (pltpu.roll requires non-negative shifts: roll by S-k.)"""
+    S = x.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    rolled = pltpu.roll(x, S - k, axis=len(x.shape) - 1)
+    return jnp.where(idx < S - k, rolled, fill)
+
+
+def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
+    c = codes_ref[:].astype(jnp.int32)
+    BL, S_pad = c.shape
+    n = n_ref[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (BL, S_pad), 1)
+
+    prev = _shift_right(c, 1, -1)
+    new_run = (c != prev) | (c == CODE_ESCAPE) | (prev == CODE_ESCAPE)
+
+    # prefix-max doubling: run_start[i] = max_{j<=i} (new_run[j] ? j : -1)
+    m = jnp.where(new_run, idx, -1)
+    k = 1
+    while k < S_pad:
+        m = jnp.maximum(m, _shift_right(m, k, -1))
+        k *= 2
+    run_start = m
+
+    cap = jnp.where(c == 0, 127, jnp.where(c >= CODE_ESCAPE, 1, 31))
+    boundary = ((idx - run_start) % cap == 0) & (idx < n)
+
+    # suffix-min doubling over boundary positions (sentinel n)
+    b = jnp.where(boundary, idx, n)
+    k = 1
+    while k < S_pad:
+        b = jnp.minimum(b, _shift_left(b, k, n))
+        k *= 2
+    nb_excl = _shift_left(b, 1, n)
+
+    seg_len = jnp.minimum(nb_excl, n) - idx
+    base = jnp.where(
+        c == 0,
+        0,
+        jnp.where(c == 1, 0xA0, jnp.where(c == 2, 0xC0, jnp.where(c == 3, 0x80, 0xE0))),
+    )
+    flag_ref[:] = jnp.where(boundary, base | seg_len, 0).astype(jnp.uint8)
+    nseg_ref[:] = boundary.sum(axis=1, dtype=jnp.int32, keepdims=True)
+
+
+def _decode_kernel(n_ref, flag_ref, codes_ref, decoded_ref):
+    f = flag_ref[:].astype(jnp.int32)
+    BL, S_pad = f.shape
+    n = n_ref[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (BL, S_pad), 1)
+
+    present = f > 0
+    # last-set doubling fill
+    v, s = f, present
+    k = 1
+    while k < S_pad:
+        sv = _shift_right(v, k, 0)
+        ss = _shift_right(s, k, False)
+        v = jnp.where(s, v, sv)
+        s = s | ss
+        k *= 2
+
+    is00 = (v & 0x80) == 0
+    isesc = (v & 0xE0) == 0xE0
+    masked = v & 0xE0
+    code = jnp.where(
+        is00,
+        0,
+        jnp.where(isesc, CODE_ESCAPE, jnp.where(masked == 0xA0, 1, jnp.where(masked == 0xC0, 2, 3))),
+    )
+    codes_ref[:] = code.astype(jnp.uint8)
+
+    run_len = jnp.where(
+        present,
+        jnp.where((f & 0x80) == 0, f & 0x7F, jnp.where((f & 0xE0) == 0xE0, 1, f & 0x1F)),
+        0,
+    )
+    decoded_ref[:] = jnp.sum(
+        run_len * (idx < n), axis=1, dtype=jnp.int32, keepdims=True
+    )
+
+
+def _grid_call(kernel, x, n_samples, out_dtypes, interpret):
+    L, S_pad = x.shape
+    grid = (L // BLOCK_L,)
+    n_arr = jnp.full((1,), n_samples, jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BLOCK_L, S_pad), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((BLOCK_L, S_pad), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_L, 1), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((L, S_pad), out_dtypes[0]),
+            jax.ShapeDtypeStruct((L, 1), out_dtypes[1]),
+        ],
+        interpret=interpret,
+    )(n_arr, x)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_rle_encode(codes: jax.Array, n_samples, interpret: bool = False):
+    """Fused-TPU equivalent of ops.rle.rle_encode.
+
+    codes: (L, S_pad) uint8 with L a multiple of BLOCK_L.
+    Returns (flagpos (L, S_pad) uint8, nseg (L,) int32).
+    """
+    flag, nseg = _grid_call(
+        _encode_kernel, codes, n_samples, (jnp.uint8, jnp.int32), interpret
+    )
+    return flag, nseg.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_rle_decode(flagpos: jax.Array, n_samples, interpret: bool = False):
+    """Fused-TPU equivalent of ops.rle.rle_decode."""
+    codes, decoded = _grid_call(
+        _decode_kernel, flagpos, n_samples, (jnp.uint8, jnp.int32), interpret
+    )
+    return codes, decoded.reshape(-1)
