@@ -25,7 +25,9 @@ BASELINE_COMBINED_GBPS = 0.047
 def main() -> None:
     import jax
 
-    from vcfc_tpu.ops.rle import rle_decode, rle_encode
+    from vcfc_tpu.engine import _kernels
+
+    rle_encode, rle_decode = _kernels(2560)
 
     L, S = 8192, 2560  # ~21M genotype cells per dispatch
     rng = np.random.default_rng(0)

@@ -62,3 +62,22 @@ def test_graft_entry_contract():
     jax.block_until_ready(out)
 
     mod.dryrun_multichip(8)
+
+
+def test_multihost_compress_single_process(tmp_path, small_vcf=None):
+    """compress_multihost degrades to plain compress at 1 process and the
+    stitched output is byte-identical."""
+    import pathlib
+
+    from vcfc_tpu.format.vcf import compress_bytes
+    from vcfc_tpu.parallel.distributed import compress_multihost
+
+    data_dir = pathlib.Path(__file__).parent / "data"
+    vcf = (data_dir / "small.vcf").read_bytes()
+    inp = tmp_path / "in.vcf"
+    outp = tmp_path / "out.vcfc"
+    inp.write_bytes(vcf)
+    stats = compress_multihost(str(inp), str(outp))
+    assert stats["processes"] == 1
+    assert outp.read_bytes() == compress_bytes(vcf)
+    assert sum(stats["histogram"]) == 200 * 100

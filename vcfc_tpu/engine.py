@@ -29,6 +29,26 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _kernels(s_pad: int = 0):
+    """Select device kernels: fused Pallas on TPU (VCFC_KERNEL=pallas),
+    XLA elsewhere or on request (VCFC_KERNEL=xla).  Very wide sample axes
+    exceed a VMEM tile; XLA tiles those internally."""
+    choice = os.environ.get("VCFC_KERNEL", "auto")
+    if choice == "xla" or s_pad > 4096:
+        return rle_encode, rle_decode
+    if choice != "pallas":
+        import jax
+
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return rle_encode, rle_decode
+        except Exception:
+            return rle_encode, rle_decode
+    from .ops.pallas_rle import pallas_rle_decode, pallas_rle_encode
+
+    return pallas_rle_encode, pallas_rle_decode
+
+
 def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path compress: parse -> RLE encode on device -> assemble."""
     parsed = parse_vcf_bytes(vcf)
@@ -45,13 +65,14 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = Fal
         flagpos = np.zeros((L, S_pad), np.uint8)
         nseg = np.zeros(L, np.int32)
 
+        encode_fn, _ = _kernels(S_pad)
         # dispatch all batches first (async), then fetch
         futures = []
         for lo in range(0, L, line_batch):
             hi = min(lo + line_batch, L)
             batch = np.zeros((line_batch, S_pad), np.uint8)
             batch[: hi - lo, :S] = parsed.codes[lo:hi]
-            futures.append((lo, hi, rle_encode(batch, S)))
+            futures.append((lo, hi, encode_fn(batch, S)))
         for lo, hi, (f, k) in futures:
             flagpos[lo:hi] = np.asarray(f)[: hi - lo]
             nseg[lo:hi] = np.asarray(k)[: hi - lo]
@@ -90,6 +111,7 @@ def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = 
         codes = np.zeros((L, S_pad), np.uint8)
         decoded = np.zeros(L, np.int32)
 
+        _, decode_fn = _kernels(S_pad)
         # dispatch all batches first (async), then fetch: overlaps H2D,
         # compute, and D2H across batches
         futures = []
@@ -97,7 +119,7 @@ def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = 
             hi = min(lo + line_batch, L)
             batch = np.zeros((line_batch, S_pad), np.uint8)
             batch[: hi - lo, :W] = parsed.flags[lo:hi]
-            futures.append((lo, hi, rle_decode(batch, S)))
+            futures.append((lo, hi, decode_fn(batch, S)))
         for lo, hi, (c, d) in futures:
             codes[lo:hi] = np.asarray(c)[: hi - lo]
             decoded[lo:hi] = np.asarray(d)[: hi - lo]

@@ -93,15 +93,14 @@ def _decode_kernel(n_ref, flag_ref, codes_ref, decoded_ref):
     idx = jax.lax.broadcasted_iota(jnp.int32, (BL, S_pad), 1)
 
     present = f > 0
-    # last-set doubling fill
-    v, s = f, present
+    # last-set fill via ONE packed cummax: (position << 16) | flag — the
+    # latest set position wins by construction
+    m = jnp.where(present, (idx << 16) | f, -1)
     k = 1
     while k < S_pad:
-        sv = _shift_right(v, k, 0)
-        ss = _shift_right(s, k, False)
-        v = jnp.where(s, v, sv)
-        s = s | ss
+        m = jnp.maximum(m, _shift_right(m, k, -1))
         k *= 2
+    v = m & 0xFFFF
 
     is00 = (v & 0x80) == 0
     isesc = (v & 0xE0) == 0xE0

@@ -103,16 +103,15 @@ def rle_encode(codes: jax.Array, n_samples: jax.Array):
 
 
 def _last_set_scan(values: jax.Array, present: jax.Array) -> jax.Array:
-    """Forward-fill `values` over positions where ``present`` is False
-    (associative last-set scan along axis 1)."""
+    """Forward-fill `values` over positions where ``present`` is False.
 
-    def op(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-
-    filled, _ = jax.lax.associative_scan(op, (values, present), axis=1)
-    return filled
+    Implemented as ONE cummax over packed (position << 16) | value keys:
+    the latest set position always wins, so a single max-scan replaces the
+    two-array associative last-set scan (half the scan traffic)."""
+    L, S_pad = values.shape
+    idx = jnp.arange(S_pad, dtype=jnp.int32)[None, :]
+    packed = jnp.where(present, (idx << 16) | values.astype(jnp.int32), -1)
+    return jax.lax.cummax(packed, axis=1) & 0xFFFF
 
 
 @jax.jit
@@ -134,7 +133,7 @@ def rle_decode(flagpos: jax.Array, n_samples: jax.Array):
     """
     L, S_pad = flagpos.shape
     present = flagpos > 0
-    filled = _last_set_scan(flagpos, present).astype(jnp.int32)
+    filled = _last_set_scan(flagpos, present)
 
     is00 = (filled & 0x80) == 0
     isesc = (filled & 0xE0) == 0xE0
