@@ -187,6 +187,27 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    # --- block-manifest verbs (beyond reference parity) ---
+    if action == "create-manifest":
+        if len(args) != 1:
+            print("Usage: vcfc create-manifest <compressed-filename>")
+            return 1
+        from .index.manifest import MANIFEST_EXTENSION, build_manifest
+
+        _write(args[0] + MANIFEST_EXTENSION, build_manifest(_read(args[0])))
+        return 0
+
+    if action == "query-manifest":
+        if len(args) != 2:
+            print("Usage: vcfc query-manifest <compressed-filename> <region>")
+            return 1
+        from .index.manifest import MANIFEST_EXTENSION, Manifest, query_manifest
+
+        manifest = Manifest(_read(args[0] + MANIFEST_EXTENSION))
+        query = parse_coordinate_string(args[1])
+        _emit(query_manifest(_read(args[0]), manifest, query))
+        return 0
+
     # --- .vcfz extension verbs (beyond reference parity) ---
     if action == "compress-z":
         if len(args) != 2:
