@@ -65,8 +65,16 @@ def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
         k *= 2
     run_start = m
 
-    cap = jnp.where(c == 0, 127, jnp.where(c >= CODE_ESCAPE, 1, 31))
-    boundary = ((idx - run_start) % cap == 0) & (idx < n)
+    # boundary = (idx - run_start) % cap == 0 with cap in {127, 31, 1}.
+    # A data-dependent divisor lowers to a full vector integer division
+    # (~1 ms/21M cells measured); constant divisors via magic-number
+    # multiply-shift are ~10 VPU ops.  Escape positions (cap=1) always
+    # have d == 0 (they force new_run on both sides), so rem31 == 0 there.
+    d = idx - run_start
+    q127 = (d * 16514) >> 21  # valid for d < 2**21
+    q31 = (d * 2115) >> 16  # valid for d < 2**16
+    rem = jnp.where(c == 0, d - q127 * 127, d - q31 * 31)
+    boundary = (rem == 0) & (idx < n)
 
     # suffix-min doubling over boundary positions (sentinel n)
     b = jnp.where(boundary, idx, n)

@@ -64,10 +64,6 @@ def _flag_base(c: jax.Array) -> jax.Array:
     )
 
 
-def _run_cap(c: jax.Array) -> jax.Array:
-    return jnp.where(c == 0, 127, jnp.where(c >= CODE_ESCAPE, 1, 31))
-
-
 @jax.jit
 def rle_encode(codes: jax.Array, n_samples: jax.Array):
     """Encode a (L, S_pad) uint8 code matrix into positional flag bytes.
@@ -88,7 +84,14 @@ def rle_encode(codes: jax.Array, n_samples: jax.Array):
     new_run = (c != prev) | (c == CODE_ESCAPE) | (prev == CODE_ESCAPE)
 
     run_start = jax.lax.cummax(jnp.where(new_run, idx, -1), axis=1)
-    boundary = ((idx - run_start) % _run_cap(c) == 0) & (idx < n_samples)
+    # boundary: every run-cap-th position within a run.  Both remainders
+    # use CONSTANT divisors (escape runs have cap 1 but always start a new
+    # run, so d == 0 and rem31 == 0 there): a data-dependent divisor
+    # lowers to a full vector integer division, ~25x the cost of the
+    # strength-reduced constant form (profiled on TPU v5e).
+    d = idx - run_start
+    rem = jnp.where(c == 0, d % 127, d % 31)
+    boundary = (rem == 0) & (idx < n_samples)
 
     # next boundary position to the right; sentinel n_samples closes the
     # final run
