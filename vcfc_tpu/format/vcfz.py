@@ -329,12 +329,27 @@ def query_vcfz(vcfz: bytes, query: CoordinateQuery):
     from .lines import decode_data_line
     from ..query.coordinate import compute_end_position
 
+    from ..utils.refmap import reference_to_int
+
     reader = VcfzReader.parse(vcfz)
     S = reader.n_samples
+    ref_only = not query.has_start and not query.has_end
+    q_ref = reference_to_int(query.reference_name)
     for b in reader.select_blocks(query):
         for line_bytes in reader.block_lines_vcfc(b):
             cols = line_bytes[8:].split(b"\t", 8)
             chrom, pos = cols[0], int(cols[1])
+            if ref_only:
+                # ref-only regions match every line of that reference
+                # (full-scan semantics; the reference's binned engine
+                # returns nothing here — a quirk we keep only there)
+                line_ref = reference_to_int(chrom.decode())
+                if line_ref == q_ref:
+                    line, _ = decode_data_line(line_bytes, 0, S)
+                    yield line
+                elif line_ref > q_ref:
+                    return
+                continue
             end = compute_end_position(pos, cols[3], cols[4], cols[7])
             cmp = query.compare_to_range(chrom.decode(), pos, end)
             if cmp == 0:
