@@ -124,6 +124,38 @@ class SchemeFactory:
 
         return PreparedScheme("vcfc-sparse-external", single, range_, index_path)
 
+    def vcfc_binned_native(self, bin_size: int | None = None) -> PreparedScheme | None:
+        """Binned-index queries through the native CLI (native/vcfcq), one
+        process per query — apples-to-apples with the reference binary and
+        the tabix schemes, without interpreter startup in the loop."""
+        from ..host.native import cli_path
+
+        cli = cli_path()
+        if cli is None:
+            return None
+        bin_size = bin_size or self.bin_size
+        # vcfcq reads <vcfc>.vcfci; build it at the canonical name
+        index_path = self.vcfc_path + ".vcfci"
+        index = build_binned_index(self.vcfc, BinnedIndexConfig(bin_size))
+        with open(index_path, "wb") as f:
+            f.write(index)
+
+        def single(ref, pos):
+            return subprocess.run(
+                [cli, "query-binned-index", self.vcfc_path, f"{ref}:{pos}-{pos}"],
+                capture_output=True,
+                check=True,
+            ).stdout
+
+        def range_(ref, start, end):
+            return subprocess.run(
+                [cli, "query-binned-index", self.vcfc_path, f"{ref}:{start}-{end}"],
+                capture_output=True,
+                check=True,
+            ).stdout
+
+        return PreparedScheme(f"vcfc-binned-native-{bin_size}", single, range_, index_path)
+
     # -- external schemes (tabix / bcftools) ------------------------------
 
     def tabix_bgzip(self) -> PreparedScheme | None:
@@ -177,6 +209,8 @@ class SchemeFactory:
         return PreparedScheme("tabix-bcf", single, range_, bcf + ".csi")
 
     def build(self, name: str, **kw) -> PreparedScheme | None:
+        if name.startswith("vcfc-binned-native"):
+            return self.vcfc_binned_native(**kw)
         if name.startswith("vcfc-binned"):
             return self.vcfc_binned(**kw)
         if name == "vcfc-sparse":

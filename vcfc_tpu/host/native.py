@@ -40,10 +40,34 @@ def _try_build() -> None:
         return
     try:
         subprocess.run(
-            ["make", "-C", native_dir], capture_output=True, timeout=120, check=False
+            ["make", "-C", native_dir, "all"],
+            capture_output=True,
+            timeout=120,
+            check=False,
         )
     except Exception:
         pass
+
+
+@lru_cache(maxsize=1)
+def cli_path() -> str | None:
+    """Path to the low-latency native CLI (native/vcfcq), or None.
+
+    vcfcq implements the latency-critical verbs (compress/decompress/
+    query/create-binned-index/query-binned-index) natively so per-process
+    query latency isn't dominated by interpreter startup; its output is
+    byte-identical to the Python engines (tests/test_native_cli.py)."""
+    if os.environ.get("VCFC_NO_NATIVE"):
+        return None
+    env = os.environ.get("VCFC_NATIVE_CLI")
+    if env:
+        return env if os.path.exists(env) else None
+    path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native", "vcfcq")
+    )
+    if not os.path.exists(path):
+        _try_build()
+    return path if os.path.exists(path) else None
 
 
 @lru_cache(maxsize=1)
