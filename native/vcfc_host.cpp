@@ -437,6 +437,39 @@ extern "C" int64_t vcfz_huffman_decode(const uint8_t* payload, int64_t n_bytes,
   return 0;
 }
 
+// Context-switching variant (.vcfz v2): the table used for each symbol is
+// selected by the class of the previously decoded symbol (class_of, one
+// byte per alphabet symbol); ctx_init seeds each block.  Tables are
+// concatenated per-context: sym_tables[ctx * (1<<window_bits) + prefix].
+extern "C" int64_t vcfz_huffman_decode_ctx(
+    const uint8_t* payload, int64_t n_bytes, int64_t n_symbols,
+    const int32_t* sym_tables, const uint8_t* len_tables,
+    const uint8_t* class_of, int32_t ctx_init, int32_t window_bits,
+    int32_t* out) {
+  uint64_t acc = 0;
+  int navail = 0;
+  int64_t byte_pos = 0;
+  const uint64_t mask = (1u << window_bits) - 1;
+  const int64_t table_size = int64_t(1) << window_bits;
+  int32_t ctx = ctx_init;
+  for (int64_t i = 0; i < n_symbols; ++i) {
+    while (navail < window_bits) {
+      uint8_t b = byte_pos < n_bytes ? payload[byte_pos++] : 0;
+      acc = (acc << 8) | b;
+      navail += 8;
+    }
+    uint32_t prefix = (acc >> (navail - window_bits)) & mask;
+    const int64_t base = ctx * table_size;
+    uint8_t ln = len_tables[base + prefix];
+    if (ln == 0) return -1;
+    int32_t sym = sym_tables[base + prefix];
+    out[i] = sym;
+    navail -= ln;
+    ctx = class_of[sym];
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // VCF text line indexing (encode parse): find every data line's start, end
 // (exclusive of '\n') and sample start (after the 9th tab).  Two-phase and

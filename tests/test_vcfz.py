@@ -76,3 +76,65 @@ class TestVcfzCli:
         from vcfc_tpu.format.vcfz import VcfzReader
 
         assert VcfzReader.parse(z.read_bytes()).to_vcfc() == sv_vcfc
+
+
+class TestVcfzVersions:
+    def _vcfc(self):
+        from test_fuzz import make_vcf
+        from vcfc_tpu.format import compress_bytes
+
+        return compress_bytes(make_vcf(501, 70, 90, sv_every=8))
+
+    def test_v1_still_reads(self):
+        from vcfc_tpu.format.vcfz import decompress_vcfz, vcfz_from_vcfc
+        from vcfc_tpu.format import decompress_bytes
+
+        vcfc = self._vcfc()
+        z1 = vcfz_from_vcfc(vcfc, version=1)
+        assert decompress_vcfz(z1) == decompress_bytes(vcfc)
+
+    def test_v2_smaller_than_v1(self):
+        # context codebooks cost 3 extra length tables, so the win shows
+        # on realistically sized inputs (on the 50 MB cohort: -15%)
+        from test_fuzz import make_vcf
+        from vcfc_tpu.format import compress_bytes
+        from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+        vcfc = compress_bytes(make_vcf(502, 400, 400))
+        z1 = vcfz_from_vcfc(vcfc, version=1)
+        z2 = vcfz_from_vcfc(vcfc, version=2)
+        assert len(z2) < len(z1)
+
+    def test_ctx_native_matches_oracle(self):
+        import numpy as np
+        from vcfc_tpu.format.vcfz import VcfzReader, vcfz_from_vcfc
+        from vcfc_tpu.host import native
+        from vcfc_tpu.ops.huffman import CTX_INIT, symbol_classes, unpack_symbols_ctx
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        vcfc = self._vcfc()
+        r = VcfzReader.parse(vcfz_from_vcfc(vcfc, version=2))
+        blk = r.blocks[0]
+        payload = r.raw[r.payload_base : r.payload_base + blk["payload_len"]]
+        want = unpack_symbols_ctx(payload, int(blk["n_symbols"]), r.books)
+        tables = [b.decode_table() for b in r.books]
+        got = native.huffman_decode_ctx(
+            payload,
+            int(blk["n_symbols"]),
+            np.stack([t[0] for t in tables]),
+            np.stack([t[1] for t in tables]),
+            symbol_classes(len(r.books[0].lengths)),
+            CTX_INIT,
+        )
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+    def test_v2_numpy_fallback_roundtrip(self, monkeypatch):
+        monkeypatch.setenv("VCFC_NO_NATIVE", "1")
+        from vcfc_tpu.format.vcfz import decompress_vcfz, vcfz_from_vcfc
+        from vcfc_tpu.format import decompress_bytes
+
+        vcfc = self._vcfc()
+        assert decompress_vcfz(vcfz_from_vcfc(vcfc)) == decompress_bytes(vcfc)

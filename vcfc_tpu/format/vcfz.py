@@ -33,7 +33,18 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..ops.huffman import MAX_CODE_LEN, Codebook, pack_symbols, unpack_symbols
+from ..ops.huffman import (
+    CTX_INIT,
+    MAX_CODE_LEN,
+    N_CTX,
+    Codebook,
+    context_codebooks,
+    pack_symbols,
+    pack_symbols_ctx,
+    symbol_classes,
+    unpack_symbols,
+    unpack_symbols_ctx,
+)
 from ..query.coordinate import CoordinateQuery
 from ..utils.refmap import reference_to_int
 from .headers import encode_length_header
@@ -41,7 +52,7 @@ from .lines import VcfValidationError
 from .vcf import parse_metadata_headers
 
 MAGIC = b"VCFZ"
-VERSION = 1
+VERSION = 2  # v2 = context-classed codebooks; v1 (single codebook) still reads
 DEFAULT_BLOCK_LINES = 256
 _ESC_FLAG = 0xE1
 
@@ -70,8 +81,14 @@ def _line_symbol_stream(raw, line_off, line_len, req_len, escape_dict):
     return symbols
 
 
-def vcfz_from_vcfc(vcfc: bytes, block_lines: int = DEFAULT_BLOCK_LINES) -> bytes:
-    """Transcode .vcfc -> .vcfz (lossless)."""
+def vcfz_from_vcfc(
+    vcfc: bytes, block_lines: int = DEFAULT_BLOCK_LINES, version: int = VERSION
+) -> bytes:
+    """Transcode .vcfc -> .vcfz (lossless).
+
+    version 2 (default) codes each symbol with the codebook selected by
+    the previous symbol's class (4 classes — ~96% of the order-1 entropy
+    gain); version 1 uses one global codebook."""
     from ..index.scan import scan_lines
 
     header = parse_metadata_headers(vcfc)
@@ -102,21 +119,35 @@ def vcfz_from_vcfc(vcfc: bytes, block_lines: int = DEFAULT_BLOCK_LINES) -> bytes
     all_syms = np.concatenate(
         [np.asarray(s, np.int32) for s in per_line_syms]
     ) if per_line_syms else np.zeros(0, np.int32)
-    freqs = np.bincount(all_syms, minlength=n_symbols)
-    book = Codebook.from_frequencies(freqs)
 
     nsym = np.array([len(s) for s in per_line_syms], np.uint32)
     sym_ends = np.cumsum(nsym)
 
+    def block_slice(lo, hi):
+        s0 = 0 if lo == 0 else int(sym_ends[lo - 1])
+        return all_syms[s0 : int(sym_ends[hi - 1])] if hi > lo else all_syms[:0]
+
+    block_ranges = [
+        (lo, min(lo + block_lines, L)) for lo in range(0, L, block_lines)
+    ]
+    if version == 1:
+        books = [Codebook.from_frequencies(np.bincount(all_syms, minlength=n_symbols))]
+    else:
+        books = context_codebooks(
+            [block_slice(lo, hi) for lo, hi in block_ranges], n_symbols
+        )
+
     out = bytearray()
-    out += MAGIC + struct.pack("<IBI", VERSION, MAX_CODE_LEN, block_lines)
+    out += MAGIC + struct.pack("<IBI", version, MAX_CODE_LEN, block_lines)
     out += struct.pack("<QI", L, S)
     out += struct.pack("<Q", len(header_blob)) + header_blob
     esc_list = sorted(escape_dict, key=escape_dict.get)
     out += struct.pack("<I", len(esc_list))
     for e in esc_list:
         out += struct.pack("<H", len(e)) + e
-    out += struct.pack("<I", n_symbols) + book.lengths.tobytes()
+    out += struct.pack("<I", n_symbols)
+    for book in books:  # v1: one length table; v2: N_CTX tables
+        out += book.lengths.tobytes()
     out += req_lens.tobytes()
     out += nsym.tobytes()
     req_blob = b"".join(req_blobs)
@@ -124,17 +155,18 @@ def vcfz_from_vcfc(vcfc: bytes, block_lines: int = DEFAULT_BLOCK_LINES) -> bytes
 
     blocks = []
     payloads = []
-    for lo in range(0, L, block_lines):
-        hi = min(lo + block_lines, L)
-        s0 = 0 if lo == 0 else int(sym_ends[lo - 1])
-        s1 = int(sym_ends[hi - 1])
-        payload, _bits = pack_symbols(all_syms[s0:s1], book)
+    for lo, hi in block_ranges:
+        blk_syms = block_slice(lo, hi)
+        if version == 1:
+            payload, _bits = pack_symbols(blk_syms, books[0])
+        else:
+            payload, _bits = pack_symbols_ctx(blk_syms, books)
         cummax_end = int(ends[lo:hi].max())
         blocks.append(
             struct.pack(
                 "<QQBIBII",
                 len(payload),
-                s1 - s0,
+                len(blk_syms),
                 int(refs[lo]),
                 int(positions[lo]),
                 int(refs[hi - 1]),
@@ -159,7 +191,8 @@ class VcfzReader:
     n_samples: int
     header_blob: bytes
     escapes: list[bytes]
-    book: Codebook
+    books: list[Codebook]  # one (v1) or N_CTX (v2) codebooks
+    version: int
     req_lens: np.ndarray
     nsym: np.ndarray
     req_starts: np.ndarray  # offsets into req_blob per line
@@ -174,7 +207,7 @@ class VcfzReader:
         off = 4
         version, max_len, block_lines = struct.unpack_from("<IBI", data, off)
         off += 9
-        if version != VERSION or max_len != MAX_CODE_LEN:
+        if version not in (1, 2) or max_len != MAX_CODE_LEN:
             raise ValueError("unsupported .vcfz version")
         L, S = struct.unpack_from("<QI", data, off)
         off += 12
@@ -192,9 +225,11 @@ class VcfzReader:
             off += elen
         (n_symbols,) = struct.unpack_from("<I", data, off)
         off += 4
-        lengths = np.frombuffer(data, np.uint8, n_symbols, off)
-        off += n_symbols
-        book = Codebook.from_lengths(lengths)
+        books = []
+        for _ in range(1 if version == 1 else N_CTX):
+            lengths = np.frombuffer(data, np.uint8, n_symbols, off)
+            off += n_symbols
+            books.append(Codebook.from_lengths(lengths))
         req_lens = np.frombuffer(data, np.uint32, L, off)
         off += 4 * L
         nsym = np.frombuffer(data, np.uint32, L, off)
@@ -220,7 +255,7 @@ class VcfzReader:
         req_starts = np.zeros(L, np.int64)
         np.cumsum(req_lens[:-1], out=req_starts[1:])
         return cls(
-            data, block_lines, L, S, header_blob, escapes, book,
+            data, block_lines, L, S, header_blob, escapes, books, version,
             req_lens.astype(np.int64), nsym.astype(np.int64), req_starts,
             req_blob, blocks, off,
         )
@@ -233,10 +268,21 @@ class VcfzReader:
         ]
         from ..host import native
 
+        n = int(blk["n_symbols"])
+        if self.version == 1:
+            if native.available():
+                sym_t, len_t = self.books[0].decode_table()
+                return native.huffman_decode(payload, n, sym_t, len_t)
+            return unpack_symbols(payload, n, self.books[0])
         if native.available():
-            sym_t, len_t = self.book.decode_table()
-            return native.huffman_decode(payload, int(blk["n_symbols"]), sym_t, len_t)
-        return unpack_symbols(payload, int(blk["n_symbols"]), self.book)
+            tables = [b.decode_table() for b in self.books]
+            sym_ts = np.stack([t[0] for t in tables])
+            len_ts = np.stack([t[1] for t in tables])
+            classes = symbol_classes(len(self.books[0].lengths))
+            return native.huffman_decode_ctx(
+                payload, n, sym_ts, len_ts, classes, CTX_INIT
+            )
+        return unpack_symbols_ctx(payload, n, self.books)
 
     def block_lines_vcfc(self, b: int) -> list[bytes]:
         """Reconstruct the .vcfc line bytes of block b."""

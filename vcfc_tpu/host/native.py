@@ -124,6 +124,11 @@ def _load():
             lib.vcfz_huffman_decode.argtypes = [
                 _u8p, _i64, _i64, _i32p, _u8p, ctypes.c_int32, _i32p,
             ]
+            lib.vcfz_huffman_decode_ctx.restype = _i64
+            lib.vcfz_huffman_decode_ctx.argtypes = [
+                _u8p, _i64, _i64, _i32p, _u8p, _u8p,
+                ctypes.c_int32, ctypes.c_int32, _i32p,
+            ]
             lib.vcfc_count_lines.restype = _i64
             lib.vcfc_count_lines.argtypes = [_u8p, _i64, _i64, _i64, _i64p]
             lib.vcfc_index_lines.restype = None
@@ -260,6 +265,35 @@ def huffman_decode(payload: bytes, n_symbols: int, sym_table: np.ndarray,
         _ptr(buf, _u8p), len(buf), n_symbols,
         _ptr(sym_table, _i32p), _ptr(len_table, _u8p), MAX_CODE_LEN,
         _ptr(out, _i32p),
+    )
+    if r != 0:
+        raise ValueError("invalid Huffman stream")
+    return out
+
+
+def huffman_decode_ctx(
+    payload: bytes,
+    n_symbols: int,
+    sym_tables: np.ndarray,
+    len_tables: np.ndarray,
+    class_of: np.ndarray,
+    ctx_init: int,
+) -> np.ndarray:
+    """Context-switching canonical Huffman decode (.vcfz v2): tables are
+    (N_CTX, 2^MAX_CODE_LEN) arrays; the class of each decoded symbol
+    selects the next table."""
+    from ..ops.huffman import MAX_CODE_LEN
+
+    lib = _load()
+    buf = np.frombuffer(payload, np.uint8)
+    out = np.empty(n_symbols, np.int32)
+    sym_tables = np.ascontiguousarray(sym_tables, np.int32)
+    len_tables = np.ascontiguousarray(len_tables, np.uint8)
+    class_of = np.ascontiguousarray(class_of, np.uint8)
+    r = lib.vcfz_huffman_decode_ctx(
+        _ptr(buf, _u8p), len(buf), n_symbols,
+        _ptr(sym_tables, _i32p), _ptr(len_tables, _u8p), _ptr(class_of, _u8p),
+        ctx_init, MAX_CODE_LEN, _ptr(out, _i32p),
     )
     if r != 0:
         raise ValueError("invalid Huffman stream")
