@@ -60,6 +60,7 @@ class HarnessConfig:
     bin_sizes_creation: tuple[int, ...] = (5, 10, 20, 50, 100, 150, 300, 500, 1000, 2000)
     schemes: tuple[str, ...] = (
         "vcfc-binned",
+        "vcfc-binned-native",
         "vcfc-sparse",
         "vcfc-sparse-external",
         "tabix-bgzip",
