@@ -76,15 +76,18 @@ def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
     rem = jnp.where(c == 0, d - q127 * 127, d - q31 * 31)
     boundary = (rem == 0) & (idx < n)
 
-    # suffix-min doubling over boundary positions (sentinel n)
-    b = jnp.where(boundary, idx, n)
+    # Next boundary after i = min(first new_run in (i, i+cap], i+cap):
+    # caps are <= 127, so a 128-wide windowed suffix-min (8 shift steps)
+    # replaces the full-width scan (12 steps).  Positions past the window
+    # can't win because i+cap bounds the result.
+    big = jnp.int32(0x7FFFFFFF)
+    t = _shift_left(jnp.where(new_run, idx, big), 1, big)
     k = 1
-    while k < S_pad:
-        b = jnp.minimum(b, _shift_left(b, k, n))
+    while k < 128:
+        t = jnp.minimum(t, _shift_left(t, k, big))
         k *= 2
-    nb_excl = _shift_left(b, 1, n)
-
-    seg_len = jnp.minimum(nb_excl, n) - idx
+    cap = jnp.where(c == 0, 127, jnp.where(c >= CODE_ESCAPE, 1, 31))
+    seg_len = jnp.minimum(jnp.minimum(t, idx + cap), n) - idx
     base = jnp.where(
         c == 0,
         0,
