@@ -1,0 +1,75 @@
+"""True multi-process distributed test: two OS processes bring up
+jax.distributed (Gloo CPU collectives), cooperatively compress ONE file
+via striped lines + all-gathered offsets + pwrite stitching, and the
+result must be byte-identical to the single-process oracle."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from test_fuzz import make_vcf
+
+from vcfc_tpu.format import compress_bytes
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("XLA_FLAGS", None)  # no virtual devices in workers
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    repo, port, pid, in_path, out_path = sys.argv[1:6]
+    sys.path.insert(0, repo)
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=int(pid))
+    from vcfc_tpu.parallel.distributed import compress_multihost
+    print(json.dumps(compress_multihost(in_path, out_path)))
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cooperative_compress(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vcf = make_vcf(601, 150, 300, sv_every=13)
+    in_path = tmp_path / "in.vcf"
+    out_path = tmp_path / "out.vcfc"
+    in_path.write_bytes(vcf)
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), repo, port, str(pid), str(in_path), str(out_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(json.loads(out.splitlines()[-1]))
+
+    assert {o["process"] for o in outs} == {0, 1}
+    assert all(o["processes"] == 2 for o in outs)
+    # stripes partition the lines and offsets tile the byte range
+    assert sum(o["lines"] for o in outs) == 300
+    by_pid = sorted(outs, key=lambda o: o["process"])
+    assert by_pid[1]["offset"] == by_pid[0]["stripe_bytes"]
+
+    want = compress_bytes(vcf)
+    assert out_path.read_bytes() == want, "stitched output != single-process oracle"
