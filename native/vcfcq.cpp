@@ -629,6 +629,286 @@ int do_compress(const char* in_path, const char* out_path) {
   return 0;
 }
 
+// ------------------------------------------------- offset-as-index layer
+// utils/config.py::SparseConfig (sparse.hpp:29-34, sparse.cpp:18-51):
+// offset(ref,pos) = (max_position + pos) * F * B.  Files are petabyte-
+// scale sparse — all I/O via pread/pwrite, never mmap.
+struct SparseConfig {
+  int64_t factor = 4, block = 4096, max_position = 300000000;
+  int64_t offset_of(long long pos) const {
+    return (max_position + pos) * factor * block;
+  }
+};
+const SparseConfig kLineSparse{};          // sparsify / sparse-query
+const SparseConfig kIndexSparse{1, 256};   // .vcfci-sparse (main.cpp:4152-4157)
+
+uint64_t be64(const uint8_t* p) {
+  uint64_t v = 0;
+  for (int i = 0; i < 8; i++) v = (v << 8) | p[i];
+  return v;
+}
+void put_be64(uint8_t* p, uint64_t v) {
+  for (int i = 7; i >= 0; i--) {
+    p[i] = uint8_t(v & 0xFF);
+    v >>= 8;
+  }
+}
+
+bool pread_full(int fd, void* buf, size_t n, int64_t off) {
+  ssize_t r = pread(fd, buf, n, off);
+  return r == (ssize_t)n;
+}
+void pwrite_full(int fd, const void* buf, size_t n, int64_t off) {
+  if (pwrite(fd, buf, n, off) != (ssize_t)n) die("pwrite failed");
+}
+
+// index/sparsify.py::sparsify_file (sparse.cpp:290-580)
+int do_sparsify(const char* in_path, const char* out_path) {
+  Mapped m;
+  if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
+  Header h = parse_meta(m.data, m.size);
+  int fd = open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) die(std::string("cannot create ") + out_path);
+  pwrite_full(fd, m.data, h.data_offset, 0);  // meta/header verbatim
+  uint64_t zero8 = 0;
+  pwrite_full(fd, &zero8, 8, h.data_offset);  // first-line offset slot
+  const int64_t data_start = h.data_offset + 8;
+
+  LineView lv;
+  size_t off = h.data_offset;
+  int64_t prev_file_offset = data_start;
+  bool first = true;
+  while (next_line(m.data, m.size, off, &lv)) {
+    int64_t variant_offset = kLineSparse.offset_of(lv.pos);
+    int64_t file_offset = data_start + variant_offset;
+    uint64_t dist = uint64_t(file_offset) - uint64_t(prev_file_offset);  // wraps
+    uint8_t d8[8];
+    if (first) {
+      // first-line offset slot is raw native-endian u64 (sparse.cpp:511)
+      uint64_t vo = uint64_t(variant_offset);
+      pwrite_full(fd, &vo, 8, h.data_offset);
+      first = false;
+    } else {
+      put_be64(d8, dist);  // backpatch previous line's distance_to_next
+      pwrite_full(fd, d8, 8, prev_file_offset + 8);
+    }
+    uint8_t prefix[16];
+    put_be64(prefix, dist);     // distance_to_previous
+    put_be64(prefix + 8, 0);    // distance_to_next (backpatched by successor)
+    pwrite_full(fd, prefix, 16, file_offset);
+    pwrite_full(fd, m.data + lv.offset, 4 + size_t(lv.line_length), file_offset + 16);
+    prev_file_offset = file_offset;
+    off = lv.offset + 4 + size_t(lv.line_length);
+  }
+  close(fd);
+  return 0;
+}
+
+// Decode the compressed line at absolute offset `off` of fd (no mmap).
+bool decode_line_at(int fd, int64_t off, long long sample_count, std::string* out) {
+  uint8_t hdr[8];
+  if (!pread_full(fd, hdr, 8, off)) return false;
+  int64_t line_length = read_len_header(hdr);
+  std::vector<uint8_t> buf(4 + size_t(line_length));
+  if (!pread_full(fd, buf.data(), buf.size(), off)) return false;
+  decode_data_line(buf.data(), buf.size(), 0, sample_count, out);
+  return true;
+}
+
+// index/sparsify.py::query_sparse_file (main.cpp:235-582)
+int do_sparse_query(const char* path, const std::string& region) {
+  Query q = parse_region(region);
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) die(std::string("cannot open ") + path);
+  std::vector<uint8_t> head(1 << 20);
+  ssize_t got = pread(fd, head.data(), head.size(), 0);
+  if (got <= 0) die("empty sparse file");
+  Header h = parse_meta(head.data(), size_t(got));
+  uint64_t first_line_offset;
+  if (!pread_full(fd, &first_line_offset, 8, h.data_offset)) die("truncated slot");
+  const int64_t data_start = h.data_offset + 8;
+  const int64_t step = kLineSparse.factor * kLineSparse.block;
+  std::string out;
+
+  bool has_criteria = !q.ref.empty() || q.has_start || q.has_end;
+  if (has_criteria && q.start == q.end) {
+    // single-variant lookup: direct seek + hole heuristic (main.cpp:277-333)
+    int64_t target = data_start + kLineSparse.offset_of(q.start);
+    uint8_t prefix[16];
+    if (pread_full(fd, prefix, 16, target)) {
+      uint64_t dist_prev = be64(prefix);
+      if (!(dist_prev == 0 && target != data_start + (int64_t)first_line_offset))
+        decode_line_at(fd, target + 16, h.sample_count, &out);
+    }
+    fwrite(out.data(), 1, out.size(), stdout);
+    close(fd);
+    return 0;
+  }
+  if (!has_criteria) die("sparse query with no filter is not yet implemented");
+
+  // range lookup: SEEK_DATA realign + probe (main.cpp:335-566)
+  int64_t pos;
+  {
+    TimingProbe probe("decompress_seeking");
+    int64_t target = data_start + kLineSparse.offset_of(q.start);
+    pos = lseek(fd, target, SEEK_DATA);
+    if (pos < 0) {
+      close(fd);
+      return 0;  // beyond EOF
+    }
+    if (pos != target) {
+      int64_t rem = (pos - data_start) % step;
+      if (rem) pos += step - rem;
+    }
+    while (true) {
+      uint8_t prefix[16];
+      if (!pread_full(fd, prefix, 16, pos)) {
+        close(fd);
+        return 0;
+      }
+      uint64_t dist_prev = be64(prefix);
+      if (dist_prev == 0 && pos != data_start + (int64_t)first_line_offset) {
+        pos += step;
+        continue;
+      }
+      break;
+    }
+  }
+  while (true) {
+    uint8_t prefix[16];
+    if (!pread_full(fd, prefix, 16, pos)) break;
+    uint64_t dist_prev = be64(prefix), dist_next = be64(prefix + 8);
+    if (dist_prev == 0 && dist_next == 0) die("No previous or next distance values");
+    std::string line;
+    if (!decode_line_at(fd, pos + 16, h.sample_count, &line)) break;
+    // CHROM / POS from the decoded text
+    size_t t1 = line.find('\t');
+    size_t t2 = line.find('\t', t1 + 1);
+    std::string chrom = line.substr(0, t1);
+    long long vpos = atoll(line.substr(t1 + 1, t2 - t1 - 1).c_str());
+    if (chrom == q.ref && vpos <= q.end) {
+      out += line;
+      if (dist_next == 0) break;  // end of chain
+      if (vpos >= q.end) break;
+      pos += int64_t(dist_next);
+    } else {
+      break;
+    }
+  }
+  fwrite(out.data(), 1, out.size(), stdout);
+  close(fd);
+  return 0;
+}
+
+// index/sparse_external.py::create_sparse_external_index (main.cpp:854-999)
+int do_create_sparse_index(const char* path) {
+  Mapped m;
+  if (!map_file(path, &m)) die(std::string("cannot open ") + path);
+  Header h = parse_meta(m.data, m.size);
+  std::string out_path = std::string(path) + ".vcfci-sparse";
+  int fd = open(out_path.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) die("cannot create " + out_path);
+  LineView lv;
+  size_t off = h.data_offset;
+  while (next_line(m.data, m.size, off, &lv)) {
+    IndexEntry e{uint8_t(ref_ordinal(lv.chrom)), uint32_t(lv.pos), uint64_t(lv.offset)};
+    pwrite_full(fd, &e, sizeof e, kIndexSparse.offset_of(lv.pos));
+    off = lv.offset + 4 + size_t(lv.line_length);
+  }
+  close(fd);
+  return 0;
+}
+
+// index/sparse_external.py::query_sparse_external_index (main.cpp:1002-1281)
+int do_query_sparse_index(const char* path, const std::string& region) {
+  Mapped m;
+  if (!map_file(path, &m)) die(std::string("cannot open ") + path);
+  Header h = parse_meta(m.data, m.size);
+  Query q = parse_region(region);
+  std::string index_path = std::string(path) + ".vcfci-sparse";
+  int ifd = open(index_path.c_str(), O_RDONLY);
+  if (ifd < 0) die("cannot open " + index_path);
+
+  IndexEntry entry{};
+  bool found = false;
+  {
+    TimingProbe probe("index_search");
+    const int64_t block = kIndexSparse.factor * kIndexSparse.block;
+    int64_t sparse_offset = kIndexSparse.offset_of(q.start);
+    if (pread_full(ifd, &entry, sizeof entry, sparse_offset)) {
+      bool empty = entry.ref_idx == 0 && entry.position == 0 && entry.byte_offset == 0;
+      if (!empty) {
+        found = true;
+      } else if (q.start != q.end) {
+        // brute-search ahead over holes (main.cpp:1130-1173)
+        int64_t pos = sparse_offset;
+        while (true) {
+          pos = lseek(ifd, pos, SEEK_DATA);
+          if (pos < 0) break;
+          if (!pread_full(ifd, &entry, sizeof entry, pos)) break;
+          if (entry.ref_idx == 0 && entry.position == 0 && entry.byte_offset == 0) {
+            pos += block;
+            continue;
+          }
+          found = true;
+          break;
+        }
+      }
+    }
+  }
+  close(ifd);
+  std::string out;
+  if (found) {
+    TimingProbe probe("decompress_iteration");
+    LineView lv;
+    size_t off = size_t(entry.byte_offset);
+    while (next_line(m.data, m.size, off, &lv)) {
+      // compare_to point semantics (main.cpp:88-108)
+      int a = ref_ordinal(lv.chrom), b = ref_ordinal(q.ref);
+      int cmp = (a < b || (a == b && lv.pos < q.start))   ? 1
+                : (a > b || (a == b && lv.pos > q.end)) ? -1
+                                                         : 0;
+      if (cmp == 0)
+        decode_data_line(m.data, m.size, lv.offset, h.sample_count, &out);
+      else if (cmp < 0)
+        break;
+      off = lv.offset + 4 + size_t(lv.line_length);
+    }
+  }
+  fwrite(out.data(), 1, out.size(), stdout);
+  return 0;
+}
+
+// query/engine.py::gap_analysis (main.cpp:3931-3980): start-positions.txt
+// with "POS decoded_size compressed_size" per line.
+int do_gap_analysis(const char* path) {
+  Mapped m;
+  if (!map_file(path, &m)) die(std::string("cannot open ") + path);
+  Header h = parse_meta(m.data, m.size);
+  FILE* f = fopen("start-positions.txt", "w");
+  if (!f) die("cannot write start-positions.txt");
+  size_t off = h.data_offset;
+  std::string line;
+  while (off < m.size) {
+    line.clear();
+    size_t consumed = decode_data_line(m.data, m.size, off, h.sample_count, &line);
+    size_t t1 = line.find('\t');
+    size_t t2 = line.find('\t', t1 + 1);
+    // reference line_byte_count excludes the trailing newline — unless the
+    // final sample is an escape column, whose scan counts the newline
+    // before seeking back (compress.cpp:869-892)
+    size_t lt = line.rfind('\t');
+    std::string last = line.substr(lt + 1, line.size() - lt - 2);
+    bool esc_end = h.sample_count > 0 && last != "0|0" && last != "0|1" &&
+                   last != "1|0" && last != "1|1";
+    fprintf(f, "%s %zu %zu\n", line.substr(t1 + 1, t2 - t1 - 1).c_str(), line.size(),
+            consumed - (esc_end ? 0 : 1));
+    off += consumed;
+  }
+  fclose(f);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -637,7 +917,8 @@ int main(int argc, char** argv) {
   if (argc < 2) {
     fprintf(stderr,
             "usage: vcfcq <compress|decompress|query|create-binned-index|"
-            "query-binned-index> ...\n");
+            "query-binned-index|sparsify|sparse-query|create-sparse-index|"
+            "query-sparse-index|gap-analysis> ...\n");
     return 1;
   }
   std::string action = argv[1];
@@ -648,6 +929,13 @@ int main(int argc, char** argv) {
     return do_create_binned_index(argv[2], argv[3]);
   if (action == "query-binned-index" && argc == 4)
     return do_query_binned_index(argv[2], argv[3]);
+  if (action == "sparsify" && argc == 4) return do_sparsify(argv[2], argv[3]);
+  if (action == "sparse-query" && argc == 4) return do_sparse_query(argv[2], argv[3]);
+  if (action == "create-sparse-index" && argc == 3)
+    return do_create_sparse_index(argv[2]);
+  if (action == "query-sparse-index" && argc == 4)
+    return do_query_sparse_index(argv[2], argv[3]);
+  if (action == "gap-analysis" && argc == 3) return do_gap_analysis(argv[2]);
   fprintf(stderr, "vcfcq: bad arguments for action '%s'\n", action.c_str());
   return 1;
 }

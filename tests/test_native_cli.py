@@ -80,3 +80,57 @@ class TestNativeCli:
         assert b"TIMING decompress2_metadata_headers: " in out
         assert b"TIMING index_search: " in out
         assert b"TIMING decompress_iteration: " in out
+
+
+class TestNativeCliSparse:
+    """Sparse verbs and gap-analysis must agree with the Python engines."""
+
+    def test_sparsify_and_query(self, corpus, tmp_path):
+        import os
+
+        from vcfc_tpu.index.sparsify import query_sparse_file, sparsify_file
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        py_sparse = tmp_path / "py.sparse"
+        nat_sparse = tmp_path / "nat.sparse"
+        sparsify_file(vcfc, str(py_sparse))
+        run(["sparsify", vcfc_path, str(nat_sparse)])
+        assert os.path.getsize(py_sparse) == os.path.getsize(nat_sparse)
+
+        for region in ["1:1213-1213", "1:1000-4000", "X:8000-9000", "1:5-5"]:
+            q = parse_coordinate_string(region)
+            want = b"".join(query_sparse_file(str(py_sparse), q))
+            got = run(["sparse-query", str(nat_sparse), region]).stdout
+            assert got == want, region
+            # cross-check: native query over the python-written sparse file
+            assert run(["sparse-query", str(py_sparse), region]).stdout == want
+
+    def test_sparse_external_index(self, corpus):
+        from vcfc_tpu.index.sparse_external import query_sparse_external_index
+        from vcfc_tpu.utils.config import SPARSE_EXTERNAL_INDEX_CONFIG
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        run(["create-sparse-index", vcfc_path])
+        for region in ["1:1213-1213", "1:1000-4000", "X:8000-9000"]:
+            q = parse_coordinate_string(region)
+            want = b"".join(
+                query_sparse_external_index(
+                    vcfc, vcfc_path + ".vcfci-sparse", q, SPARSE_EXTERNAL_INDEX_CONFIG
+                )
+            )
+            got = run(["query-sparse-index", vcfc_path, region]).stdout
+            assert got == want, region
+
+    def test_gap_analysis(self, corpus, tmp_path, monkeypatch):
+        from vcfc_tpu.query.engine import gap_analysis
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        monkeypatch.chdir(tmp_path)
+        import subprocess
+
+        subprocess.run([cli_path(), "gap-analysis", vcfc_path], check=True)
+        got = (tmp_path / "start-positions.txt").read_bytes()
+        want = b"".join(
+            b"%s %d %d\n" % (pos, size, comp) for pos, size, comp in gap_analysis(vcfc)
+        )
+        assert got == want

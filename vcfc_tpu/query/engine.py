@@ -34,5 +34,13 @@ def gap_analysis(vcfc: bytes):
     while offset < len(vcfc):
         line, consumed = decode_data_line(vcfc, offset, sample_count)
         pos = line.split(b"\t", 2)[1]
-        yield pos, len(line), consumed
+        # The reference's line_byte_count normally excludes the trailing
+        # newline — EXCEPT when the line's final sample is an escape
+        # column, whose scan reads (and counts) the newline before seeking
+        # back (compress.cpp:869-892).  A final sample produced by a flag
+        # byte is always one of the four GT literals; anything else came
+        # through the escape path.
+        last = line[:-1].rsplit(b"\t", 1)[-1]
+        esc_end = sample_count > 0 and last not in (b"0|0", b"0|1", b"1|0", b"1|1")
+        yield pos, len(line), consumed - (0 if esc_end else 1)
         offset += consumed
