@@ -81,6 +81,98 @@ def _line_symbol_stream(raw, line_off, line_len, req_len, escape_dict):
     return symbols
 
 
+def _symbol_streams_native(vcfc: bytes):
+    """Vectorized symbol-stream extraction via the native .vcfc parser.
+
+    Returns (all_syms int32, nsym int32 per line, escape list) or None when
+    the native library is unavailable (caller falls back to the per-line
+    oracle walker).  ~20x faster than the Python walk on cohort files.
+    """
+    from ..host import native as native_mod
+
+    if not native_mod.available():
+        return None
+    from ..host.fast import parse_vcfc_native
+
+    parsed = parse_vcfc_native(vcfc)
+    L = parsed.n_lines
+    flags = parsed.flags
+    if parsed.oracle_line.any():
+        # irregular lines re-walk through the oracle below; their flag rows
+        # are not trustworthy and their escapes are excluded from the
+        # native side channel, so blank them before the vectorized pass
+        flags = flags.copy()
+        flags[parsed.oracle_line] = 0
+    # row-major nonzero: per-line flag bytes in sample order
+    rows, cols = np.nonzero(flags)
+    values = flags[rows, cols].astype(np.int32)
+    nsym = (flags > 0).sum(axis=1).astype(np.int32)
+
+    # escape-dictionary coding: replace 0xE1 flags with 256 + id.  The
+    # native escape side channel is ordered by (line, sample), matching
+    # the nonzero traversal order exactly.
+    esc_mask = (values & 0xE0) == 0xE0
+    n_esc = int(esc_mask.sum())
+    raw_np = np.frombuffer(vcfc, np.uint8)
+    esc_list: list[bytes] = []
+    if n_esc:
+        off = parsed.esc_off
+        ln = parsed.esc_len
+        max_len = int(ln.max())
+        if max_len <= 64:
+            # fixed-width keys -> np.unique dedup (deterministic, sorted)
+            keys = np.zeros((n_esc, max_len + 4), np.uint8)
+            keys[:, :4] = (
+                ln.astype(np.uint32).view(np.uint8).reshape(-1, 4)
+            )
+            gather = off[:, None] + np.arange(max_len)[None, :]
+            valid = np.arange(max_len)[None, :] < ln[:, None]
+            keys[:, 4:] = np.where(valid, raw_np[np.minimum(gather, len(raw_np) - 1)], 0)
+            uniq, ids = np.unique(
+                keys.view([("k", np.uint8, max_len + 4)]).reshape(-1),
+                return_inverse=True,
+            )
+            uniq_keys = uniq.view(np.uint8).reshape(len(uniq), max_len + 4)
+            for k in uniq_keys:
+                klen = int(k[:4].view(np.uint32)[0])
+                esc_list.append(bytes(k[4 : 4 + klen]))
+            values[esc_mask] = 256 + ids.astype(np.int32)
+        else:  # pragma: no cover - pathologically long escape strings
+            d: dict[bytes, int] = {}
+            ids = np.empty(n_esc, np.int32)
+            for k in range(n_esc):
+                key = vcfc[int(off[k]) : int(off[k]) + int(ln[k])]
+                ids[k] = d.setdefault(key, len(d))
+            esc_list = sorted(d, key=d.get)
+            values[esc_mask] = 256 + ids
+
+    if parsed.oracle_line.any():
+        # splice oracle-walked streams for structurally irregular lines
+        esc_dict = {e: i for i, e in enumerate(esc_list)}
+        ends = np.cumsum(nsym)
+        pieces = []
+        prev = 0
+        for i in np.flatnonzero(parsed.oracle_line):
+            i = int(i)
+            syms = _line_symbol_stream(
+                vcfc,
+                int(parsed.line_offset[i]),
+                int(parsed.line_length[i]),
+                int(parsed.required_length[i]),
+                esc_dict,
+            )
+            s0 = 0 if i == 0 else int(ends[i - 1])
+            pieces.append(values[prev:s0])
+            pieces.append(np.asarray(syms, np.int32))
+            nsym[i] = len(syms)
+            prev = int(ends[i])
+        pieces.append(values[prev:])
+        # rebuild the escape list: oracle lines may have added entries
+        esc_list = sorted(esc_dict, key=esc_dict.get)
+        values = np.concatenate(pieces) if pieces else values
+    return values, nsym, esc_list
+
+
 def vcfz_from_vcfc(
     vcfc: bytes, block_lines: int = DEFAULT_BLOCK_LINES, version: int = VERSION
 ) -> bytes:
@@ -97,30 +189,36 @@ def vcfz_from_vcfc(
 
     recs = list(scan_lines(vcfc))
     L = len(recs)
-    escape_dict: dict[bytes, int] = {}
     raw = vcfc
-    per_line_syms: list[list[int]] = []
     req_blobs = []
     req_lens = np.empty(L, np.uint32)
     positions = np.empty(L, np.uint32)
     refs = np.empty(L, np.uint8)
     ends = np.empty(L, np.uint32)
     for i, r in enumerate(recs):
-        per_line_syms.append(
-            _line_symbol_stream(raw, r.offset, r.line_length, r.required_length, escape_dict)
-        )
         req_blobs.append(raw[r.offset + 8 : r.offset + 8 + r.required_length])
         req_lens[i] = r.required_length
         positions[i] = r.pos
         refs[i] = reference_to_int(r.chrom)
         ends[i] = r.end_position()
 
-    n_symbols = 256 + len(escape_dict)
-    all_syms = np.concatenate(
-        [np.asarray(s, np.int32) for s in per_line_syms]
-    ) if per_line_syms else np.zeros(0, np.int32)
+    fast = _symbol_streams_native(vcfc)
+    if fast is not None:
+        all_syms, nsym_i32, esc_list = fast
+        nsym = nsym_i32.astype(np.uint32)
+    else:  # numpy fallback: per-line oracle walk
+        escape_dict: dict[bytes, int] = {}
+        per_line_syms = [
+            _line_symbol_stream(raw, r.offset, r.line_length, r.required_length, escape_dict)
+            for r in recs
+        ]
+        all_syms = np.concatenate(
+            [np.asarray(s, np.int32) for s in per_line_syms]
+        ) if per_line_syms else np.zeros(0, np.int32)
+        nsym = np.array([len(s) for s in per_line_syms], np.uint32)
+        esc_list = sorted(escape_dict, key=escape_dict.get)
 
-    nsym = np.array([len(s) for s in per_line_syms], np.uint32)
+    n_symbols = 256 + len(esc_list)
     sym_ends = np.cumsum(nsym)
 
     def block_slice(lo, hi):
@@ -141,7 +239,6 @@ def vcfz_from_vcfc(
     out += MAGIC + struct.pack("<IBI", version, MAX_CODE_LEN, block_lines)
     out += struct.pack("<QI", L, S)
     out += struct.pack("<Q", len(header_blob)) + header_blob
-    esc_list = sorted(escape_dict, key=escape_dict.get)
     out += struct.pack("<I", len(esc_list))
     for e in esc_list:
         out += struct.pack("<H", len(e)) + e
@@ -285,57 +382,86 @@ class VcfzReader:
         return unpack_symbols_ctx(payload, n, self.books)
 
     def block_lines_vcfc(self, b: int) -> list[bytes]:
-        """Reconstruct the .vcfc line bytes of block b."""
+        """Reconstruct the .vcfc line bytes of block b (vectorized: one
+        numpy pass over the block's symbols; Python loops only over
+        escapes and lines)."""
         lo = b * self.block_lines
         hi = min(lo + self.block_lines, self.n_lines)
-        symbols = self._decode_block_symbols(b)
+        symbols = np.asarray(self._decode_block_symbols(b), np.int64)
+        nsym = self.nsym[lo:hi]
+        S = self.n_samples
+
+        esc_mask = symbols >= 256
+        # run length per symbol (escapes cover exactly one sample)
+        run_len = np.where(
+            esc_mask,
+            1,
+            np.where(
+                symbols < 0x80,
+                symbols & 0x7F,
+                np.where((symbols & 0xE0) == 0xE0, 1, symbols & 0x1F),
+            ),
+        )
+        # samples covered after each symbol, reset per line (empty lines
+        # only occur when sample_count == 0, i.e. every line is empty)
+        cum = np.cumsum(run_len)
+        if len(symbols):
+            sym_line_end = np.cumsum(nsym.astype(np.int64))
+            bases = np.concatenate([[0], cum[sym_line_end[:-1] - 1]])
+            covered_after = cum - np.repeat(bases, nsym)
+        else:
+            covered_after = cum
+
+        esc_len_tab = self._esc_len_arr
+        sizes = np.ones(len(symbols), np.int64)
+        esc_idx = symbols[esc_mask] - 256
+        esc_tab = covered_after[esc_mask] < S  # '\t' unless final sample
+        sizes[esc_mask] += esc_len_tab[esc_idx] + esc_tab
+        offs = np.cumsum(sizes) - sizes
+        total = int(sizes.sum())
+
+        body = np.zeros(total, np.uint8)
+        body[offs] = np.where(esc_mask, _ESC_FLAG, symbols).astype(np.uint8)
+        esc_np = self._esc_np
+        for k in np.flatnonzero(esc_mask):
+            o = int(offs[k]) + 1
+            e = esc_np[int(symbols[k]) - 256]
+            body[o : o + len(e)] = e
+            if covered_after[k] < S:
+                body[o + len(e)] = 9  # '\t'
+
         out = []
         spos = 0
+        body_bytes = body.tobytes()
+        boff = 0
         for i in range(lo, hi):
-            n = int(self.nsym[i])
-            syms = symbols[spos : spos + n]
-            spos += n
+            n = int(nsym[i - lo])
+            blen = int(sizes[spos : spos + n].sum())
             req = self.req_blob[
                 int(self.req_starts[i]) : int(self.req_starts[i]) + int(self.req_lens[i])
             ]
-            pieces = []
-            for k, s in enumerate(syms):
-                if s < 256:
-                    pieces.append(bytes([s]))
-                else:
-                    esc = self.escapes[s - 256]
-                    # trailing escape has no tab; detect via remaining symbols
-                    # and the run structure: the tab is present unless this
-                    # escape covers the final sample of the line
-                    pieces.append(bytes([_ESC_FLAG]) + esc)
-            body = self._fix_escape_tabs(syms, pieces)
             line = bytearray()
-            line += encode_length_header(4 + len(req) + len(body) + 1)
+            line += encode_length_header(4 + len(req) + blen + 1)
             line += encode_length_header(len(req))
             line += req
-            line += body
+            line += body_bytes[boff : boff + blen]
             line += b"\n"
             out.append(bytes(line))
+            spos += n
+            boff += blen
         return out
 
-    def _fix_escape_tabs(self, syms, pieces) -> bytes:
-        """Escape columns carry a '\t' unless they are the line's final
-        sample (compress.cpp:182-184).  Track covered samples to decide."""
-        S = self.n_samples
-        covered = 0
-        body = bytearray()
-        for s, piece in zip(syms, pieces):
-            if s < 256:
-                f = int(s)
-                run = (f & 0x7F) if (f & 0x80) == 0 else (f & 0x1F)
-                covered += run
-                body += piece
-            else:
-                covered += 1
-                body += piece
-                if covered < S:
-                    body += b"\t"
-        return bytes(body)
+    @property
+    def _esc_len_arr(self) -> np.ndarray:
+        if not hasattr(self, "_esc_len_cache"):
+            self._esc_len_cache = np.array([len(e) for e in self.escapes], np.int64)
+        return self._esc_len_cache
+
+    @property
+    def _esc_np(self) -> list[np.ndarray]:
+        if not hasattr(self, "_esc_np_cache"):
+            self._esc_np_cache = [np.frombuffer(e, np.uint8) for e in self.escapes]
+        return self._esc_np_cache
 
     def to_vcfc(self) -> bytes:
         out = bytearray(self.header_blob)
@@ -363,10 +489,12 @@ class VcfzReader:
 
 
 def decompress_vcfz(vcfz: bytes) -> bytes:
-    """`.vcfz` -> VCF text (via the .vcfc oracle decoder)."""
-    from .vcf import decompress_bytes
+    """`.vcfz` -> VCF text (reconstruct the .vcfc, then the engine fast
+    path decodes it; the oracle decoder remains the conformance anchor
+    in tests)."""
+    from .. import engine
 
-    return decompress_bytes(VcfzReader.parse(vcfz).to_vcfc())
+    return engine.decompress(VcfzReader.parse(vcfz).to_vcfc())
 
 
 def query_vcfz(vcfz: bytes, query: CoordinateQuery):
