@@ -3,15 +3,20 @@
 // The Python CLI is the full framework surface, but on this machine every
 // interpreter start pays ~2 s of site initialisation, which would swamp
 // the p50 of single-region queries (the workload the reference's
-// evaluation harness measures per-process).  This binary implements the
-// latency-critical verbs natively, mirroring the framework's Python
-// modules byte-for-byte:
+// evaluation harness measures per-process).  This binary implements all
+// ten reference verbs natively, mirroring the framework's Python modules
+// byte-for-byte:
 //
 //   compress <input.vcf> <output.vcfc>        (format/vcf.py, format/lines.py)
 //   decompress <input.vcfc> <output.vcf>      (format/vcf.py)
 //   query <input.vcfc> <region>               (query/engine.py)
 //   create-binned-index <bin-size> <in.vcfc>  (index/binned.py)
 //   query-binned-index <input.vcfc> <region>  (index/binned.py)
+//   sparsify <input.vcfc> <output.sparse>     (index/sparsify.py)
+//   sparse-query <sparse-file> <region>       (index/sparsify.py)
+//   create-sparse-index <input.vcfc>          (index/sparse_external.py)
+//   query-sparse-index <input.vcfc> <region>  (index/sparse_external.py)
+//   gap-analysis <input.vcfc>                 (query/engine.py)
 //
 // Byte-format parity targets in the reference implementation are cited as
 // file:line of /root/reference (format spec only — this is an original
@@ -132,6 +137,17 @@ struct Query {
   }
 };
 
+// strict integer parse mirroring Python int(): whole string, digits only
+bool parse_ll(const std::string& s, long long* out) {
+  if (s.empty()) return false;
+  size_t i = (s[0] == '-' || s[0] == '+') ? 1 : 0;
+  if (i == s.size()) return false;
+  for (size_t j = i; j < s.size(); j++)
+    if (s[j] < '0' || s[j] > '9') return false;
+  *out = atoll(s.c_str());
+  return true;
+}
+
 Query parse_region(const std::string& s) {
   Query q;
   auto colon = s.find(':');
@@ -144,8 +160,9 @@ Query parse_region(const std::string& s) {
   auto dash = rest.find('-');
   if (dash == std::string::npos)
     die("Query must contain a dash character: <ref>:<start>-<end>");
-  q.start = atoll(rest.substr(0, dash).c_str());
-  q.end = atoll(rest.substr(dash + 1).c_str());
+  if (!parse_ll(rest.substr(0, dash), &q.start) ||
+      !parse_ll(rest.substr(dash + 1), &q.end))
+    die("Failed to parse positions from query: " + s);
   q.has_start = q.has_end = true;
   return q;
 }
@@ -349,6 +366,9 @@ long long end_position(const LineView& lv) {
           if (eq > p2) parts.push_back(pair.substr(p2, eq - p2));
           p2 = eq + 1;
         }
+        // parse_info_kvp raises unless a non-empty pair has 1 or 2 parts
+        if (!pair.empty() && (parts.empty() || parts.size() > 2))
+          die("Invalid kvp format: " + info);
         if (!parts.empty() && parts[0] == key) {
           *present = true;
           last = parts.size() >= 2 ? parts[1] : "";

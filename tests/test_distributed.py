@@ -49,20 +49,30 @@ def test_two_process_cooperative_compress(tmp_path):
 
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # stderr to files: a PIPE left undrained while waiting on the OTHER
+    # worker can fill and block it mid-collective (deadlock)
+    errs = [open(tmp_path / f"w{pid}.err", "wb") for pid in (0, 1)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), repo, port, str(pid), str(in_path), str(out_path)],
             stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stderr=errs[pid],
             env=env,
         )
         for pid in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=280)
-        assert p.returncode == 0, err.decode()[-2000:]
-        outs.append(json.loads(out.splitlines()[-1]))
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=280)
+            assert p.returncode == 0, (tmp_path / f"w{pid}.err").read_text()[-2000:]
+            outs.append(json.loads(out.splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in errs:
+            f.close()
 
     assert {o["process"] for o in outs} == {0, 1}
     assert all(o["processes"] == 2 for o in outs)

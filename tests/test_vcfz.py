@@ -138,3 +138,26 @@ class TestVcfzVersions:
 
         vcfc = self._vcfc()
         assert decompress_vcfz(vcfz_from_vcfc(vcfc)) == decompress_bytes(vcfc)
+
+    def test_native_and_fallback_bytes_identical(self, monkeypatch):
+        # escape ids must be FIRST-OCCURRENCE ordered on both paths:
+        # craft escapes whose first appearance (z/z before a/a) differs
+        # from sorted order (CLAUDE.md byte contract)
+        from vcfc_tpu.format import compress_bytes
+        from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+        rows = [
+            ["z|2", "0|0", "a|2", "0|0"],
+            ["0|0", "a|2", "0|0", "z|2"],
+            ["c|2", "0|0", "0|0", "b|2"],
+        ]
+        lines = [b"##f=1\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB\tC\tD\n"]
+        for i, r in enumerate(rows):
+            lines.append(
+                b"1\t%d\t.\tA\tT\t9\tPASS\t.\tGT\t" % (100 + i) + "\t".join(r).encode() + b"\n"
+            )
+        vcfc = compress_bytes(b"".join(lines))
+        z_native = vcfz_from_vcfc(vcfc)
+        monkeypatch.setenv("VCFC_NO_NATIVE", "1")
+        z_fallback = vcfz_from_vcfc(vcfc)
+        assert z_native == z_fallback

@@ -134,11 +134,13 @@ class SchemeFactory:
         if cli is None:
             return None
         bin_size = bin_size or self.bin_size
-        # vcfcq reads <vcfc>.vcfci; build it at the canonical name
+        # vcfcq reads <vcfc>.vcfci; build it with the native binary so
+        # index-creation timings measure the native path end to end
+        # (byte-identical to the Python builder, tests/test_native_cli.py)
         index_path = self.vcfc_path + ".vcfci"
-        index = build_binned_index(self.vcfc, BinnedIndexConfig(bin_size))
-        with open(index_path, "wb") as f:
-            f.write(index)
+        subprocess.run(
+            [cli, "create-binned-index", str(bin_size), self.vcfc_path], check=True
+        )
 
         def single(ref, pos):
             return subprocess.run(

@@ -2,21 +2,26 @@
 
 A lossless transcoding of `.vcfc`: the per-line sample stream (flag bytes
 plus escape columns) becomes a symbol stream — symbols 0..255 are flag
-bytes, 256+k is the k-th entry of a per-file escape-string dictionary —
-Huffman-coded with ONE global canonical codebook.  Lines are grouped into
-blocks that decode independently, and a block table with (first/last
-position, running-max end) gives O(log B) random access.  This is the
-"global codebook via collectives" path of BASELINE.json: histograms come
-from the device mesh (psum-merged), the codebook is replicated, blocks
-are data-parallel.
+bytes, 256+k is the k-th entry of a per-file escape-string dictionary
+(first-occurrence order) — Huffman-coded with global canonical codebooks.
+Version 1 uses ONE codebook; version 2 (current) uses N_CTX=4 codebooks
+selected per symbol by the CLASS of the previous symbol (full 0|0 run /
+short 0|0 run / het run / escape; ops/huffman.py::symbol_classes), which
+captures ~96% of the order-1 entropy gain.  Lines are grouped into blocks
+that decode independently (each block's first symbol is coded in context
+CTX_INIT), and a block table with (first/last position, running-max end)
+gives O(log B) random access.  This is the "global codebook via
+collectives" path of BASELINE.json: histograms come from the device mesh
+(psum-merged), the codebooks are replicated, blocks are data-parallel.
 
 Layout (little-endian):
 
-  magic "VCFZ" | u32 version=1 | u8 max_code_len | u32 block_lines
+  magic "VCFZ" | u32 version (1 or 2) | u8 max_code_len | u32 block_lines
   u64 n_lines | u32 n_samples
   u64 header_len | header blob (meta + #CHROM lines verbatim)
   u32 n_escapes | per escape: u16 len | bytes
-  u32 n_symbols | u8 lengths[n_symbols]          (canonical codebook)
+  u32 n_symbols | u8 lengths[n_symbols] x (1 if version==1 else N_CTX)
+                                                 (canonical codebooks)
   u32 req_len[n_lines]                           (required-cols length)
   u32 nsym[n_lines]                              (symbols per line)
   u64 req_blob_len | concatenated required-column blobs
@@ -98,11 +103,10 @@ def _symbol_streams_native(vcfc: bytes):
     L = parsed.n_lines
     flags = parsed.flags
     if parsed.oracle_line.any():
-        # irregular lines re-walk through the oracle below; their flag rows
-        # are not trustworthy and their escapes are excluded from the
-        # native side channel, so blank them before the vectorized pass
-        flags = flags.copy()
-        flags[parsed.oracle_line] = 0
+        # structurally irregular lines (never produced by our encoder)
+        # would break first-occurrence escape-id ordering if spliced;
+        # keep the byte contract by taking the oracle walk wholesale
+        return None
     # row-major nonzero: per-line flag bytes in sample order
     rows, cols = np.nonzero(flags)
     values = flags[rows, cols].astype(np.int32)
@@ -120,7 +124,10 @@ def _symbol_streams_native(vcfc: bytes):
         ln = parsed.esc_len
         max_len = int(ln.max())
         if max_len <= 64:
-            # fixed-width keys -> np.unique dedup (deterministic, sorted)
+            # fixed-width keys -> np.unique dedup, then remap the ids to
+            # FIRST-OCCURRENCE order so the output bytes are identical to
+            # the oracle walker's (CLAUDE.md byte contract: every fast
+            # path must produce the same bytes as the fallback)
             keys = np.zeros((n_esc, max_len + 4), np.uint8)
             keys[:, :4] = (
                 ln.astype(np.uint32).view(np.uint8).reshape(-1, 4)
@@ -128,15 +135,19 @@ def _symbol_streams_native(vcfc: bytes):
             gather = off[:, None] + np.arange(max_len)[None, :]
             valid = np.arange(max_len)[None, :] < ln[:, None]
             keys[:, 4:] = np.where(valid, raw_np[np.minimum(gather, len(raw_np) - 1)], 0)
-            uniq, ids = np.unique(
+            uniq, first_pos, inv = np.unique(
                 keys.view([("k", np.uint8, max_len + 4)]).reshape(-1),
+                return_index=True,
                 return_inverse=True,
             )
-            uniq_keys = uniq.view(np.uint8).reshape(len(uniq), max_len + 4)
+            order = np.argsort(first_pos, kind="stable")  # first-seen order
+            rank = np.empty(len(uniq), np.int32)
+            rank[order] = np.arange(len(uniq), dtype=np.int32)
+            uniq_keys = uniq.view(np.uint8).reshape(len(uniq), max_len + 4)[order]
             for k in uniq_keys:
                 klen = int(k[:4].view(np.uint32)[0])
                 esc_list.append(bytes(k[4 : 4 + klen]))
-            values[esc_mask] = 256 + ids.astype(np.int32)
+            values[esc_mask] = 256 + rank[inv]
         else:  # pragma: no cover - pathologically long escape strings
             d: dict[bytes, int] = {}
             ids = np.empty(n_esc, np.int32)
@@ -146,30 +157,6 @@ def _symbol_streams_native(vcfc: bytes):
             esc_list = sorted(d, key=d.get)
             values[esc_mask] = 256 + ids
 
-    if parsed.oracle_line.any():
-        # splice oracle-walked streams for structurally irregular lines
-        esc_dict = {e: i for i, e in enumerate(esc_list)}
-        ends = np.cumsum(nsym)
-        pieces = []
-        prev = 0
-        for i in np.flatnonzero(parsed.oracle_line):
-            i = int(i)
-            syms = _line_symbol_stream(
-                vcfc,
-                int(parsed.line_offset[i]),
-                int(parsed.line_length[i]),
-                int(parsed.required_length[i]),
-                esc_dict,
-            )
-            s0 = 0 if i == 0 else int(ends[i - 1])
-            pieces.append(values[prev:s0])
-            pieces.append(np.asarray(syms, np.int32))
-            nsym[i] = len(syms)
-            prev = int(ends[i])
-        pieces.append(values[prev:])
-        # rebuild the escape list: oracle lines may have added entries
-        esc_list = sorted(esc_dict, key=esc_dict.get)
-        values = np.concatenate(pieces) if pieces else values
     return values, nsym, esc_list
 
 
@@ -368,18 +355,32 @@ class VcfzReader:
         n = int(blk["n_symbols"])
         if self.version == 1:
             if native.available():
-                sym_t, len_t = self.books[0].decode_table()
+                sym_t, len_t = self._decode_tables()[0]
                 return native.huffman_decode(payload, n, sym_t, len_t)
             return unpack_symbols(payload, n, self.books[0])
         if native.available():
-            tables = [b.decode_table() for b in self.books]
-            sym_ts = np.stack([t[0] for t in tables])
-            len_ts = np.stack([t[1] for t in tables])
-            classes = symbol_classes(len(self.books[0].lengths))
+            sym_ts, len_ts, classes = self._ctx_tables()
             return native.huffman_decode_ctx(
                 payload, n, sym_ts, len_ts, classes, CTX_INIT
             )
         return unpack_symbols_ctx(payload, n, self.books)
+
+    def _decode_tables(self):
+        if not hasattr(self, "_decode_tables_cache"):
+            self._decode_tables_cache = [b.decode_table() for b in self.books]
+        return self._decode_tables_cache
+
+    def _ctx_tables(self):
+        """Stacked per-context decode tables + class map, built once per
+        reader (they are invariant across blocks)."""
+        if not hasattr(self, "_ctx_tables_cache"):
+            tables = self._decode_tables()
+            self._ctx_tables_cache = (
+                np.ascontiguousarray(np.stack([t[0] for t in tables])),
+                np.ascontiguousarray(np.stack([t[1] for t in tables])),
+                symbol_classes(len(self.books[0].lengths)),
+            )
+        return self._ctx_tables_cache
 
     def block_lines_vcfc(self, b: int) -> list[bytes]:
         """Reconstruct the .vcfc line bytes of block b (vectorized: one

@@ -49,14 +49,16 @@ def _try_build() -> None:
         pass
 
 
-@lru_cache(maxsize=1)
 def cli_path() -> str | None:
     """Path to the low-latency native CLI (native/vcfcq), or None.
 
-    vcfcq implements the latency-critical verbs (compress/decompress/
-    query/create-binned-index/query-binned-index) natively so per-process
-    query latency isn't dominated by interpreter startup; its output is
-    byte-identical to the Python engines (tests/test_native_cli.py)."""
+    vcfcq covers all 10 reference verbs (compress/decompress/query/
+    sparsify/sparse-query/create-binned-index/query-binned-index/
+    create-sparse-index/query-sparse-index/gap-analysis) natively so
+    per-process latency isn't dominated by interpreter startup; its
+    output is byte-identical to the Python engines
+    (tests/test_native_cli.py).  Re-reads the env on every call, like
+    ``available()``; only the build attempt is one-shot."""
     if os.environ.get("VCFC_NO_NATIVE"):
         return None
     env = os.environ.get("VCFC_NATIVE_CLI")
@@ -66,8 +68,13 @@ def cli_path() -> str | None:
         os.path.join(os.path.dirname(__file__), "..", "..", "native", "vcfcq")
     )
     if not os.path.exists(path):
-        _try_build()
+        _try_build_once()
     return path if os.path.exists(path) else None
+
+
+@lru_cache(maxsize=1)
+def _try_build_once() -> None:
+    _try_build()
 
 
 @lru_cache(maxsize=1)

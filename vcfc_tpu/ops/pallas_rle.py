@@ -83,7 +83,7 @@ def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
     big = jnp.int32(0x7FFFFFFF)
     t = _shift_left(jnp.where(new_run, idx, big), 1, big)
     k = 1
-    while k < 128:
+    while k < min(128, S_pad):  # window min(128, S_pad) — rolls stay valid
         t = jnp.minimum(t, _shift_left(t, k, big))
         k *= 2
     cap = jnp.where(c == 0, 127, jnp.where(c >= CODE_ESCAPE, 1, 31))
