@@ -81,3 +81,62 @@ def test_multihost_compress_single_process(tmp_path, small_vcf=None):
     assert stats["processes"] == 1
     assert outp.read_bytes() == compress_bytes(vcf)
     assert sum(stats["histogram"]) == 200 * 100
+
+
+class TestCtxFlagHistogram:
+    def _np_reference(self, flagpos, n_samples):
+        import numpy as np
+        from vcfc_tpu.ops.huffman import CTX_INIT
+
+        hist = np.zeros((4, 256), np.int64)
+        for row in np.asarray(flagpos):
+            ctx = CTX_INIT
+            for j, f in enumerate(row[:n_samples]):
+                f = int(f)
+                if f == 0:
+                    continue
+                hist[ctx, f] += 1
+                ctx = 0 if f == 0x7F else 1 if f < 0x80 else 2 if f < 0xE0 else 3
+        return hist
+
+    def test_matches_scalar_reference(self):
+        import numpy as np
+        from vcfc_tpu.ops.histogram import ctx_flag_histogram
+        from vcfc_tpu.ops.rle import rle_encode
+
+        rng = np.random.default_rng(7)
+        codes = rng.choice(5, size=(16, 256), p=[0.7, 0.1, 0.1, 0.05, 0.05]).astype(
+            np.uint8
+        )
+        S = 200
+        flagpos, _ = rle_encode(codes, np.int32(S))
+        got = np.asarray(ctx_flag_histogram(flagpos, np.int32(S)))
+        want = self._np_reference(flagpos, S)
+        np.testing.assert_array_equal(got, want)
+
+    def test_sharded_psum_equals_global(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vcfc_tpu.ops.histogram import ctx_flag_histogram
+        from vcfc_tpu.ops.rle import rle_encode
+        from vcfc_tpu.parallel.mesh import DATA_AXIS, make_data_mesh
+        from vcfc_tpu.parallel.shard import make_sharded_codebook_step
+
+        mesh = make_data_mesh(8)
+        rng = np.random.default_rng(8)
+        codes_np = rng.choice(5, size=(32, 128), p=[0.7, 0.1, 0.1, 0.05, 0.05]).astype(
+            np.uint8
+        )
+        n = jnp.int32(100)
+        codes = jax.device_put(
+            jnp.asarray(codes_np), NamedSharding(mesh, P(DATA_AXIS, None))
+        )
+        step = make_sharded_codebook_step(mesh)
+        flagpos, nseg, ctx_hist = step(codes, n)
+        flag_ref, _ = rle_encode(jnp.asarray(codes_np), n)
+        want = np.asarray(ctx_flag_histogram(flag_ref, n))
+        np.testing.assert_array_equal(np.asarray(ctx_hist), want)
+        np.testing.assert_array_equal(np.asarray(flagpos), np.asarray(flag_ref))

@@ -33,7 +33,7 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.histogram import masked_code_histogram
+from ..ops.histogram import ctx_flag_histogram, masked_code_histogram
 from ..ops.rle import rle_decode, rle_encode
 from .mesh import DATA_AXIS
 
@@ -63,6 +63,27 @@ def make_sharded_encode_step(mesh):
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P()),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(DATA_AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_codebook_step(mesh):
+    """Encode + global .vcfz v2 codebook statistics in one sharded step:
+    every shard RLE-encodes its lines and the (context, flag) histogram
+    psum-merges across the mesh — the device-side input for
+    ops.huffman.context_codebooks (escape frequencies join host-side)."""
+
+    def _shard_body(codes, n_samples):
+        flagpos, nseg = rle_encode(codes, n_samples)
+        ctx_hist = jax.lax.psum(ctx_flag_histogram(flagpos, n_samples), DATA_AXIS)
+        return flagpos, nseg, ctx_hist
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P()),
         check_rep=False,
     )
     return jax.jit(sharded)
