@@ -649,6 +649,279 @@ int do_compress(const char* in_path, const char* out_path) {
   return 0;
 }
 
+// ----------------------------------------------------- .vcfz container
+// format/vcfz.py layout (little-endian).  Canonical codebooks rebuilt
+// from length tables (ops/huffman.py::Codebook.from_lengths); v2 selects
+// the table per symbol by the class of the previous one.
+struct VcfzBlock {
+  uint64_t payload_len, n_symbols;
+  uint8_t ref_first;
+  uint32_t pos_first;
+  uint8_t ref_last;
+  uint32_t pos_last, cummax_end;
+  uint64_t payload_off;
+};
+
+constexpr int kMaxCodeLen = 15;
+constexpr int kNCtx = 4;
+constexpr int kCtxInit = 1;
+
+struct Vcfz {
+  const uint8_t* raw;
+  size_t size;
+  uint32_t version, block_lines;
+  uint64_t n_lines;
+  uint32_t n_samples;
+  const uint8_t* header_blob;
+  uint64_t header_len;
+  std::vector<std::pair<const uint8_t*, uint16_t>> escapes;
+  uint32_t n_symbols;
+  std::vector<std::vector<int32_t>> sym_tables;  // per ctx, 1<<15 entries
+  std::vector<std::vector<uint8_t>> len_tables;
+  std::vector<uint8_t> class_of;  // per alphabet symbol
+  const uint32_t* req_len;
+  const uint32_t* nsym;
+  const uint8_t* req_blob;
+  std::vector<uint64_t> req_start;
+  std::vector<VcfzBlock> blocks;
+  const uint8_t* payload_base;
+};
+
+uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+uint64_t rd_u64(const uint8_t* p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;
+}
+
+void build_decode_table(const uint8_t* lengths, uint32_t n_symbols,
+                        std::vector<int32_t>* sym_t, std::vector<uint8_t>* len_t) {
+  sym_t->assign(size_t(1) << kMaxCodeLen, 0);
+  len_t->assign(size_t(1) << kMaxCodeLen, 0);
+  uint32_t code = 0;
+  for (int bit_len = 1; bit_len <= kMaxCodeLen; bit_len++) {
+    for (uint32_t sym = 0; sym < n_symbols; sym++) {
+      if (lengths[sym] != bit_len) continue;
+      uint32_t prefix = code << (kMaxCodeLen - bit_len);
+      uint32_t count = 1u << (kMaxCodeLen - bit_len);
+      for (uint32_t k = 0; k < count; k++) {
+        (*sym_t)[prefix + k] = int32_t(sym);
+        (*len_t)[prefix + k] = uint8_t(bit_len);
+      }
+      code++;
+    }
+    code <<= 1;
+  }
+}
+
+Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
+  Vcfz z;
+  z.raw = raw;
+  z.size = n;
+  if (n < 4 || memcmp(raw, "VCFZ", 4) != 0) die("not a .vcfz container");
+  size_t off = 4;
+  z.version = rd_u32(raw + off);
+  uint8_t max_len = raw[off + 4];
+  z.block_lines = rd_u32(raw + off + 5);
+  off += 9;
+  if ((z.version != 1 && z.version != 2) || max_len != kMaxCodeLen)
+    die("unsupported .vcfz version");
+  z.n_lines = rd_u64(raw + off);
+  z.n_samples = rd_u32(raw + off + 8);
+  off += 12;
+  z.header_len = rd_u64(raw + off);
+  off += 8;
+  z.header_blob = raw + off;
+  off += z.header_len;
+  uint32_t n_esc = rd_u32(raw + off);
+  off += 4;
+  for (uint32_t i = 0; i < n_esc; i++) {
+    uint16_t elen;
+    memcpy(&elen, raw + off, 2);
+    off += 2;
+    z.escapes.emplace_back(raw + off, elen);
+    off += elen;
+  }
+  z.n_symbols = rd_u32(raw + off);
+  off += 4;
+  int n_books = z.version == 1 ? 1 : kNCtx;
+  z.sym_tables.resize(n_books);
+  z.len_tables.resize(n_books);
+  for (int b = 0; b < n_books; b++) {
+    build_decode_table(raw + off, z.n_symbols, &z.sym_tables[b], &z.len_tables[b]);
+    off += z.n_symbols;
+  }
+  z.class_of.resize(z.n_symbols);
+  for (uint32_t s = 0; s < z.n_symbols; s++)
+    z.class_of[s] = s == 0x7F ? 0 : s < 0x80 ? 1 : s < 0x100 ? 2 : 3;
+  z.req_len = reinterpret_cast<const uint32_t*>(raw + off);
+  off += 4 * z.n_lines;
+  z.nsym = reinterpret_cast<const uint32_t*>(raw + off);
+  off += 4 * z.n_lines;
+  uint64_t req_blob_len = rd_u64(raw + off);
+  off += 8;
+  z.req_blob = raw + off;
+  off += req_blob_len;
+  z.req_start.resize(z.n_lines);
+  uint64_t acc = 0;
+  for (uint64_t i = 0; i < z.n_lines; i++) {
+    z.req_start[i] = acc;
+    acc += rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + i));
+  }
+  uint32_t n_blocks = rd_u32(raw + off);
+  off += 4;
+  uint64_t poff = 0;
+  for (uint32_t b = 0; b < n_blocks; b++) {
+    VcfzBlock blk;
+    blk.payload_len = rd_u64(raw + off);
+    blk.n_symbols = rd_u64(raw + off + 8);
+    blk.ref_first = raw[off + 16];
+    blk.pos_first = rd_u32(raw + off + 17);
+    blk.ref_last = raw[off + 21];
+    blk.pos_last = rd_u32(raw + off + 22);
+    blk.cummax_end = rd_u32(raw + off + 26);
+    blk.payload_off = poff;
+    poff += blk.payload_len;
+    off += 30;
+    z.blocks.push_back(blk);
+  }
+  z.payload_base = raw + off;
+  return z;
+}
+
+// Decode block b's symbols (context-switching canonical Huffman) and
+// reconstruct each line's .vcfc bytes into *out_lines.
+void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lines) {
+  const VcfzBlock& blk = z.blocks[b];
+  const uint8_t* payload = z.payload_base + blk.payload_off;
+  std::vector<int32_t> syms(blk.n_symbols);
+  uint64_t acc = 0;
+  int navail = 0;
+  uint64_t byte_pos = 0;
+  int ctx = z.version == 1 ? 0 : kCtxInit;
+  for (uint64_t i = 0; i < blk.n_symbols; i++) {
+    while (navail < kMaxCodeLen) {
+      uint8_t c = byte_pos < blk.payload_len ? payload[byte_pos++] : 0;
+      acc = (acc << 8) | c;
+      navail += 8;
+    }
+    uint32_t prefix = (acc >> (navail - kMaxCodeLen)) & ((1u << kMaxCodeLen) - 1);
+    uint8_t ln = z.len_tables[ctx][prefix];
+    if (ln == 0) die("invalid Huffman stream");
+    int32_t sym = z.sym_tables[ctx][prefix];
+    syms[i] = sym;
+    navail -= ln;
+    if (z.version == 2) ctx = z.class_of[sym];
+  }
+
+  uint64_t lo = uint64_t(b) * z.block_lines;
+  uint64_t hi = std::min(lo + z.block_lines, z.n_lines);
+  size_t spos = 0;
+  for (uint64_t i = lo; i < hi; i++) {
+    uint32_t n = rd_u32(reinterpret_cast<const uint8_t*>(z.nsym + i));
+    // body: flag bytes; escapes expand to 0xE1 + text + '\t' unless the
+    // line's final sample (compress.cpp:182-184 tab rule)
+    std::string body;
+    long long covered = 0;
+    for (uint32_t k = 0; k < n; k++) {
+      int32_t s = syms[spos + k];
+      if (s < 256) {
+        body.push_back(char(s));
+        covered += (s & 0x80) == 0 ? (s & 0x7F) : ((s & 0xE0) == 0xE0 ? 1 : (s & 0x1F));
+      } else {
+        body.push_back(char(0xE1));
+        auto& e = z.escapes[s - 256];
+        body.append(reinterpret_cast<const char*>(e.first), e.second);
+        covered += 1;
+        if (covered < (long long)z.n_samples) body.push_back('\t');
+      }
+    }
+    spos += n;
+    uint32_t rlen = rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + i));
+    std::string line;
+    line.resize(8);
+    uint32_t total = 4 + rlen + uint32_t(body.size()) + 1;
+    line[0] = char(0xC0 | ((total >> 24) & 0x3F));
+    line[1] = char((total >> 16) & 0xFF);
+    line[2] = char((total >> 8) & 0xFF);
+    line[3] = char(total & 0xFF);
+    line[4] = char(0xC0 | ((rlen >> 24) & 0x3F));
+    line[5] = char((rlen >> 16) & 0xFF);
+    line[6] = char((rlen >> 8) & 0xFF);
+    line[7] = char(rlen & 0xFF);
+    line.append(reinterpret_cast<const char*>(z.req_blob + z.req_start[i]), rlen);
+    line += body;
+    line.push_back('\n');
+    out_lines->push_back(std::move(line));
+  }
+}
+
+// format/vcfz.py::query_vcfz semantics (ref-only = full-scan semantics)
+int do_query_z(const char* path, const std::string& region) {
+  Mapped m;
+  if (!map_file(path, &m)) die(std::string("cannot open ") + path);
+  Vcfz z = parse_vcfz(m.data, m.size);
+  Query q = parse_region(region);
+  int q_ref = ref_ordinal(q.ref);
+  bool ref_only = !q.has_start && !q.has_end;
+  std::string out;
+  std::vector<std::string> lines;
+  for (size_t b = 0; b < z.blocks.size(); b++) {
+    const VcfzBlock& blk = z.blocks[b];
+    if ((int)blk.ref_last < q_ref || (int)blk.ref_first > q_ref) continue;
+    if (!ref_only && blk.ref_first == blk.ref_last) {
+      if ((int)blk.ref_first == q_ref && (long long)blk.pos_first > q.end) continue;
+      if ((int)blk.ref_last == q_ref && (long long)blk.cummax_end < q.start) continue;
+    }
+    lines.clear();
+    vcfz_block_lines(z, b, &lines);
+    for (const std::string& lb : lines) {
+      const uint8_t* lp = reinterpret_cast<const uint8_t*>(lb.data());
+      LineView lv;
+      if (!next_line(lp, lb.size(), 0, &lv)) break;
+      if (ref_only) {
+        int line_ref = ref_ordinal(lv.chrom);
+        if (line_ref == q_ref)
+          decode_data_line(lp, lb.size(), 0, z.n_samples, &out);
+        else if (line_ref > q_ref)
+          goto done;
+        continue;
+      }
+      int cmp = q.compare_to_range(lv.chrom, lv.pos, end_position(lv));
+      if (cmp == 0)
+        decode_data_line(lp, lb.size(), 0, z.n_samples, &out);
+      else if (cmp < 0)
+        goto done;
+    }
+  }
+done:
+  fwrite(out.data(), 1, out.size(), stdout);
+  return 0;
+}
+
+int do_decompress_z(const char* in_path, const char* out_path) {
+  Mapped m;
+  if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
+  Vcfz z = parse_vcfz(m.data, m.size);
+  std::string out;
+  out.append(reinterpret_cast<const char*>(z.header_blob), z.header_len);
+  std::vector<std::string> lines;
+  std::string text;
+  for (size_t b = 0; b < z.blocks.size(); b++) {
+    lines.clear();
+    vcfz_block_lines(z, b, &lines);
+    for (const std::string& lb : lines)
+      decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
+                       z.n_samples, &out);
+  }
+  if (!write_file(out_path, out)) die(std::string("cannot write ") + out_path);
+  return 0;
+}
+
 // ------------------------------------------------- offset-as-index layer
 // utils/config.py::SparseConfig (sparse.hpp:29-34, sparse.cpp:18-51):
 // offset(ref,pos) = (max_position + pos) * F * B.  Files are petabyte-
@@ -956,6 +1229,8 @@ int main(int argc, char** argv) {
   if (action == "query-sparse-index" && argc == 4)
     return do_query_sparse_index(argv[2], argv[3]);
   if (action == "gap-analysis" && argc == 3) return do_gap_analysis(argv[2]);
+  if (action == "query-z" && argc == 4) return do_query_z(argv[2], argv[3]);
+  if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
   fprintf(stderr, "vcfcq: bad arguments for action '%s'\n", action.c_str());
   return 1;
 }

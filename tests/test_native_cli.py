@@ -134,3 +134,34 @@ class TestNativeCliSparse:
             b"%s %d %d\n" % (pos, size, comp) for pos, size, comp in gap_analysis(vcfc)
         )
         assert got == want
+
+
+class TestNativeCliVcfz:
+    def test_query_z_and_decompress_z(self, corpus, tmp_path):
+        from vcfc_tpu.format.vcfz import query_vcfz, vcfz_from_vcfc
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        z = vcfz_from_vcfc(vcfc)
+        z_path = tmp_path / "c.vcfz"
+        z_path.write_bytes(z)
+
+        out = tmp_path / "z.vcf"
+        run(["decompress-z", str(z_path), str(out)])
+        assert out.read_bytes() == vcf
+
+        for region in ["1", "X", "1:1000-5000", "X:8000-12000", "7"]:
+            q = parse_coordinate_string(region)
+            want = b"".join(query_vcfz(z, q))
+            got = run(["query-z", str(z_path), region]).stdout
+            assert got == want, region
+
+    def test_query_z_v1_container(self, corpus, tmp_path):
+        from vcfc_tpu.format.vcfz import query_vcfz, vcfz_from_vcfc
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        z = vcfz_from_vcfc(vcfc, version=1)
+        z_path = tmp_path / "c1.vcfz"
+        z_path.write_bytes(z)
+        q = parse_coordinate_string("1:1000-5000")
+        want = b"".join(query_vcfz(z, q))
+        assert run(["query-z", str(z_path), "1:1000-5000"]).stdout == want
