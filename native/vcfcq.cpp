@@ -35,6 +35,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <fcntl.h>
@@ -96,6 +97,25 @@ bool write_file(const char* path, const std::string& bytes) {
 [[noreturn]] void die(const std::string& msg) {
   fprintf(stderr, "vcfcq: %s\n", msg.c_str());
   exit(1);
+}
+
+// Chunk [0, n) across workers; body(w, lo, hi) runs on its own thread.
+// Line-independent codec work parallelizes this way (compress.cpp:5 —
+// every data line is self-contained).
+template <typename F>
+void parallel_chunks(int64_t n, F&& body) {
+  int workers = int(std::min<int64_t>(
+      n, std::min<unsigned>(std::thread::hardware_concurrency(), 16)));
+  if (workers <= 1) {
+    body(0, 0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int w = 0; w < workers; w++) {
+    int64_t lo = n * w / workers, hi = n * (w + 1) / workers;
+    ts.emplace_back([&body, w, lo, hi] { body(w, lo, hi); });
+  }
+  for (auto& t : ts) t.join();
 }
 
 // ------------------------------------------------------------ refmap
@@ -239,13 +259,35 @@ size_t decode_data_line(const uint8_t* buf, size_t n, size_t offset, long long s
   out->append(reinterpret_cast<const char*>(req), size_t(required_length));
   offset += size_t(required_length);
 
+  // precomputed 127-run patterns: bulk-append instead of per-sample
+  static const std::string kRun00 = [] {
+    std::string s;
+    for (int i = 0; i < 127; i++) s += "0|0\t";
+    return s;
+  }();
+  static const std::string kRun01 = [] {
+    std::string s;
+    for (int i = 0; i < 31; i++) s += "0|1\t";
+    return s;
+  }();
+  static const std::string kRun10 = [] {
+    std::string s;
+    for (int i = 0; i < 31; i++) s += "1|0\t";
+    return s;
+  }();
+  static const std::string kRun11 = [] {
+    std::string s;
+    for (int i = 0; i < 31; i++) s += "1|1\t";
+    return s;
+  }();
+
   long long produced = 0;
   while (produced < sample_count) {
     if (offset >= n) die("Missing samples");
     uint8_t b = buf[offset++];
     if ((b & 0x80) == 0) {  // run of 0|0, 7-bit count (compress.cpp:126)
       int count = b & 0x7F;
-      for (int i = 0; i < count; i++) out->append("0|0\t", 4);
+      out->append(kRun00.data(), size_t(count) * 4);
       produced += count;
       if (produced >= sample_count) out->pop_back();  // compress.cpp:865-868
     } else if ((b & 0xE0) == 0xE0) {  // escape: raw ASCII cols follow
@@ -270,20 +312,25 @@ size_t decode_data_line(const uint8_t* buf, size_t n, size_t offset, long long s
       }
     } else {  // 0|1 / 1|0 / 1|1 runs, 5-bit count
       uint8_t masked = b & 0xE0;
-      const char* gt;
+      const std::string* pat;
       if (masked == 0xA0)
-        gt = "0|1";
+        pat = &kRun01;
       else if (masked == 0xC0)
-        gt = "1|0";
+        pat = &kRun10;
       else if (masked == 0x80)
-        gt = "1|1";
+        pat = &kRun11;
       else
         die("unrecognized bitmask during decompression");
       int count = b & 0x1F;
-      for (int i = 0; i < count; i++) {
-        out->append(gt, 3);
-        produced++;
-        if (produced < sample_count) out->push_back('\t');
+      if (produced + count < sample_count) {  // bulk: every sample tabbed
+        out->append(pat->data(), size_t(count) * 4);
+        produced += count;
+      } else {
+        for (int i = 0; i < count; i++) {
+          out->append(pat->data(), 3);
+          produced++;
+          if (produced < sample_count) out->push_back('\t');
+        }
       }
     }
   }
@@ -546,12 +593,28 @@ int do_decompress(const char* in_path, const char* out_path) {
   Mapped m;
   if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
   Header h = parse_meta(m.data, m.size);
-  std::string out;
-  out.reserve(m.size * 8);
-  out.append(reinterpret_cast<const char*>(m.data), h.data_offset);  // verbatim
+  // line offsets by length-header hops, then thread-parallel decode
+  std::vector<size_t> offs;
   size_t off = h.data_offset;
-  while (off < m.size) off += decode_data_line(m.data, m.size, off, h.sample_count, &out);
-  if (!write_file(out_path, out)) die(std::string("cannot write ") + out_path);
+  while (off < m.size) {
+    offs.push_back(off);
+    if (off + 4 > m.size) die("Truncated line length headers");
+    off += 4 + size_t(read_len_header(m.data + off));
+  }
+  std::vector<std::string> parts(16);
+  // decoded text is ~8x the compressed bytes on RLE-heavy cohorts
+  size_t est_line = offs.empty() ? 0 : (m.size - h.data_offset) * 8 / offs.size();
+  parallel_chunks(int64_t(offs.size()), [&](int w, int64_t lo, int64_t hi) {
+    std::string& out = parts[w];
+    out.reserve(size_t(hi - lo) * (est_line + 64));
+    for (int64_t i = lo; i < hi; i++)
+      decode_data_line(m.data, m.size, offs[size_t(i)], h.sample_count, &out);
+  });
+  FILE* f = fopen(out_path, "wb");
+  if (!f) die(std::string("cannot write ") + out_path);
+  fwrite(m.data, 1, h.data_offset, f);  // meta/header verbatim
+  for (auto& p : parts) fwrite(p.data(), 1, p.size(), f);
+  if (fclose(f) != 0) die("write failed");
   return 0;
 }
 
@@ -625,27 +688,36 @@ void encode_data_line(const uint8_t* line, size_t len, std::string* out) {
 int do_compress(const char* in_path, const char* out_path) {
   Mapped m;
   if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
-  std::string out;
-  out.reserve(m.size / 4);
+  // line extents (empty lines ignored, compress.cpp:219-221), then
+  // thread-parallel per-line encode — every line is self-contained
+  std::vector<std::pair<size_t, size_t>> lines;
+  lines.reserve(m.size / 64 + 8);
   size_t off = 0;
   while (off < m.size) {
     const uint8_t* nl =
         static_cast<const uint8_t*>(memchr(m.data + off, '\n', m.size - off));
     size_t end = nl ? size_t(nl - m.data) : m.size;
-    size_t len = end - off;
-    if (len == 0) {  // empty lines ignored (compress.cpp:219-221)
-      off = end + 1;
-      continue;
-    }
-    if (m.data[off] == '#') {
-      out.append(reinterpret_cast<const char*>(m.data + off), len);
-      out.push_back('\n');
-    } else {
-      encode_data_line(m.data + off, len, &out);
-    }
+    if (end > off) lines.emplace_back(off, end);
     off = end + 1;
   }
-  if (!write_file(out_path, out)) die(std::string("cannot write ") + out_path);
+  std::vector<std::string> parts(16);
+  parallel_chunks(int64_t(lines.size()), [&](int w, int64_t lo, int64_t hi) {
+    std::string& out = parts[w];
+    out.reserve(size_t(hi - lo) * 256);
+    for (int64_t i = lo; i < hi; i++) {
+      auto [s, e] = lines[size_t(i)];
+      if (m.data[s] == '#') {  // meta/header passthrough, wherever it is
+        out.append(reinterpret_cast<const char*>(m.data + s), e - s);
+        out.push_back('\n');
+      } else {
+        encode_data_line(m.data + s, e - s, &out);
+      }
+    }
+  });
+  FILE* f = fopen(out_path, "wb");
+  if (!f) die(std::string("cannot write ") + out_path);
+  for (auto& p : parts) fwrite(p.data(), 1, p.size(), f);
+  if (fclose(f) != 0) die("write failed");
   return 0;
 }
 
