@@ -470,6 +470,58 @@ extern "C" int64_t vcfz_huffman_decode_ctx(
   return 0;
 }
 
+// Compact positional flags to per-line value streams (the .vcfz symbol
+// extraction): out[base[i]..] receives line i's nonzero flag bytes in
+// sample order.  Thread-parallel over lines.
+extern "C" void vcfc_compact_flags(const uint8_t* flagpos, int64_t L, int64_t W,
+                                   const int64_t* base, uint8_t* out) {
+  parallel_for(L, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* row = flagpos + i * W;
+      uint8_t* dst = out + base[i];
+      for (int64_t j = 0; j < W; ++j) {
+        uint8_t v = row[j];
+        if (v) *dst++ = v;
+      }
+    }
+  });
+}
+
+// Context-switching canonical Huffman ENCODE (.vcfz writer): MSB-first
+// bit packing of a symbol stream, table selected by the class of the
+// previous symbol.  Tables are (n_ctx, alphabet); ctx_init seeds the
+// stream (blocks are packed independently).  Returns bytes written, or
+// -1 on a symbol without a codeword / output overflow.
+extern "C" int64_t vcfz_huffman_encode_ctx(
+    const int32_t* symbols, int64_t n_symbols, const uint32_t* codes,
+    const uint8_t* lengths, const uint8_t* class_of, int32_t ctx_init,
+    int64_t alphabet, uint8_t* out, int64_t out_cap) {
+  uint64_t acc = 0;
+  int nbits = 0;
+  int64_t pos = 0;
+  int32_t ctx = ctx_init;
+  for (int64_t i = 0; i < n_symbols; ++i) {
+    int32_t sym = symbols[i];
+    if (sym < 0 || sym >= alphabet) return -1;
+    const int64_t base = int64_t(ctx) * alphabet + sym;
+    uint8_t ln = lengths[base];
+    if (ln == 0) return -1;
+    acc = (acc << ln) | codes[base];
+    nbits += ln;
+    while (nbits >= 8) {
+      if (pos >= out_cap) return -1;
+      out[pos++] = uint8_t((acc >> (nbits - 8)) & 0xFF);
+      nbits -= 8;
+    }
+    ctx = class_of[sym];
+  }
+  if (nbits > 0) {
+    if (pos >= out_cap) return -1;
+    out[pos++] = uint8_t((acc << (8 - nbits)) & 0xFF);
+  }
+  return pos;
+}
+
 // ---------------------------------------------------------------------------
 // VCF text line indexing (encode parse): find every data line's start, end
 // (exclusive of '\n') and sample start (after the 9th tab).  Two-phase and

@@ -101,16 +101,14 @@ def _symbol_streams_native(vcfc: bytes):
 
     parsed = parse_vcfc_native(vcfc)
     L = parsed.n_lines
-    flags = parsed.flags
     if parsed.oracle_line.any():
         # structurally irregular lines (never produced by our encoder)
         # would break first-occurrence escape-id ordering if spliced;
         # keep the byte contract by taking the oracle walk wholesale
         return None
-    # row-major nonzero: per-line flag bytes in sample order
-    rows, cols = np.nonzero(flags)
-    values = flags[rows, cols].astype(np.int32)
-    nsym = (flags > 0).sum(axis=1).astype(np.int32)
+    # per-line flag bytes in sample order (native compaction)
+    nsym = parsed.nflags.astype(np.int32)
+    values = native_mod.compact_flags(parsed.flags, nsym).astype(np.int32)
 
     # escape-dictionary coding: replace 0xE1 flags with 256 + id.  The
     # native escape side channel is ordered by (line, sample), matching
@@ -127,26 +125,37 @@ def _symbol_streams_native(vcfc: bytes):
             # fixed-width keys -> np.unique dedup, then remap the ids to
             # FIRST-OCCURRENCE order so the output bytes are identical to
             # the oracle walker's (CLAUDE.md byte contract: every fast
-            # path must produce the same bytes as the fallback)
-            keys = np.zeros((n_esc, max_len + 4), np.uint8)
-            keys[:, :4] = (
-                ln.astype(np.uint32).view(np.uint8).reshape(-1, 4)
-            )
+            # path must produce the same bytes as the fallback).  Short
+            # escapes (the overwhelmingly common case: GT strings like
+            # "2|0") pack into one u64 key — ~20x faster to unique than
+            # a wide void dtype.
+            kw = max_len + 1 if max_len <= 7 else max_len + 4
+            keys = np.zeros((n_esc, 8 if max_len <= 7 else kw), np.uint8)
+            if max_len <= 7:
+                keys[:, 0] = ln.astype(np.uint8)
+                content_col = 1
+            else:
+                keys[:, :4] = ln.astype(np.uint32).view(np.uint8).reshape(-1, 4)
+                content_col = 4
             gather = off[:, None] + np.arange(max_len)[None, :]
             valid = np.arange(max_len)[None, :] < ln[:, None]
-            keys[:, 4:] = np.where(valid, raw_np[np.minimum(gather, len(raw_np) - 1)], 0)
+            keys[:, content_col : content_col + max_len] = np.where(
+                valid, raw_np[np.minimum(gather, len(raw_np) - 1)], 0
+            )
+            if max_len <= 7:
+                key_view = keys.view(np.uint64).reshape(-1)
+            else:
+                key_view = keys.view([("k", np.uint8, keys.shape[1])]).reshape(-1)
             uniq, first_pos, inv = np.unique(
-                keys.view([("k", np.uint8, max_len + 4)]).reshape(-1),
-                return_index=True,
-                return_inverse=True,
+                key_view, return_index=True, return_inverse=True
             )
             order = np.argsort(first_pos, kind="stable")  # first-seen order
             rank = np.empty(len(uniq), np.int32)
             rank[order] = np.arange(len(uniq), dtype=np.int32)
-            uniq_keys = uniq.view(np.uint8).reshape(len(uniq), max_len + 4)[order]
+            uniq_keys = uniq.view(np.uint8).reshape(len(uniq), keys.shape[1])[order]
             for k in uniq_keys:
-                klen = int(k[:4].view(np.uint32)[0])
-                esc_list.append(bytes(k[4 : 4 + klen]))
+                klen = int(k[0]) if max_len <= 7 else int(k[:4].view(np.uint32)[0])
+                esc_list.append(bytes(k[content_col : content_col + klen]))
             values[esc_mask] = 256 + rank[inv]
         else:  # pragma: no cover - pathologically long escape strings
             d: dict[bytes, int] = {}

@@ -136,6 +136,13 @@ def _load():
                 _u8p, _i64, _i64, _i32p, _u8p, _u8p,
                 ctypes.c_int32, ctypes.c_int32, _i32p,
             ]
+            lib.vcfz_huffman_encode_ctx.restype = _i64
+            lib.vcfz_huffman_encode_ctx.argtypes = [
+                _i32p, _i64, ctypes.POINTER(ctypes.c_uint32), _u8p, _u8p,
+                ctypes.c_int32, _i64, _u8p, _i64,
+            ]
+            lib.vcfc_compact_flags.restype = None
+            lib.vcfc_compact_flags.argtypes = [_u8p, _i64, _i64, _i64p, _u8p]
             lib.vcfc_count_lines.restype = _i64
             lib.vcfc_count_lines.argtypes = [_u8p, _i64, _i64, _i64, _i64p]
             lib.vcfc_index_lines.restype = None
@@ -305,6 +312,45 @@ def huffman_decode_ctx(
     if r != 0:
         raise ValueError("invalid Huffman stream")
     return out
+
+
+def compact_flags(flagpos: np.ndarray, nflags: np.ndarray) -> np.ndarray:
+    """Per-line nonzero flag bytes in sample order, concatenated (the
+    .vcfz symbol extraction; thread-parallel over lines)."""
+    lib = _load()
+    flagpos = np.ascontiguousarray(flagpos, np.uint8)
+    L, W = flagpos.shape
+    base = np.zeros(L, np.int64)
+    if L > 1:
+        np.cumsum(nflags[:-1], out=base[1:], dtype=np.int64)
+    out = np.empty(int(nflags.sum()), np.uint8)
+    lib.vcfc_compact_flags(_ptr(flagpos, _u8p), L, W, _ptr(base, _i64p), _ptr(out, _u8p))
+    return out
+
+
+def huffman_encode_ctx(
+    symbols: np.ndarray,
+    codes: np.ndarray,  # (n_ctx, alphabet) uint32
+    lengths: np.ndarray,  # (n_ctx, alphabet) uint8
+    class_of: np.ndarray,
+    ctx_init: int,
+) -> bytes:
+    """Context-switching canonical Huffman bit packing (native)."""
+    lib = _load()
+    symbols = np.ascontiguousarray(symbols, np.int32)
+    codes = np.ascontiguousarray(codes, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.uint8)
+    class_of = np.ascontiguousarray(class_of, np.uint8)
+    out = np.empty(2 * len(symbols) + 8, np.uint8)  # <= 15 bits/symbol
+    n = lib.vcfz_huffman_encode_ctx(
+        _ptr(symbols, _i32p), len(symbols),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _ptr(lengths, _u8p), _ptr(class_of, _u8p),
+        ctx_init, lengths.shape[1], _ptr(out, _u8p), len(out),
+    )
+    if n < 0:
+        raise ValueError("symbol without a codeword in its context codebook")
+    return out[:n].tobytes()
 
 
 def index_lines(raw: np.ndarray, data_offset: int, workers: int = 0):

@@ -172,7 +172,8 @@ def context_codebooks(
 
 
 def pack_symbols_ctx(symbols: np.ndarray, books: list[Codebook]) -> tuple[bytes, int]:
-    """Context-switching MSB-first packing (vectorized)."""
+    """Context-switching MSB-first packing (native bit writer when
+    available; the numpy path below is the oracle fallback)."""
     symbols = np.asarray(symbols, np.int64)
     n_alphabet = len(books[0].lengths)
     classes = symbol_classes(n_alphabet)
@@ -182,6 +183,15 @@ def pack_symbols_ctx(symbols: np.ndarray, books: list[Codebook]) -> tuple[bytes,
     lengths = all_lengths[ctx, symbols].astype(np.int64)
     if (lengths == 0).any():
         raise ValueError("symbol with no codeword in its context codebook")
+
+    from ..host import native
+
+    if native.available():
+        payload = native.huffman_encode_ctx(
+            symbols, all_codes, all_lengths, classes, CTX_INIT
+        )
+        return payload, int(lengths.sum())
+
     codes = all_codes[ctx, symbols].astype(np.uint64)
     total = int(lengths.sum())
     ends = np.cumsum(lengths)
