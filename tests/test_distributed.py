@@ -83,3 +83,61 @@ def test_two_process_cooperative_compress(tmp_path):
 
     want = compress_bytes(vcf)
     assert out_path.read_bytes() == want, "stitched output != single-process oracle"
+
+
+_WORKER_Z = _WORKER.replace("compress_multihost", "compress_multihost_vcfz")
+
+
+def test_two_process_cooperative_vcfz(tmp_path):
+    """2-process .vcfz transcode: global escape dict + codebooks via
+    allgather, blocks packed per stripe — byte-identical to the
+    single-process writer."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vcf = make_vcf(701, 120, 700, sv_every=17)
+    in_path = tmp_path / "in.vcf"
+    out_path = tmp_path / "out.vcfz"
+    in_path.write_bytes(vcf)
+    worker = tmp_path / "workerz.py"
+    worker.write_text(_WORKER_Z)
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    errs = [open(tmp_path / f"z{pid}.err", "wb") for pid in (0, 1)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), repo, port, str(pid), str(in_path), str(out_path)],
+            stdout=subprocess.PIPE,
+            stderr=errs[pid],
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=280)
+            assert p.returncode == 0, (tmp_path / f"z{pid}.err").read_text()[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in errs:
+            f.close()
+
+    from vcfc_tpu import engine
+    from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+    want = vcfz_from_vcfc(engine.compress(vcf))
+    assert out_path.read_bytes() == want
+
+
+def test_single_process_vcfz_matches_writer(tmp_path):
+    from vcfc_tpu import engine
+    from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+    from vcfc_tpu.parallel.distributed import compress_multihost_vcfz
+
+    vcf = make_vcf(702, 60, 300, sv_every=11)
+    in_path = tmp_path / "a.vcf"
+    out_path = tmp_path / "a.vcfz"
+    in_path.write_bytes(vcf)
+    compress_multihost_vcfz(str(in_path), str(out_path))
+    assert out_path.read_bytes() == vcfz_from_vcfc(engine.compress(vcf))

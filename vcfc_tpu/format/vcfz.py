@@ -169,6 +169,58 @@ def _symbol_streams_native(vcfc: bytes):
     return values, nsym, esc_list
 
 
+def symbol_streams(vcfc: bytes, recs=None):
+    """Symbol streams for every data line of a .vcfc stream.
+
+    Returns (all_syms int32 concatenated, nsym uint32 per line, escape
+    list in first-occurrence order).  Native fast path with a per-line
+    oracle-walk fallback; both produce identical output."""
+    if recs is None:
+        from ..index.scan import scan_lines
+
+        recs = list(scan_lines(vcfc))
+    fast = _symbol_streams_native(vcfc)
+    if fast is not None:
+        all_syms, nsym_i32, esc_list = fast
+        return all_syms, nsym_i32.astype(np.uint32), esc_list
+    escape_dict: dict[bytes, int] = {}
+    per_line_syms = [
+        _line_symbol_stream(vcfc, r.offset, r.line_length, r.required_length, escape_dict)
+        for r in recs
+    ]
+    all_syms = np.concatenate(
+        [np.asarray(s, np.int32) for s in per_line_syms]
+    ) if per_line_syms else np.zeros(0, np.int32)
+    nsym = np.array([len(s) for s in per_line_syms], np.uint32)
+    esc_list = sorted(escape_dict, key=escape_dict.get)
+    return all_syms, nsym, esc_list
+
+
+def serialize_prefix(
+    version: int,
+    block_lines: int,
+    n_lines: int,
+    n_samples: int,
+    header_blob: bytes,
+    esc_list: list[bytes],
+    books: list[Codebook],
+) -> bytes:
+    """Container bytes before the req_lens array (magic through the
+    canonical length tables) — identical on every host given the same
+    global escape dictionary and codebooks."""
+    out = bytearray()
+    out += MAGIC + struct.pack("<IBI", version, MAX_CODE_LEN, block_lines)
+    out += struct.pack("<QI", n_lines, n_samples)
+    out += struct.pack("<Q", len(header_blob)) + header_blob
+    out += struct.pack("<I", len(esc_list))
+    for e in esc_list:
+        out += struct.pack("<H", len(e)) + e
+    out += struct.pack("<I", 256 + len(esc_list))
+    for book in books:  # v1: one length table; v2: N_CTX tables
+        out += book.lengths.tobytes()
+    return bytes(out)
+
+
 def vcfz_from_vcfc(
     vcfc: bytes, block_lines: int = DEFAULT_BLOCK_LINES, version: int = VERSION
 ) -> bytes:
@@ -198,22 +250,7 @@ def vcfz_from_vcfc(
         refs[i] = reference_to_int(r.chrom)
         ends[i] = r.end_position()
 
-    fast = _symbol_streams_native(vcfc)
-    if fast is not None:
-        all_syms, nsym_i32, esc_list = fast
-        nsym = nsym_i32.astype(np.uint32)
-    else:  # numpy fallback: per-line oracle walk
-        escape_dict: dict[bytes, int] = {}
-        per_line_syms = [
-            _line_symbol_stream(raw, r.offset, r.line_length, r.required_length, escape_dict)
-            for r in recs
-        ]
-        all_syms = np.concatenate(
-            [np.asarray(s, np.int32) for s in per_line_syms]
-        ) if per_line_syms else np.zeros(0, np.int32)
-        nsym = np.array([len(s) for s in per_line_syms], np.uint32)
-        esc_list = sorted(escape_dict, key=escape_dict.get)
-
+    all_syms, nsym, esc_list = symbol_streams(vcfc, recs)
     n_symbols = 256 + len(esc_list)
     sym_ends = np.cumsum(nsym)
 
@@ -232,15 +269,7 @@ def vcfz_from_vcfc(
         )
 
     out = bytearray()
-    out += MAGIC + struct.pack("<IBI", version, MAX_CODE_LEN, block_lines)
-    out += struct.pack("<QI", L, S)
-    out += struct.pack("<Q", len(header_blob)) + header_blob
-    out += struct.pack("<I", len(esc_list))
-    for e in esc_list:
-        out += struct.pack("<H", len(e)) + e
-    out += struct.pack("<I", n_symbols)
-    for book in books:  # v1: one length table; v2: N_CTX tables
-        out += book.lengths.tobytes()
+    out += serialize_prefix(version, block_lines, L, S, header_blob, esc_list, books)
     out += req_lens.tobytes()
     out += nsym.tobytes()
     req_blob = b"".join(req_blobs)

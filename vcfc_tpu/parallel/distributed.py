@@ -113,3 +113,213 @@ def compress_multihost(input_path: str, output_path: str) -> dict:
         "total_bytes": len(header_blob) + total,
         "histogram": hist.tolist(),
     }
+
+
+def _allgather_array(arr: np.ndarray) -> np.ndarray:
+    """All processes receive every process's equally-shaped array, stacked
+    on axis 0 in process order."""
+    if jax.process_count() == 1:
+        return arr[None]
+    from jax.experimental.multihost_utils import process_allgather
+
+    return np.asarray(process_allgather(jnp.asarray(arr)))
+
+
+def _allgather_blobs(blob: bytes) -> list[bytes]:
+    """Variable-length byte blobs from every process, in process order."""
+    sizes = _allgather_sizes(len(blob))
+    if jax.process_count() == 1:
+        return [blob]
+    m = int(sizes.max())
+    padded = np.zeros(max(m, 1), np.uint8)
+    padded[: len(blob)] = np.frombuffer(blob, np.uint8)
+    stacked = _allgather_array(padded)
+    return [bytes(stacked[p, : int(sizes[p])]) for p in range(len(sizes))]
+
+
+def compress_multihost_vcfz(
+    input_path: str, output_path: str, block_lines: int | None = None
+) -> dict:
+    """Cooperatively transcode one VCF to `.vcfz` across all processes —
+    the end-to-end "global codebook via collectives" path:
+
+      1. block-ALIGNED line stripes (blocks never straddle processes);
+      2. per-stripe .vcfc encode + symbol extraction (native fast path);
+      3. escape dictionaries allgathered and merged in process order ->
+         one global first-occurrence dictionary, identical everywhere;
+      4. per-stripe (context, symbol) frequencies allgather-summed ->
+         global codebooks built deterministically on every process;
+      5. each process packs its own blocks and pwrites its slices of the
+         req_len/nsym/req_blob/block-table/payload sections at offsets
+         from allgathered size scans; process 0 writes the prefix.
+
+    Output is byte-identical to single-process ``vcfz_from_vcfc`` of the
+    whole file (asserted in tests/test_distributed.py).
+    """
+    from ..format.vcfz import (
+        DEFAULT_BLOCK_LINES,
+        VERSION,
+        serialize_prefix,
+        symbol_streams,
+    )
+    from ..index.scan import scan_lines
+    from ..ops.huffman import (
+        CTX_INIT,
+        N_CTX,
+        Codebook,
+        ctx_of_stream,
+        pack_symbols_ctx,
+        symbol_classes,
+    )
+    from ..format.vcf import parse_metadata_headers
+    from ..utils.refmap import reference_to_int
+    from .. import engine
+    import struct
+
+    block_lines = block_lines or DEFAULT_BLOCK_LINES
+    pid, procs = jax.process_index(), jax.process_count()
+    with open(input_path, "rb") as f:
+        raw = f.read()
+
+    from ..host.parse import parse_vcf_bytes
+
+    parsed = parse_vcf_bytes(raw)
+    header_blob = b"".join(parsed.header.meta_lines) + parsed.header.header_line
+    L = parsed.n_lines
+    S = parsed.n_samples
+
+    # block-aligned stripes
+    blocks_total = (L + block_lines - 1) // block_lines
+    blk_lo, blk_hi = _stripe(blocks_total, procs, pid)
+    lo, hi = blk_lo * block_lines, min(blk_hi * block_lines, L)
+    my_lines = max(hi - lo, 0)
+    my_blocks = blk_hi - blk_lo if hi > lo else 0
+
+    # stripe-local .vcfc + symbol streams + per-line metadata
+    if my_lines:
+        start = int(parsed.line_start[lo])
+        end = int(parsed.line_end[hi - 1]) + 1
+        stripe_vcfc = engine.compress(header_blob + parsed.data[start:end].tobytes())
+        h = parse_metadata_headers(stripe_vcfc)
+        recs = list(scan_lines(stripe_vcfc, header=h))
+        syms, nsym, esc_local = symbol_streams(stripe_vcfc, recs)
+        req_lens = np.array([r.required_length for r in recs], np.uint32)
+        req_blob = b"".join(
+            stripe_vcfc[r.offset + 8 : r.offset + 8 + r.required_length] for r in recs
+        )
+        refs = np.array([reference_to_int(r.chrom) for r in recs], np.uint8)
+        positions = np.array([r.pos for r in recs], np.uint32)
+        ends = np.array([r.end_position() for r in recs], np.uint32)
+    else:
+        syms = np.zeros(0, np.int32)
+        nsym = np.zeros(0, np.uint32)
+        esc_local = []
+        req_lens = np.zeros(0, np.uint32)
+        req_blob = b""
+        refs = positions = ends = np.zeros(0, np.uint32)
+
+    # global escape dictionary: merge in process order, first occurrence
+    esc_blob = b"".join(struct.pack("<H", len(e)) + e for e in esc_local)
+    esc_blobs = _allgather_blobs(esc_blob)
+    global_esc: dict[bytes, int] = {}
+    per_proc_maps: list[np.ndarray] = []
+    for blob in esc_blobs:
+        ids = []
+        off = 0
+        while off < len(blob):
+            (elen,) = struct.unpack_from("<H", blob, off)
+            off += 2
+            e = blob[off : off + elen]
+            off += elen
+            ids.append(global_esc.setdefault(e, len(global_esc)))
+        per_proc_maps.append(np.asarray(ids, np.int32))
+    esc_list = sorted(global_esc, key=global_esc.get)
+    n_symbols = 256 + len(esc_list)
+
+    # remap local escape symbols to global ids
+    if len(per_proc_maps[pid]) and len(syms):
+        esc_mask = syms >= 256
+        syms = syms.copy()
+        syms[esc_mask] = 256 + per_proc_maps[pid][syms[esc_mask] - 256]
+
+    # per-block frequency accumulation with the exact block ctx assignment
+    sym_ends = np.cumsum(nsym)
+
+    def block_slice(b):
+        l0 = b * block_lines
+        l1 = min(l0 + block_lines, my_lines)
+        s0 = 0 if l0 == 0 else int(sym_ends[l0 - 1])
+        return syms[s0 : int(sym_ends[l1 - 1])] if l1 > l0 else syms[:0]
+
+    classes = symbol_classes(n_symbols)
+    freqs = np.zeros((N_CTX, n_symbols), np.int64)
+    for b in range(my_blocks):
+        blk = np.asarray(block_slice(b), np.int64)
+        ctx = ctx_of_stream(blk, classes)
+        np.add.at(freqs, (ctx.astype(np.int64), blk), 1)
+    freqs = _allgather_array(freqs).sum(axis=0)  # global histogram merge
+    books = [Codebook.from_frequencies(freqs[c]) for c in range(N_CTX)]
+
+    # pack own blocks
+    payloads = []
+    entries = bytearray()
+    for b in range(my_blocks):
+        blk_syms = block_slice(b)
+        payload, _bits = pack_symbols_ctx(blk_syms, books)
+        l0, l1 = b * block_lines, min(b * block_lines + block_lines, my_lines)
+        entries += struct.pack(
+            "<QQBIBII",
+            len(payload),
+            len(blk_syms),
+            int(refs[l0]),
+            int(positions[l0]),
+            int(refs[l1 - 1]),
+            int(positions[l1 - 1]),
+            int(ends[l0:l1].max()),
+        )
+        payloads.append(payload)
+    payload_blob = b"".join(payloads)
+
+    # section offsets from allgathered sizes
+    prefix = serialize_prefix(VERSION, block_lines, L, S, header_blob, esc_list, books)
+    line_counts = _allgather_sizes(my_lines)
+    req_sizes = _allgather_sizes(len(req_blob))
+    payload_sizes = _allgather_sizes(len(payload_blob))
+    line_base = int(line_counts[:pid].sum())
+    req_base = int(req_sizes[:pid].sum())
+    payload_base = int(payload_sizes[:pid].sum())
+    total_req = int(req_sizes.sum())
+    total_payload = int(payload_sizes.sum())
+
+    off_req_lens = len(prefix)
+    off_nsym = off_req_lens + 4 * L
+    off_req_blob = off_nsym + 4 * L + 8
+    off_table = off_req_blob + total_req + 4
+    off_payloads = off_table + 30 * blocks_total
+    total_size = off_payloads + total_payload
+
+    fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        os.ftruncate(fd, total_size)
+        if pid == 0:
+            os.pwrite(fd, prefix, 0)
+            os.pwrite(fd, struct.pack("<Q", total_req), off_req_blob - 8)
+            os.pwrite(fd, struct.pack("<I", blocks_total), off_table - 4)
+        if my_lines:
+            os.pwrite(fd, req_lens.tobytes(), off_req_lens + 4 * line_base)
+            os.pwrite(fd, nsym.astype(np.uint32).tobytes(), off_nsym + 4 * line_base)
+            os.pwrite(fd, req_blob, off_req_blob + req_base)
+            os.pwrite(fd, bytes(entries), off_table + 30 * blk_lo)
+            os.pwrite(fd, payload_blob, off_payloads + payload_base)
+    finally:
+        os.close(fd)
+
+    return {
+        "process": pid,
+        "processes": procs,
+        "lines": my_lines,
+        "blocks": my_blocks,
+        "payload_bytes": len(payload_blob),
+        "total_bytes": total_size,
+        "n_escapes": len(esc_list),
+    }
