@@ -31,6 +31,12 @@ def main(argv=None) -> int:
     p.add_argument("--positions", type=int, default=200)
     p.add_argument("--bin-size", type=int, default=150)
     p.add_argument("--flush-cache", action="store_true")
+    p.add_argument(
+        "--jax-trace",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler device trace of the measure run",
+    )
     p.add_argument("--samples", type=int, default=500, help="synthetic samples")
     p.add_argument("--variants", type=int, default=5000, help="synthetic variants")
     args = p.parse_args(argv)
@@ -56,8 +62,11 @@ def main(argv=None) -> int:
         dataset = Dataset.synthetic(config.workdir, args.samples, args.variants)
 
     if args.mode == "measure":
+        from ..utils.timing import device_trace
+
         harness = Harness(dataset, config)
-        path = OPERATIONS[args.operation](harness)
+        with device_trace(args.jax_trace):
+            path = OPERATIONS[args.operation](harness)
         print(path)
     else:
         json_path = os.path.join(

@@ -1,0 +1,47 @@
+"""Multi-host driver: python -m vcfc_tpu.parallel <in.vcf> <out.vcfc|.vcfz>
+
+Launch once per host/process with coordinator env vars (or flags):
+  VCFC_COORDINATOR=host:port  VCFC_NUM_PROCESSES=N  VCFC_PROCESS_ID=i
+Single-process without any of them (degrades to a local compress).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .distributed import compress_multihost, compress_multihost_vcfz, initialize
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vcfc_tpu.parallel", description=__doc__)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--coordinator", default=os.environ.get("VCFC_COORDINATOR"))
+    p.add_argument(
+        "--num-processes",
+        type=int,
+        default=int(os.environ.get("VCFC_NUM_PROCESSES", "0")) or None,
+    )
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=(
+            int(os.environ["VCFC_PROCESS_ID"])
+            if "VCFC_PROCESS_ID" in os.environ
+            else None
+        ),
+    )
+    args = p.parse_args(argv)
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    fn = compress_multihost_vcfz if args.output.endswith(".vcfz") else compress_multihost
+    stats = fn(args.input, args.output)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

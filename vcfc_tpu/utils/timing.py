@@ -51,3 +51,19 @@ def timing_probe(label: str):
         dur = time.perf_counter_ns() - start
         _ACCUM[label] += dur
         print(f"TIMING {label}: {dur}", file=sys.stdout)
+
+
+@contextlib.contextmanager
+def device_trace(trace_dir: str | None = None):
+    """Device-side profiling: wraps ``jax.profiler.trace`` so eval runs can
+    capture XLA/TPU traces alongside the host TIMING probes (SURVEY.md §5:
+    same phase taxonomy on the host side; device events come from the
+    profiler).  No-op when ``trace_dir`` is falsy; view with
+    ``tensorboard --logdir <dir>`` or xprof."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
