@@ -612,8 +612,10 @@ int do_decompress(const char* in_path, const char* out_path) {
   });
   FILE* f = fopen(out_path, "wb");
   if (!f) die(std::string("cannot write ") + out_path);
-  fwrite(m.data, 1, h.data_offset, f);  // meta/header verbatim
-  for (auto& p : parts) fwrite(p.data(), 1, p.size(), f);
+  if (fwrite(m.data, 1, h.data_offset, f) != h.data_offset)  // meta/header
+    die("write failed");
+  for (auto& p : parts)
+    if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
   if (fclose(f) != 0) die("write failed");
   return 0;
 }
@@ -716,7 +718,8 @@ int do_compress(const char* in_path, const char* out_path) {
   });
   FILE* f = fopen(out_path, "wb");
   if (!f) die(std::string("cannot write ") + out_path);
-  for (auto& p : parts) fwrite(p.data(), 1, p.size(), f);
+  for (auto& p : parts)
+    if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
   if (fclose(f) != 0) die("write failed");
   return 0;
 }
@@ -794,48 +797,70 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   Vcfz z;
   z.raw = raw;
   z.size = n;
-  if (n < 4 || memcmp(raw, "VCFZ", 4) != 0) die("not a .vcfz container");
-  size_t off = 4;
+  size_t off = 0;
+  // every cursor advance is checked against the mapped size so corrupt
+  // or truncated containers die() like the .vcfc paths do
+  auto need = [&](uint64_t k) {
+    if (k > n || off > n - k) die("Truncated .vcfz container");
+  };
+  need(4);
+  if (memcmp(raw, "VCFZ", 4) != 0) die("not a .vcfz container");
+  off = 4;
+  need(9);
   z.version = rd_u32(raw + off);
   uint8_t max_len = raw[off + 4];
   z.block_lines = rd_u32(raw + off + 5);
   off += 9;
   if ((z.version != 1 && z.version != 2) || max_len != kMaxCodeLen)
     die("unsupported .vcfz version");
+  if (z.block_lines == 0) die("invalid .vcfz block_lines");
+  need(12);
   z.n_lines = rd_u64(raw + off);
   z.n_samples = rd_u32(raw + off + 8);
   off += 12;
+  need(8);
   z.header_len = rd_u64(raw + off);
   off += 8;
+  need(z.header_len);
   z.header_blob = raw + off;
   off += z.header_len;
+  need(4);
   uint32_t n_esc = rd_u32(raw + off);
   off += 4;
   for (uint32_t i = 0; i < n_esc; i++) {
+    need(2);
     uint16_t elen;
     memcpy(&elen, raw + off, 2);
     off += 2;
+    need(elen);
     z.escapes.emplace_back(raw + off, elen);
     off += elen;
   }
+  need(4);
   z.n_symbols = rd_u32(raw + off);
   off += 4;
+  if (z.n_symbols != 256 + n_esc) die("corrupt .vcfz symbol count");
   int n_books = z.version == 1 ? 1 : kNCtx;
   z.sym_tables.resize(n_books);
   z.len_tables.resize(n_books);
   for (int b = 0; b < n_books; b++) {
+    need(z.n_symbols);
     build_decode_table(raw + off, z.n_symbols, &z.sym_tables[b], &z.len_tables[b]);
     off += z.n_symbols;
   }
   z.class_of.resize(z.n_symbols);
   for (uint32_t s = 0; s < z.n_symbols; s++)
     z.class_of[s] = s == 0x7F ? 0 : s < 0x80 ? 1 : s < 0x100 ? 2 : 3;
+  need(uint64_t(4) * z.n_lines);
   z.req_len = reinterpret_cast<const uint32_t*>(raw + off);
   off += 4 * z.n_lines;
+  need(uint64_t(4) * z.n_lines);
   z.nsym = reinterpret_cast<const uint32_t*>(raw + off);
   off += 4 * z.n_lines;
+  need(8);
   uint64_t req_blob_len = rd_u64(raw + off);
   off += 8;
+  need(req_blob_len);
   z.req_blob = raw + off;
   off += req_blob_len;
   z.req_start.resize(z.n_lines);
@@ -844,10 +869,15 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
     z.req_start[i] = acc;
     acc += rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + i));
   }
+  if (acc > req_blob_len) die("corrupt .vcfz required-column lengths");
+  need(4);
   uint32_t n_blocks = rd_u32(raw + off);
   off += 4;
+  if (n_blocks != (z.n_lines + z.block_lines - 1) / z.block_lines)
+    die("corrupt .vcfz block count");
   uint64_t poff = 0;
   for (uint32_t b = 0; b < n_blocks; b++) {
+    need(30);
     VcfzBlock blk;
     blk.payload_len = rd_u64(raw + off);
     blk.n_symbols = rd_u64(raw + off + 8);
@@ -861,6 +891,7 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
     off += 30;
     z.blocks.push_back(blk);
   }
+  if (off > n || poff > n - off) die("Truncated .vcfz payloads");
   z.payload_base = raw + off;
   return z;
 }
@@ -895,6 +926,7 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
   size_t spos = 0;
   for (uint64_t i = lo; i < hi; i++) {
     uint32_t n = rd_u32(reinterpret_cast<const uint8_t*>(z.nsym + i));
+    if (spos + n > syms.size()) die("corrupt .vcfz per-line symbol counts");
     // body: flag bytes; escapes expand to 0xE1 + text + '\t' unless the
     // line's final sample (compress.cpp:182-184 tab rule)
     std::string body;

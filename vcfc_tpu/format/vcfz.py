@@ -129,8 +129,8 @@ def _symbol_streams_native(vcfc: bytes):
             # escapes (the overwhelmingly common case: GT strings like
             # "2|0") pack into one u64 key — ~20x faster to unique than
             # a wide void dtype.
-            kw = max_len + 1 if max_len <= 7 else max_len + 4
-            keys = np.zeros((n_esc, 8 if max_len <= 7 else kw), np.uint8)
+            kw = 8 if max_len <= 7 else max_len + 4
+            keys = np.zeros((n_esc, kw), np.uint8)
             if max_len <= 7:
                 keys[:, 0] = ln.astype(np.uint8)
                 content_col = 1
@@ -175,14 +175,14 @@ def symbol_streams(vcfc: bytes, recs=None):
     Returns (all_syms int32 concatenated, nsym uint32 per line, escape
     list in first-occurrence order).  Native fast path with a per-line
     oracle-walk fallback; both produce identical output."""
-    if recs is None:
-        from ..index.scan import scan_lines
-
-        recs = list(scan_lines(vcfc))
     fast = _symbol_streams_native(vcfc)
     if fast is not None:
         all_syms, nsym_i32, esc_list = fast
         return all_syms, nsym_i32.astype(np.uint32), esc_list
+    if recs is None:
+        from ..index.scan import scan_lines
+
+        recs = list(scan_lines(vcfc))
     escape_dict: dict[bytes, int] = {}
     per_line_syms = [
         _line_symbol_stream(vcfc, r.offset, r.line_length, r.required_length, escape_dict)

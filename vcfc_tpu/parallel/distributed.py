@@ -46,13 +46,13 @@ def _stripe(n_lines: int, n_procs: int, pid: int) -> tuple[int, int]:
 def _allgather_sizes(my_size: int) -> np.ndarray:
     """All processes learn every stripe's byte count, ordered by process
     index.  Uses a device all_gather over the global device set so the
-    exchange rides the JAX collectives stack."""
+    exchange rides the JAX collectives stack.  Sizes ride as int32 pairs
+    (jnp would truncate int64 scalars with x64 disabled)."""
     procs = jax.process_count()
     if procs == 1:
         return np.array([my_size], np.int64)
-    from jax.experimental.multihost_utils import process_allgather
-
-    return np.asarray(process_allgather(jnp.int64(my_size))).reshape(-1)
+    gathered = _allgather_array(np.array([my_size], np.int64))
+    return gathered.reshape(-1)
 
 
 def compress_multihost(input_path: str, output_path: str) -> dict:
@@ -117,11 +117,17 @@ def compress_multihost(input_path: str, output_path: str) -> dict:
 
 def _allgather_array(arr: np.ndarray) -> np.ndarray:
     """All processes receive every process's equally-shaped array, stacked
-    on axis 0 in process order."""
+    on axis 0 in process order.  64-bit arrays ride as int32 pairs —
+    jnp.asarray would silently truncate them to 32 bits (x64 disabled),
+    wrapping large histogram counts."""
     if jax.process_count() == 1:
         return arr[None]
     from jax.experimental.multihost_utils import process_allgather
 
+    if arr.dtype.itemsize == 8:
+        halves = np.ascontiguousarray(arr).view(np.int32).reshape(arr.shape + (2,))
+        gathered = np.asarray(process_allgather(jnp.asarray(halves)))
+        return gathered.view(arr.dtype).reshape((gathered.shape[0],) + arr.shape)
     return np.asarray(process_allgather(jnp.asarray(arr)))
 
 
