@@ -41,3 +41,20 @@ def test_single_query_results_nonempty(harness):
     # positions are even: an even in-range position must return a line
     out = scheme.query_single_fn("1", 10_100)
     assert out.startswith(b"1\t10100\t")
+
+
+def test_gene_panel_queries():
+    from test_fuzz import make_vcf
+    from vcfc_tpu.eval.genes import measure_gene_queries
+    from vcfc_tpu.format import compress_bytes
+    from vcfc_tpu.index.binned import build_binned_index
+    from vcfc_tpu.utils.config import BinnedIndexConfig
+
+    vcf = make_vcf(801, 40, 60)
+    vcfc = compress_bytes(vcf)
+    vcfci = build_binned_index(vcfc, BinnedIndexConfig(10))
+    res = measure_gene_queries(
+        vcfc, vcfci, genes={"FAKE": ("1", 1000, 9000)}, iterations=2
+    )
+    assert "FAKE" in res and res["FAKE"]["result_bytes"] > 0
+    assert res["FAKE"]["p50_s"] >= 0
