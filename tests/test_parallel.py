@@ -140,3 +140,14 @@ class TestCtxFlagHistogram:
         want = np.asarray(ctx_flag_histogram(flag_ref, n))
         np.testing.assert_array_equal(np.asarray(ctx_hist), want)
         np.testing.assert_array_equal(np.asarray(flagpos), np.asarray(flag_ref))
+
+
+def test_compress_sharded_byte_identical():
+    from test_fuzz import make_vcf
+    from vcfc_tpu import engine
+    from vcfc_tpu.format import compress_bytes
+
+    vcf = make_vcf(901, 140, 90, sv_every=13)
+    want = compress_bytes(vcf)
+    got = engine.compress_sharded(vcf)  # 8-device virtual mesh
+    assert got == want
