@@ -105,10 +105,14 @@ def _decode_kernel(n_ref, flag_ref, codes_ref, decoded_ref):
 
     present = f > 0
     # last-set fill via ONE packed cummax: (position << 16) | flag — the
-    # latest set position wins by construction
+    # latest set position wins by construction.  Run lengths cap at 127,
+    # so within the valid region every position has a flag at most 126
+    # back: a 128-wide windowed scan (7 steps) replaces the full-width
+    # one (12 steps).  Padding columns past n may fill to -1 (v=0xFFFF);
+    # they are outside the valid mask everywhere downstream.
     m = jnp.where(present, (idx << 16) | f, -1)
     k = 1
-    while k < S_pad:
+    while k < min(128, S_pad):
         m = jnp.maximum(m, _shift_right(m, k, -1))
         k *= 2
     v = m & 0xFFFF
