@@ -36,6 +36,10 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <unordered_map>
+#include <utility>
+#include <queue>
+#include <functional>
 #include <vector>
 
 #include <fcntl.h>
@@ -964,6 +968,263 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
   }
 }
 
+// ---------------------------------------------------------- .vcfz writer
+// Mirrors format/vcfz.py + ops/huffman.py byte-for-byte: the Huffman
+// tree construction replicates Python heapq's (weight, id) tie-breaking
+// and the length-limit squash loop, so canonical lengths are identical.
+void huffman_lengths(const std::vector<int64_t>& freqs, uint8_t* lengths) {
+  size_t K = freqs.size();
+  std::fill(lengths, lengths + K, 0);
+  std::vector<size_t> present;
+  for (size_t s = 0; s < K; s++)
+    if (freqs[s] > 0) present.push_back(s);
+  size_t n = present.size();
+  if (n == 0) return;
+  if (n == 1) {
+    lengths[present[0]] = 1;
+    return;
+  }
+  std::vector<double> f(n);
+  for (size_t i = 0; i < n; i++) f[i] = double(freqs[present[i]]);
+  for (int attempt = 0; attempt < 32; attempt++) {
+    // min-heap of (weight, id) with lexicographic order = Python heapq
+    typedef std::pair<double, int64_t> Node;
+    std::vector<Node> heap;
+    heap.reserve(2 * n);
+    for (size_t i = 0; i < n; i++) heap.emplace_back(f[i], int64_t(i));
+    std::make_heap(heap.begin(), heap.end(), std::greater<Node>());
+    std::vector<int64_t> parent(2 * n, -1);
+    int64_t next_id = int64_t(n);
+    size_t live = heap.size();
+    while (live > 1) {
+      std::pop_heap(heap.begin(), heap.begin() + live, std::greater<Node>());
+      Node a = heap[--live];
+      std::pop_heap(heap.begin(), heap.begin() + live, std::greater<Node>());
+      Node b = heap[--live];
+      parent[size_t(a.second)] = next_id;
+      parent[size_t(b.second)] = next_id;
+      heap[live] = {a.first + b.first, next_id};
+      live++;
+      std::push_heap(heap.begin(), heap.begin() + live, std::greater<Node>());
+      next_id++;
+    }
+    int max_depth = 0;
+    std::vector<int> depth(n, 0);
+    for (size_t i = 0; i < n; i++) {
+      int d = 0;
+      int64_t node = int64_t(i);
+      while (parent[size_t(node)] >= 0) {
+        node = parent[size_t(node)];
+        d++;
+        if (size_t(node) + 1 > parent.size()) break;
+      }
+      depth[i] = d;
+      max_depth = std::max(max_depth, d);
+      if (size_t(next_id) > parent.size()) die("huffman tree overflow");
+    }
+    if (max_depth <= kMaxCodeLen) {
+      for (size_t i = 0; i < n; i++) lengths[present[i]] = uint8_t(depth[i]);
+      return;
+    }
+    for (size_t i = 0; i < n; i++) f[i] = std::max(f[i] / 2, 1.0);  // squash
+  }
+  die("failed to limit Huffman code lengths");
+}
+
+// canonical codes in (length, symbol) order (Codebook.from_lengths)
+void canonical_codes(const uint8_t* lengths, size_t K, uint32_t* codes) {
+  uint32_t code = 0;
+  for (int bit_len = 1; bit_len <= kMaxCodeLen; bit_len++) {
+    for (size_t sym = 0; sym < K; sym++) {
+      if (lengths[sym] != bit_len) continue;
+      codes[sym] = code++;
+    }
+    code <<= 1;
+  }
+}
+
+int class_of_sym(int64_t s) {
+  return s == 0x7F ? 0 : s < 0x80 ? 1 : s < 0x100 ? 2 : 3;
+}
+
+// format/vcfz.py::vcfz_from_vcfc, natively (v2 only).  in-memory vcfc in.
+std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
+  Header h = parse_meta(vcfc, n);
+  // walk lines: geometry + required cols + symbol streams + escapes
+  std::vector<LineView> lvs;
+  std::vector<int64_t> syms;
+  std::vector<uint32_t> nsym;
+  std::vector<uint32_t> req_lens;
+  std::vector<std::string> escapes;
+  std::unordered_map<std::string, int64_t> esc_ids;
+  uint64_t req_total = 0;
+  LineView lv;
+  size_t off = h.data_offset;
+  while (next_line(vcfc, n, off, &lv)) {
+    lvs.push_back(lv);
+    int64_t req_len = read_len_header(vcfc + lv.offset + 4);
+    req_lens.push_back(uint32_t(req_len));
+    req_total += uint64_t(req_len);
+    // sample body: flag bytes + escape text (format/vcfz.py walker)
+    size_t b0 = lv.offset + 8 + size_t(req_len);
+    size_t b1 = lv.offset + 4 + size_t(lv.line_length) - 1;  // excl '\n'
+    size_t count0 = syms.size();
+    size_t i = b0;
+    while (i < b1) {
+      uint8_t f = vcfc[i++];
+      if ((f & 0xE0) == 0xE0) {
+        if ((f & 0x1F) != 1) die("escape flag with count != 1");
+        size_t j = i;
+        while (j < b1 && vcfc[j] != '\t') j++;
+        std::string key(reinterpret_cast<const char*>(vcfc + i), j - i);
+        auto it = esc_ids.find(key);
+        int64_t id;
+        if (it == esc_ids.end()) {
+          id = int64_t(escapes.size());
+          esc_ids.emplace(key, id);
+          escapes.push_back(key);
+        } else {
+          id = it->second;
+        }
+        syms.push_back(256 + id);
+        i = j < b1 ? j + 1 : b1;
+      } else {
+        syms.push_back(f);
+      }
+    }
+    nsym.push_back(uint32_t(syms.size() - count0));
+    off = lv.offset + 4 + size_t(lv.line_length);
+  }
+  uint64_t L = lvs.size();
+  size_t K = 256 + escapes.size();
+
+  // per-block context frequencies (ops/huffman.py::context_codebooks)
+  std::vector<std::vector<int64_t>> freqs(kNCtx, std::vector<int64_t>(K, 0));
+  std::vector<uint64_t> sym_base(L + 1, 0);
+  for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
+  uint64_t n_blocks = L ? (L + block_lines - 1) / block_lines : 0;
+  for (uint64_t b = 0; b < n_blocks; b++) {
+    uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
+    int ctx = kCtxInit;
+    for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
+      freqs[size_t(ctx)][size_t(syms[s])]++;
+      ctx = class_of_sym(syms[s]);
+    }
+  }
+  std::vector<std::vector<uint8_t>> lengths(kNCtx, std::vector<uint8_t>(K));
+  std::vector<std::vector<uint32_t>> codes(kNCtx, std::vector<uint32_t>(K, 0));
+  for (int c = 0; c < kNCtx; c++) {
+    huffman_lengths(freqs[size_t(c)], lengths[size_t(c)].data());
+    canonical_codes(lengths[size_t(c)].data(), K, codes[size_t(c)].data());
+  }
+
+  // serialize (format/vcfz.py layout)
+  std::string out;
+  out.reserve(n / 2 + (1 << 16));
+  auto put_u32 = [&](uint32_t v) { out.append(reinterpret_cast<char*>(&v), 4); };
+  auto put_u64 = [&](uint64_t v) { out.append(reinterpret_cast<char*>(&v), 8); };
+  out.append("VCFZ", 4);
+  put_u32(2);
+  out.push_back(char(kMaxCodeLen));
+  put_u32(block_lines);
+  put_u64(L);
+  put_u32(uint32_t(h.sample_count));
+  put_u64(h.data_offset);
+  out.append(reinterpret_cast<const char*>(vcfc), h.data_offset);
+  put_u32(uint32_t(escapes.size()));
+  for (auto& e : escapes) {
+    uint16_t el = uint16_t(e.size());
+    out.append(reinterpret_cast<char*>(&el), 2);
+    out.append(e);
+  }
+  put_u32(uint32_t(K));
+  for (int c = 0; c < kNCtx; c++)
+    out.append(reinterpret_cast<char*>(lengths[size_t(c)].data()), K);
+  out.append(reinterpret_cast<const char*>(req_lens.data()), 4 * L);
+  out.append(reinterpret_cast<const char*>(nsym.data()), 4 * L);
+  put_u64(req_total);
+  for (uint64_t i = 0; i < L; i++)
+    out.append(reinterpret_cast<const char*>(vcfc + lvs[size_t(i)].offset + 8),
+               req_lens[size_t(i)]);
+  put_u32(uint32_t(n_blocks));
+
+  // pack blocks (context-switching bit writer) + entries
+  std::vector<std::string> payloads;
+  std::string entries;
+  for (uint64_t b = 0; b < n_blocks; b++) {
+    uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
+    std::string payload;
+    uint64_t acc = 0;
+    int nbits = 0;
+    int ctx = kCtxInit;
+    for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
+      int64_t sym = syms[s];
+      uint8_t ln = lengths[size_t(ctx)][size_t(sym)];
+      if (ln == 0) die("symbol without codeword");
+      acc = (acc << ln) | codes[size_t(ctx)][size_t(sym)];
+      nbits += ln;
+      while (nbits >= 8) {
+        payload.push_back(char((acc >> (nbits - 8)) & 0xFF));
+        nbits -= 8;
+      }
+      ctx = class_of_sym(sym);
+    }
+    if (nbits > 0) payload.push_back(char((acc << (8 - nbits)) & 0xFF));
+    uint32_t cme = 0;
+    for (uint64_t i = lo; i < hi; i++)
+      cme = std::max(cme, uint32_t(end_position(lvs[size_t(i)])));
+    uint64_t plen = payload.size(), nbs = sym_base[hi] - sym_base[lo];
+    entries.append(reinterpret_cast<char*>(&plen), 8);
+    entries.append(reinterpret_cast<char*>(&nbs), 8);
+    entries.push_back(char(ref_ordinal(lvs[size_t(lo)].chrom)));
+    uint32_t pf = uint32_t(lvs[size_t(lo)].pos);
+    entries.append(reinterpret_cast<char*>(&pf), 4);
+    entries.push_back(char(ref_ordinal(lvs[size_t(hi - 1)].chrom)));
+    uint32_t pl = uint32_t(lvs[size_t(hi - 1)].pos);
+    entries.append(reinterpret_cast<char*>(&pl), 4);
+    entries.append(reinterpret_cast<char*>(&cme), 4);
+    payloads.push_back(std::move(payload));
+  }
+  out += entries;
+  for (auto& p : payloads) out += p;
+  return out;
+}
+
+int do_compress_z(const char* in_path, const char* out_path) {
+  Mapped m;
+  if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
+  // accept VCF text or an existing .vcfc (cli.py compress-z semantics:
+  // a .vcfc data line starts with a 0xC0 length header, ASCII never does)
+  Header h = parse_meta(m.data, m.size);
+  bool is_vcfc = h.data_offset < m.size && (m.data[h.data_offset] & 0xC0) == 0xC0;
+  std::string z;
+  if (is_vcfc) {
+    z = vcfz_write(m.data, m.size, 256);
+  } else {
+    // compress to .vcfc in memory first (same pipeline as do_compress)
+    std::string vcfc;
+    vcfc.reserve(m.size / 4);
+    size_t off = 0;
+    while (off < m.size) {
+      const uint8_t* nl =
+          static_cast<const uint8_t*>(memchr(m.data + off, '\n', m.size - off));
+      size_t end = nl ? size_t(nl - m.data) : m.size;
+      if (end > off) {
+        if (m.data[off] == '#') {
+          vcfc.append(reinterpret_cast<const char*>(m.data + off), end - off);
+          vcfc.push_back('\n');
+        } else {
+          encode_data_line(m.data + off, end - off, &vcfc);
+        }
+      }
+      off = end + 1;
+    }
+    z = vcfz_write(reinterpret_cast<const uint8_t*>(vcfc.data()), vcfc.size(), 256);
+  }
+  if (!write_file(out_path, z)) die(std::string("cannot write ") + out_path);
+  return 0;
+}
+
 // format/vcfz.py::query_vcfz semantics (ref-only = full-scan semantics)
 int do_query_z(const char* path, const std::string& region) {
   Mapped m;
@@ -1335,6 +1596,7 @@ int main(int argc, char** argv) {
   if (action == "gap-analysis" && argc == 3) return do_gap_analysis(argv[2]);
   if (action == "query-z" && argc == 4) return do_query_z(argv[2], argv[3]);
   if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
+  if (action == "compress-z" && argc == 4) return do_compress_z(argv[2], argv[3]);
   fprintf(stderr, "vcfcq: bad arguments for action '%s'\n", action.c_str());
   return 1;
 }

@@ -165,3 +165,15 @@ class TestNativeCliVcfz:
         q = parse_coordinate_string("1:1000-5000")
         want = b"".join(query_vcfz(z, q))
         assert run(["query-z", str(z_path), "1:1000-5000"]).stdout == want
+
+    def test_compress_z_byte_identical(self, corpus, tmp_path):
+        from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        want = vcfz_from_vcfc(vcfc)
+        out = tmp_path / "n.vcfz"
+        run(["compress-z", vcfc_path, str(out)])
+        assert out.read_bytes() == want
+        out2 = tmp_path / "n2.vcfz"
+        run(["compress-z", vcf_path, str(out2)])
+        assert out2.read_bytes() == want
