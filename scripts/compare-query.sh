@@ -10,6 +10,13 @@ sync || true
 if [ -n "$gz" ] && command -v tabix >/dev/null; then
   time tabix "$gz" "$region" > /tmp/tabix-result.txt
 fi
-[ -f "$vcfc.vcfci" ] || python -m vcfc_tpu.cli create-binned-index 150 "$vcfc"
-time python -m vcfc_tpu.cli query-binned-index "$vcfc" "$region" > /tmp/vcfc-result.txt
+# prefer the native CLI (no interpreter startup in the timing)
+here="$(cd "$(dirname "$0")/.." && pwd)"
+if [ -x "$here/native/vcfcq" ]; then
+  cli=("$here/native/vcfcq")
+else
+  cli=(python -m vcfc_tpu.cli)
+fi
+[ -f "$vcfc.vcfci" ] || "${cli[@]}" create-binned-index 150 "$vcfc"
+time "${cli[@]}" query-binned-index "$vcfc" "$region" > /tmp/vcfc-result.txt
 wc -l /tmp/*-result.txt 2>/dev/null || true

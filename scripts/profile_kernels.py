@@ -6,10 +6,13 @@ Prints per-phase ms and GB/s of genotype text (4 B/cell).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, *args, iters=10):
