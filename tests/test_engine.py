@@ -159,3 +159,26 @@ class TestForcedDevicePath:
     def test_host_executor_encode(self, small_vcf, small_vcfc, monkeypatch):
         monkeypatch.setenv("VCFC_EXECUTOR", "host")
         assert engine.compress(small_vcf, force_device=True) == small_vcfc
+
+
+class TestZeroSampleCohort:
+    """FORMAT column with zero sample columns: the reference handles this
+    (compress.cpp:235 yields sample_count 0); 8-column lines without
+    FORMAT crash the reference itself and stay out of contract."""
+
+    VCF = (
+        b"##fileformat=VCFv4.2\n"
+        b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\n"
+        b"1\t100\t.\tA\tT\t9\tPASS\t.\tGT\n"
+        b"1\t200\t.\tC\tG\t9\tPASS\t.\tGT\n"
+    )
+
+    def test_roundtrip(self):
+        out = engine.compress(self.VCF)
+        assert out == compress_bytes(self.VCF)
+        assert engine.decompress(out) == self.VCF
+
+    def test_numpy_fallback(self, monkeypatch):
+        monkeypatch.setenv("VCFC_NO_NATIVE", "1")
+        out = engine.compress(self.VCF)
+        assert engine.decompress(out) == self.VCF

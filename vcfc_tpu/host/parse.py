@@ -94,6 +94,13 @@ def _parse_vcf_bytes_native(raw: bytes) -> ParsedVcf:
             header, body, line_start, line_end,
             np.zeros(0, np.int64), np.zeros((0, S), np.uint8), np.zeros(0, bool),
         )
+    if S == 0:
+        # sample-less cohort (header ends at FORMAT or INFO): nothing to
+        # classify; the engine routes S == 0 through the format oracle
+        return ParsedVcf(
+            header, body, line_start, line_end, sample_start,
+            np.zeros((L, 0), np.uint8), np.zeros(L, bool),
+        )
     if (sample_start < 0).any():
         bad = int(np.flatnonzero(sample_start < 0)[0])
         raise VcfValidationError(
@@ -147,6 +154,15 @@ def _parse_vcf_bytes_numpy(raw: bytes) -> ParsedVcf:
         return ParsedVcf(
             header, body, line_start, line_end,
             np.zeros(0, np.int64), np.zeros((0, S), np.uint8), np.zeros(0, bool),
+        )
+
+    if S == 0:
+        # sample-less cohort: nothing to classify; the engine routes
+        # S == 0 through the format oracle
+        return ParsedVcf(
+            header, body, line_start, line_end,
+            np.full(L, -1, np.int64), np.zeros((L, 0), np.uint8),
+            np.zeros(L, bool),
         )
 
     # locate the 9th tab of each line (end of FORMAT, start of samples)
