@@ -170,7 +170,6 @@ def compress_multihost_vcfz(
     )
     from ..index.scan import scan_lines
     from ..ops.huffman import (
-        CTX_INIT,
         N_CTX,
         Codebook,
         ctx_of_stream,
