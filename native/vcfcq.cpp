@@ -734,11 +734,13 @@ int do_compress(const char* in_path, const char* out_path) {
 // the table per symbol by the class of the previous one.
 struct VcfzBlock {
   uint64_t payload_len, n_symbols;
+  uint64_t req_payload_len = 0;  // v3
   uint8_t ref_first;
   uint32_t pos_first;
   uint8_t ref_last;
   uint32_t pos_last, cummax_end;
   uint64_t payload_off;
+  uint64_t req_payload_off = 0;  // v3
 };
 
 constexpr int kMaxCodeLen = 15;
@@ -760,10 +762,12 @@ struct Vcfz {
   std::vector<uint8_t> class_of;  // per alphabet symbol
   const uint32_t* req_len;
   const uint32_t* nsym;
-  const uint8_t* req_blob;
+  const uint8_t* req_blob;  // raw req bytes (v1/v2) or coded region (v3)
   std::vector<uint64_t> req_start;
   std::vector<VcfzBlock> blocks;
   const uint8_t* payload_base;
+  std::vector<int32_t> req_sym_table;  // v3 order-0 req codebook
+  std::vector<uint8_t> req_len_table;
 };
 
 uint32_t rd_u32(const uint8_t* p) {
@@ -815,7 +819,7 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint8_t max_len = raw[off + 4];
   z.block_lines = rd_u32(raw + off + 5);
   off += 9;
-  if ((z.version != 1 && z.version != 2) || max_len != kMaxCodeLen)
+  if ((z.version < 1 || z.version > 3) || max_len != kMaxCodeLen)
     die("unsupported .vcfz version");
   if (z.block_lines == 0) die("invalid .vcfz block_lines");
   need(12);
@@ -852,6 +856,11 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
     build_decode_table(raw + off, z.n_symbols, &z.sym_tables[b], &z.len_tables[b]);
     off += z.n_symbols;
   }
+  if (z.version >= 3) {
+    need(256);
+    build_decode_table(raw + off, 256, &z.req_sym_table, &z.req_len_table);
+    off += 256;
+  }
   z.class_of.resize(z.n_symbols);
   for (uint32_t s = 0; s < z.n_symbols; s++)
     z.class_of[s] = s == 0x7F ? 0 : s < 0x80 ? 1 : s < 0x100 ? 2 : 3;
@@ -873,29 +882,42 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
     z.req_start[i] = acc;
     acc += rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + i));
   }
-  if (acc > req_blob_len) die("corrupt .vcfz required-column lengths");
+  // v1/v2 store raw req bytes; v3's region holds per-block coded payloads
+  if (z.version < 3 && acc > req_blob_len)
+    die("corrupt .vcfz required-column lengths");
   need(4);
   uint32_t n_blocks = rd_u32(raw + off);
   off += 4;
   if (n_blocks != (z.n_lines + z.block_lines - 1) / z.block_lines)
     die("corrupt .vcfz block count");
-  uint64_t poff = 0;
+  uint64_t poff = 0, rpoff = 0;
+  const size_t entry_size = z.version >= 3 ? 38 : 30;
   for (uint32_t b = 0; b < n_blocks; b++) {
-    need(30);
+    need(entry_size);
     VcfzBlock blk;
-    blk.payload_len = rd_u64(raw + off);
-    blk.n_symbols = rd_u64(raw + off + 8);
-    blk.ref_first = raw[off + 16];
-    blk.pos_first = rd_u32(raw + off + 17);
-    blk.ref_last = raw[off + 21];
-    blk.pos_last = rd_u32(raw + off + 22);
-    blk.cummax_end = rd_u32(raw + off + 26);
+    size_t e = off;
+    blk.payload_len = rd_u64(raw + e);
+    blk.n_symbols = rd_u64(raw + e + 8);
+    e += 16;
+    if (z.version >= 3) {
+      blk.req_payload_len = rd_u64(raw + e);
+      e += 8;
+    }
+    blk.ref_first = raw[e];
+    blk.pos_first = rd_u32(raw + e + 1);
+    blk.ref_last = raw[e + 5];
+    blk.pos_last = rd_u32(raw + e + 6);
+    blk.cummax_end = rd_u32(raw + e + 10);
     blk.payload_off = poff;
+    blk.req_payload_off = rpoff;
     poff += blk.payload_len;
-    off += 30;
+    rpoff += blk.req_payload_len;
+    off += entry_size;
     z.blocks.push_back(blk);
   }
   if (off > n || poff > n - off) die("Truncated .vcfz payloads");
+  if (z.version >= 3 && rpoff > req_blob_len)
+    die("Truncated .vcfz required-column payloads");
   z.payload_base = raw + off;
   return z;
 }
@@ -922,11 +944,39 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
     int32_t sym = z.sym_tables[ctx][prefix];
     syms[i] = sym;
     navail -= ln;
-    if (z.version == 2) ctx = z.class_of[sym];
+    if (z.version >= 2) ctx = z.class_of[sym];
   }
 
   uint64_t lo = uint64_t(b) * z.block_lines;
   uint64_t hi = std::min(lo + z.block_lines, z.n_lines);
+
+  // v3: required-column bytes are order-0 coded per block
+  std::string req_bytes;
+  uint64_t req_base = 0;
+  if (z.version >= 3 && hi > lo) {
+    req_base = z.req_start[size_t(lo)];
+    uint64_t req_end = z.req_start[size_t(hi - 1)] +
+                       rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + (hi - 1)));
+    uint64_t n_req = req_end - req_base;
+    req_bytes.resize(n_req);
+    const uint8_t* rp = z.req_blob + blk.req_payload_off;
+    uint64_t acc2 = 0;
+    int navail2 = 0;
+    uint64_t bp = 0;
+    const uint64_t mask = (1u << kMaxCodeLen) - 1;
+    for (uint64_t i = 0; i < n_req; i++) {
+      while (navail2 < kMaxCodeLen) {
+        uint8_t c = bp < blk.req_payload_len ? rp[bp++] : 0;
+        acc2 = (acc2 << 8) | c;
+        navail2 += 8;
+      }
+      uint32_t prefix = (acc2 >> (navail2 - kMaxCodeLen)) & mask;
+      uint8_t ln = z.req_len_table[prefix];
+      if (ln == 0) die("invalid req Huffman stream");
+      req_bytes[i] = char(z.req_sym_table[prefix]);
+      navail2 -= ln;
+    }
+  }
   size_t spos = 0;
   for (uint64_t i = lo; i < hi; i++) {
     uint32_t n = rd_u32(reinterpret_cast<const uint8_t*>(z.nsym + i));
@@ -961,7 +1011,10 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
     line[5] = char((rlen >> 16) & 0xFF);
     line[6] = char((rlen >> 8) & 0xFF);
     line[7] = char(rlen & 0xFF);
-    line.append(reinterpret_cast<const char*>(z.req_blob + z.req_start[i]), rlen);
+    if (z.version >= 3)
+      line.append(req_bytes.data() + (z.req_start[size_t(i)] - req_base), rlen);
+    else
+      line.append(reinterpret_cast<const char*>(z.req_blob + z.req_start[i]), rlen);
     line += body;
     line.push_back('\n');
     out_lines->push_back(std::move(line));
@@ -1118,13 +1171,24 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
     canonical_codes(lengths[size_t(c)].data(), K, codes[size_t(c)].data());
   }
 
+  // v3: order-0 codebook over required-column bytes
+  std::vector<int64_t> req_freqs(256, 0);
+  for (uint64_t i = 0; i < L; i++) {
+    const uint8_t* rp = vcfc + lvs[size_t(i)].offset + 8;
+    for (uint32_t k = 0; k < req_lens[size_t(i)]; k++) req_freqs[rp[k]]++;
+  }
+  std::vector<uint8_t> req_lengths(256);
+  std::vector<uint32_t> req_codes(256, 0);
+  huffman_lengths(req_freqs, req_lengths.data());
+  canonical_codes(req_lengths.data(), 256, req_codes.data());
+
   // serialize (format/vcfz.py layout)
   std::string out;
   out.reserve(n / 2 + (1 << 16));
   auto put_u32 = [&](uint32_t v) { out.append(reinterpret_cast<char*>(&v), 4); };
   auto put_u64 = [&](uint64_t v) { out.append(reinterpret_cast<char*>(&v), 8); };
   out.append("VCFZ", 4);
-  put_u32(2);
+  put_u32(3);
   out.push_back(char(kMaxCodeLen));
   put_u32(block_lines);
   put_u64(L);
@@ -1140,17 +1204,15 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
   put_u32(uint32_t(K));
   for (int c = 0; c < kNCtx; c++)
     out.append(reinterpret_cast<char*>(lengths[size_t(c)].data()), K);
+  out.append(reinterpret_cast<char*>(req_lengths.data()), 256);
   out.append(reinterpret_cast<const char*>(req_lens.data()), 4 * L);
   out.append(reinterpret_cast<const char*>(nsym.data()), 4 * L);
-  put_u64(req_total);
-  for (uint64_t i = 0; i < L; i++)
-    out.append(reinterpret_cast<const char*>(vcfc + lvs[size_t(i)].offset + 8),
-               req_lens[size_t(i)]);
-  put_u32(uint32_t(n_blocks));
+  (void)req_total;
 
-  // pack blocks (context-switching bit writer) + entries
-  std::vector<std::string> payloads;
+  // pack blocks: symbol payloads (context-switching) + req payloads
+  std::vector<std::string> payloads, req_payloads;
   std::string entries;
+  uint64_t req_region_total = 0;
   for (uint64_t b = 0; b < n_blocks; b++) {
     uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
     std::string payload;
@@ -1170,12 +1232,34 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
       ctx = class_of_sym(sym);
     }
     if (nbits > 0) payload.push_back(char((acc << (8 - nbits)) & 0xFF));
+
+    std::string rp;
+    acc = 0;
+    nbits = 0;
+    for (uint64_t i = lo; i < hi; i++) {
+      const uint8_t* r = vcfc + lvs[size_t(i)].offset + 8;
+      for (uint32_t k = 0; k < req_lens[size_t(i)]; k++) {
+        uint8_t ln = req_lengths[r[k]];
+        if (ln == 0) die("req byte without codeword");
+        acc = (acc << ln) | req_codes[r[k]];
+        nbits += ln;
+        while (nbits >= 8) {
+          rp.push_back(char((acc >> (nbits - 8)) & 0xFF));
+          nbits -= 8;
+        }
+      }
+    }
+    if (nbits > 0) rp.push_back(char((acc << (8 - nbits)) & 0xFF));
+    req_region_total += rp.size();
+
     uint32_t cme = 0;
     for (uint64_t i = lo; i < hi; i++)
       cme = std::max(cme, uint32_t(end_position(lvs[size_t(i)])));
     uint64_t plen = payload.size(), nbs = sym_base[hi] - sym_base[lo];
+    uint64_t rplen = rp.size();
     entries.append(reinterpret_cast<char*>(&plen), 8);
     entries.append(reinterpret_cast<char*>(&nbs), 8);
+    entries.append(reinterpret_cast<char*>(&rplen), 8);
     entries.push_back(char(ref_ordinal(lvs[size_t(lo)].chrom)));
     uint32_t pf = uint32_t(lvs[size_t(lo)].pos);
     entries.append(reinterpret_cast<char*>(&pf), 4);
@@ -1184,7 +1268,11 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
     entries.append(reinterpret_cast<char*>(&pl), 4);
     entries.append(reinterpret_cast<char*>(&cme), 4);
     payloads.push_back(std::move(payload));
+    req_payloads.push_back(std::move(rp));
   }
+  put_u64(req_region_total);
+  for (auto& p : req_payloads) out += p;
+  put_u32(uint32_t(n_blocks));
   out += entries;
   for (auto& p : payloads) out += p;
   return out;

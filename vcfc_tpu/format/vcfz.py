@@ -57,7 +57,10 @@ from .lines import VcfValidationError
 from .vcf import parse_metadata_headers
 
 MAGIC = b"VCFZ"
-VERSION = 2  # v2 = context-classed codebooks; v1 (single codebook) still reads
+# v1 = one global codebook; v2 = context-classed codebooks; v3 = v2 plus an
+# order-0 codebook over the required-columns bytes (per-block payloads,
+# 38-byte block entries).  All versions read; VERSION is what we write.
+VERSION = 3
 DEFAULT_BLOCK_LINES = 256
 _ESC_FLAG = 0xE1
 
@@ -207,7 +210,11 @@ def serialize_prefix(
 ) -> bytes:
     """Container bytes before the req_lens array (magic through the
     canonical length tables) — identical on every host given the same
-    global escape dictionary and codebooks."""
+    global escape dictionary and codebooks.
+
+    books: v1 = [symbol book]; v2 = N_CTX symbol books; v3 = N_CTX symbol
+    books + the 256-entry required-bytes book (each book's length table
+    is written verbatim; the reader knows the sizes from the version)."""
     out = bytearray()
     out += MAGIC + struct.pack("<IBI", version, MAX_CODE_LEN, block_lines)
     out += struct.pack("<QI", n_lines, n_samples)
@@ -216,9 +223,46 @@ def serialize_prefix(
     for e in esc_list:
         out += struct.pack("<H", len(e)) + e
     out += struct.pack("<I", 256 + len(esc_list))
-    for book in books:  # v1: one length table; v2: N_CTX tables
+    for book in books:
         out += book.lengths.tobytes()
     return bytes(out)
+
+
+def req_codebook(req_blob: bytes | np.ndarray) -> Codebook:
+    """Order-0 canonical codebook over required-columns bytes (v3)."""
+    arr = np.frombuffer(req_blob, np.uint8) if isinstance(req_blob, bytes) else req_blob
+    return Codebook.from_frequencies(np.bincount(arr, minlength=256))
+
+
+def pack_req(req_bytes: bytes, book: Codebook) -> bytes:
+    """Pack raw required-columns bytes with the order-0 req codebook
+    (native bit writer when available)."""
+    from ..host import native
+
+    syms = np.frombuffer(req_bytes, np.uint8).astype(np.int32)
+    if native.available():
+        return native.huffman_encode_ctx(
+            syms,
+            book.codes[None],
+            book.lengths[None],
+            np.zeros(256, np.uint8),
+            0,
+        )
+    payload, _bits = pack_symbols(syms, book)
+    return payload
+
+
+def unpack_req(payload: bytes, n_bytes: int, book: Codebook,
+               tables=None) -> bytes:
+    """Inverse of pack_req."""
+    from ..host import native
+
+    if native.available():
+        sym_t, len_t = tables if tables is not None else book.decode_table()
+        return native.huffman_decode(payload, n_bytes, sym_t, len_t).astype(
+            np.uint8
+        ).tobytes()
+    return unpack_symbols(payload, n_bytes, book).astype(np.uint8).tobytes()
 
 
 def vcfz_from_vcfc(
@@ -261,22 +305,29 @@ def vcfz_from_vcfc(
     block_ranges = [
         (lo, min(lo + block_lines, L)) for lo in range(0, L, block_lines)
     ]
+    req_blob = b"".join(req_blobs)
     if version == 1:
         books = [Codebook.from_frequencies(np.bincount(all_syms, minlength=n_symbols))]
     else:
         books = context_codebooks(
             [block_slice(lo, hi) for lo, hi in block_ranges], n_symbols
         )
+    req_book = req_codebook(req_blob) if version >= 3 else None
+    prefix_books = books + [req_book] if req_book is not None else books
 
     out = bytearray()
-    out += serialize_prefix(version, block_lines, L, S, header_blob, esc_list, books)
+    out += serialize_prefix(
+        version, block_lines, L, S, header_blob, esc_list, prefix_books
+    )
     out += req_lens.tobytes()
     out += nsym.tobytes()
-    req_blob = b"".join(req_blobs)
-    out += struct.pack("<Q", len(req_blob)) + req_blob
+
+    req_starts = np.zeros(L + 1, np.int64)
+    np.cumsum(req_lens, out=req_starts[1:])
 
     blocks = []
     payloads = []
+    req_payloads = []
     for lo, hi in block_ranges:
         blk_syms = block_slice(lo, hi)
         if version == 1:
@@ -284,19 +335,42 @@ def vcfz_from_vcfc(
         else:
             payload, _bits = pack_symbols_ctx(blk_syms, books)
         cummax_end = int(ends[lo:hi].max())
-        blocks.append(
-            struct.pack(
-                "<QQBIBII",
-                len(payload),
-                len(blk_syms),
-                int(refs[lo]),
-                int(positions[lo]),
-                int(refs[hi - 1]),
-                int(positions[hi - 1]),
-                cummax_end,
+        if version >= 3:
+            rp = pack_req(req_blob[int(req_starts[lo]) : int(req_starts[hi])], req_book)
+            req_payloads.append(rp)
+            blocks.append(
+                struct.pack(
+                    "<QQQBIBII",
+                    len(payload),
+                    len(blk_syms),
+                    len(rp),
+                    int(refs[lo]),
+                    int(positions[lo]),
+                    int(refs[hi - 1]),
+                    int(positions[hi - 1]),
+                    cummax_end,
+                )
             )
-        )
+        else:
+            blocks.append(
+                struct.pack(
+                    "<QQBIBII",
+                    len(payload),
+                    len(blk_syms),
+                    int(refs[lo]),
+                    int(positions[lo]),
+                    int(refs[hi - 1]),
+                    int(positions[hi - 1]),
+                    cummax_end,
+                )
+            )
         payloads.append(payload)
+
+    if version >= 3:
+        req_region = b"".join(req_payloads)
+        out += struct.pack("<Q", len(req_region)) + req_region
+    else:
+        out += struct.pack("<Q", len(req_blob)) + req_blob
     out += struct.pack("<I", len(blocks))
     for b in blocks:
         out += b
@@ -313,14 +387,15 @@ class VcfzReader:
     n_samples: int
     header_blob: bytes
     escapes: list[bytes]
-    books: list[Codebook]  # one (v1) or N_CTX (v2) codebooks
+    books: list[Codebook]  # one (v1) or N_CTX (v2/v3) symbol codebooks
     version: int
     req_lens: np.ndarray
     nsym: np.ndarray
-    req_starts: np.ndarray  # offsets into req_blob per line
-    req_blob: bytes
+    req_starts: np.ndarray  # per-line offsets into the RAW req bytes
+    req_blob: bytes  # raw req bytes (v1/v2) or coded per-block region (v3)
     blocks: list[dict]
     payload_base: int
+    req_book: Codebook | None = None  # v3 order-0 required-bytes codebook
 
     @classmethod
     def parse(cls, data: bytes) -> "VcfzReader":
@@ -329,7 +404,7 @@ class VcfzReader:
         off = 4
         version, max_len, block_lines = struct.unpack_from("<IBI", data, off)
         off += 9
-        if version not in (1, 2) or max_len != MAX_CODE_LEN:
+        if version not in (1, 2, 3) or max_len != MAX_CODE_LEN:
             raise ValueError("unsupported .vcfz version")
         L, S = struct.unpack_from("<QI", data, off)
         off += 12
@@ -352,6 +427,10 @@ class VcfzReader:
             lengths = np.frombuffer(data, np.uint8, n_symbols, off)
             off += n_symbols
             books.append(Codebook.from_lengths(lengths))
+        req_book = None
+        if version >= 3:
+            req_book = Codebook.from_lengths(np.frombuffer(data, np.uint8, 256, off))
+            off += 256
         req_lens = np.frombuffer(data, np.uint32, L, off)
         off += 4 * L
         nsym = np.frombuffer(data, np.uint32, L, off)
@@ -364,22 +443,34 @@ class VcfzReader:
         off += 4
         blocks = []
         payload_off = 0
+        req_payload_off = 0
         for _ in range(n_blocks):
-            plen, nsyms, rf, pf, rl, plast, cme = struct.unpack_from("<QQBIBII", data, off)
-            off += 8 + 8 + 1 + 4 + 1 + 4 + 4
+            if version >= 3:
+                plen, nsyms, rplen, rf, pf, rl, plast, cme = struct.unpack_from(
+                    "<QQQBIBII", data, off
+                )
+                off += 8 + 8 + 8 + 1 + 4 + 1 + 4 + 4
+            else:
+                plen, nsyms, rf, pf, rl, plast, cme = struct.unpack_from(
+                    "<QQBIBII", data, off
+                )
+                off += 8 + 8 + 1 + 4 + 1 + 4 + 4
+                rplen = 0
             blocks.append(
                 dict(
                     payload_len=plen, n_symbols=nsyms, ref_first=rf, pos_first=pf,
                     ref_last=rl, pos_last=plast, cummax_end=cme, payload_off=payload_off,
+                    req_payload_len=rplen, req_payload_off=req_payload_off,
                 )
             )
             payload_off += plen
+            req_payload_off += rplen
         req_starts = np.zeros(L, np.int64)
         np.cumsum(req_lens[:-1], out=req_starts[1:])
         return cls(
             data, block_lines, L, S, header_blob, escapes, books, version,
             req_lens.astype(np.int64), nsym.astype(np.int64), req_starts,
-            req_blob, blocks, off,
+            req_blob, blocks, off, req_book,
         )
 
     def _decode_block_symbols(self, b: int) -> np.ndarray:
@@ -469,6 +560,8 @@ class VcfzReader:
             if covered_after[k] < S:
                 body[o + len(e)] = 9  # '\t'
 
+        req_bytes, req_base = self._block_req_bytes(b, lo, hi)
+
         out = []
         spos = 0
         body_bytes = body.tobytes()
@@ -476,9 +569,8 @@ class VcfzReader:
         for i in range(lo, hi):
             n = int(nsym[i - lo])
             blen = int(sizes[spos : spos + n].sum())
-            req = self.req_blob[
-                int(self.req_starts[i]) : int(self.req_starts[i]) + int(self.req_lens[i])
-            ]
+            r0 = int(self.req_starts[i]) - req_base
+            req = req_bytes[r0 : r0 + int(self.req_lens[i])]
             line = bytearray()
             line += encode_length_header(4 + len(req) + blen + 1)
             line += encode_length_header(len(req))
@@ -489,6 +581,24 @@ class VcfzReader:
             spos += n
             boff += blen
         return out
+
+    def _block_req_bytes(self, b: int, lo: int, hi: int) -> tuple[bytes, int]:
+        """Raw required-column bytes covering lines [lo, hi) and the raw
+        offset they start at.  v1/v2 store them verbatim; v3 decodes the
+        block's order-0-coded req payload."""
+        if self.version < 3:
+            return self.req_blob, 0
+        blk = self.blocks[b]
+        if hi <= lo:
+            return b"", 0
+        start = int(self.req_starts[lo])
+        end = int(self.req_starts[hi - 1]) + int(self.req_lens[hi - 1])
+        payload = self.req_blob[
+            blk["req_payload_off"] : blk["req_payload_off"] + blk["req_payload_len"]
+        ]
+        if not hasattr(self, "_req_tables_cache"):
+            self._req_tables_cache = self.req_book.decode_table()
+        return unpack_req(payload, end - start, self.req_book, self._req_tables_cache), start
 
     @property
     def _esc_len_arr(self) -> np.ndarray:

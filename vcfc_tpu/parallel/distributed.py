@@ -165,6 +165,7 @@ def compress_multihost_vcfz(
     from ..format.vcfz import (
         DEFAULT_BLOCK_LINES,
         VERSION,
+        pack_req,
         serialize_prefix,
         symbol_streams,
     )
@@ -265,17 +266,30 @@ def compress_multihost_vcfz(
     freqs = _allgather_array(freqs).sum(axis=0)  # global histogram merge
     books = [Codebook.from_frequencies(freqs[c]) for c in range(N_CTX)]
 
-    # pack own blocks
+    # v3: global order-0 required-bytes codebook (allgather-summed)
+    req_freqs = np.bincount(np.frombuffer(req_blob, np.uint8), minlength=256)
+    req_freqs = _allgather_array(req_freqs.astype(np.int64)).sum(axis=0)
+    req_book = Codebook.from_frequencies(req_freqs)
+
+    req_starts_local = np.zeros(my_lines + 1, np.int64)
+    np.cumsum(req_lens, out=req_starts_local[1:])
+
+    # pack own blocks (symbol + req payloads)
     payloads = []
+    req_payloads = []
     entries = bytearray()
     for b in range(my_blocks):
         blk_syms = block_slice(b)
         payload, _bits = pack_symbols_ctx(blk_syms, books)
         l0, l1 = b * block_lines, min(b * block_lines + block_lines, my_lines)
+        rp = pack_req(
+            req_blob[int(req_starts_local[l0]) : int(req_starts_local[l1])], req_book
+        )
         entries += struct.pack(
-            "<QQBIBII",
+            "<QQQBIBII",
             len(payload),
             len(blk_syms),
+            len(rp),
             int(refs[l0]),
             int(positions[l0]),
             int(refs[l1 - 1]),
@@ -283,12 +297,16 @@ def compress_multihost_vcfz(
             int(ends[l0:l1].max()),
         )
         payloads.append(payload)
+        req_payloads.append(rp)
     payload_blob = b"".join(payloads)
+    req_region = b"".join(req_payloads)
 
     # section offsets from allgathered sizes
-    prefix = serialize_prefix(VERSION, block_lines, L, S, header_blob, esc_list, books)
+    prefix = serialize_prefix(
+        VERSION, block_lines, L, S, header_blob, esc_list, books + [req_book]
+    )
     line_counts = _allgather_sizes(my_lines)
-    req_sizes = _allgather_sizes(len(req_blob))
+    req_sizes = _allgather_sizes(len(req_region))
     payload_sizes = _allgather_sizes(len(payload_blob))
     line_base = int(line_counts[:pid].sum())
     req_base = int(req_sizes[:pid].sum())
@@ -296,11 +314,12 @@ def compress_multihost_vcfz(
     total_req = int(req_sizes.sum())
     total_payload = int(payload_sizes.sum())
 
+    ENTRY = 38  # v3 block entry size
     off_req_lens = len(prefix)
     off_nsym = off_req_lens + 4 * L
     off_req_blob = off_nsym + 4 * L + 8
     off_table = off_req_blob + total_req + 4
-    off_payloads = off_table + 30 * blocks_total
+    off_payloads = off_table + ENTRY * blocks_total
     total_size = off_payloads + total_payload
 
     fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
@@ -313,8 +332,8 @@ def compress_multihost_vcfz(
         if my_lines:
             os.pwrite(fd, req_lens.tobytes(), off_req_lens + 4 * line_base)
             os.pwrite(fd, nsym.astype(np.uint32).tobytes(), off_nsym + 4 * line_base)
-            os.pwrite(fd, req_blob, off_req_blob + req_base)
-            os.pwrite(fd, bytes(entries), off_table + 30 * blk_lo)
+            os.pwrite(fd, req_region, off_req_blob + req_base)
+            os.pwrite(fd, bytes(entries), off_table + ENTRY * blk_lo)
             os.pwrite(fd, payload_blob, off_payloads + payload_base)
     finally:
         os.close(fd)
