@@ -177,3 +177,18 @@ class TestNativeCliVcfz:
         out2 = tmp_path / "n2.vcfz"
         run(["compress-z", vcf_path, str(out2)])
         assert out2.read_bytes() == want
+
+    @pytest.mark.parametrize("version", [1, 2, 3])
+    def test_query_z_all_versions(self, corpus, tmp_path, version):
+        from vcfc_tpu.format.vcfz import query_vcfz, vcfz_from_vcfc
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        z = vcfz_from_vcfc(vcfc, version=version)
+        z_path = tmp_path / f"v{version}.vcfz"
+        z_path.write_bytes(z)
+        q = parse_coordinate_string("1:1000-5000")
+        want = b"".join(query_vcfz(z, q))
+        assert run(["query-z", str(z_path), "1:1000-5000"]).stdout == want
+        out = tmp_path / f"v{version}.vcf"
+        run(["decompress-z", str(z_path), str(out)])
+        assert out.read_bytes() == vcf

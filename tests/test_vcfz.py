@@ -161,3 +161,24 @@ class TestVcfzVersions:
         monkeypatch.setenv("VCFC_NO_NATIVE", "1")
         z_fallback = vcfz_from_vcfc(vcfc)
         assert z_native == z_fallback
+
+    @pytest.mark.parametrize("version", [1, 2, 3])
+    def test_all_versions_roundtrip_and_query(self, version):
+        from vcfc_tpu.format import decompress_bytes
+        from vcfc_tpu.format.vcfz import decompress_vcfz, query_vcfz, vcfz_from_vcfc
+        from vcfc_tpu.query.engine import query_full_scan
+
+        vcfc = self._vcfc()
+        z = vcfz_from_vcfc(vcfc, version=version)
+        assert decompress_vcfz(z) == decompress_bytes(vcfc)
+        q = parse_coordinate_string("1:1000-9000")
+        want = b"".join(query_full_scan(vcfc, q))
+        assert b"".join(query_vcfz(z, q)) == want
+
+    def test_v3_smaller_than_v2(self):
+        from test_fuzz import make_vcf
+        from vcfc_tpu.format import compress_bytes
+        from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+        vcfc = compress_bytes(make_vcf(503, 400, 400))
+        assert len(vcfz_from_vcfc(vcfc, version=3)) < len(vcfz_from_vcfc(vcfc, version=2))

@@ -16,19 +16,22 @@ collectives" path of BASELINE.json: histograms come from the device mesh
 
 Layout (little-endian):
 
-  magic "VCFZ" | u32 version (1 or 2) | u8 max_code_len | u32 block_lines
+  magic "VCFZ" | u32 version (1, 2 or 3) | u8 max_code_len | u32 block_lines
   u64 n_lines | u32 n_samples
   u64 header_len | header blob (meta + #CHROM lines verbatim)
   u32 n_escapes | per escape: u16 len | bytes
   u32 n_symbols | u8 lengths[n_symbols] x (1 if version==1 else N_CTX)
-                                                 (canonical codebooks)
+                                                 (canonical symbol codebooks)
+  [v3] u8 req_lengths[256]                       (order-0 required-bytes book)
   u32 req_len[n_lines]                           (required-cols length)
   u32 nsym[n_lines]                              (symbols per line)
-  u64 req_blob_len | concatenated required-column blobs
+  u64 req_region_len |
+      v1/v2: concatenated raw required-column blobs
+      v3:    per-block order-0-coded required-column payloads
   u32 n_blocks | per block:
-      u64 payload_len | u64 n_block_symbols
+      u64 payload_len | u64 n_block_symbols | [v3] u64 req_payload_len
       u8 ref_first | u32 pos_first | u8 ref_last | u32 pos_last | u32 cummax_end
-  payloads (bit-packed, byte-aligned per block)
+  symbol payloads (bit-packed, byte-aligned per block)
 """
 
 from __future__ import annotations
