@@ -883,7 +883,8 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
     acc += rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + i));
   }
   // v1/v2 store raw req bytes; v3's region holds per-block coded payloads
-  if (z.version < 3 && acc > req_blob_len)
+  // (codes are >= 1 bit/byte, so raw size is bounded by 8x the region)
+  if (acc > (z.version < 3 ? req_blob_len : 8 * req_blob_len))
     die("corrupt .vcfz required-column lengths");
   need(4);
   uint32_t n_blocks = rd_u32(raw + off);
@@ -922,28 +923,40 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   return z;
 }
 
+// MSB-first canonical-Huffman bit reader over a byte-aligned payload
+// (shared by the symbol and required-bytes decode loops).
+struct BitReader {
+  const uint8_t* p;
+  uint64_t len;
+  uint64_t acc = 0;
+  int navail = 0;
+  uint64_t pos = 0;
+  // peek a kMaxCodeLen-bit window; consume `ln` bits after table lookup
+  uint32_t peek() {
+    while (navail < kMaxCodeLen) {
+      uint8_t c = pos < len ? p[pos++] : 0;
+      acc = (acc << 8) | c;
+      navail += 8;
+    }
+    return uint32_t((acc >> (navail - kMaxCodeLen)) & ((1u << kMaxCodeLen) - 1));
+  }
+  void take(uint8_t ln) { navail -= ln; }
+};
+
 // Decode block b's symbols (context-switching canonical Huffman) and
 // reconstruct each line's .vcfc bytes into *out_lines.
 void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lines) {
   const VcfzBlock& blk = z.blocks[b];
-  const uint8_t* payload = z.payload_base + blk.payload_off;
   std::vector<int32_t> syms(blk.n_symbols);
-  uint64_t acc = 0;
-  int navail = 0;
-  uint64_t byte_pos = 0;
+  BitReader br{z.payload_base + blk.payload_off, blk.payload_len};
   int ctx = z.version == 1 ? 0 : kCtxInit;
   for (uint64_t i = 0; i < blk.n_symbols; i++) {
-    while (navail < kMaxCodeLen) {
-      uint8_t c = byte_pos < blk.payload_len ? payload[byte_pos++] : 0;
-      acc = (acc << 8) | c;
-      navail += 8;
-    }
-    uint32_t prefix = (acc >> (navail - kMaxCodeLen)) & ((1u << kMaxCodeLen) - 1);
+    uint32_t prefix = br.peek();
     uint8_t ln = z.len_tables[ctx][prefix];
     if (ln == 0) die("invalid Huffman stream");
     int32_t sym = z.sym_tables[ctx][prefix];
     syms[i] = sym;
-    navail -= ln;
+    br.take(ln);
     if (z.version >= 2) ctx = z.class_of[sym];
   }
 
@@ -959,22 +972,13 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
                        rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + (hi - 1)));
     uint64_t n_req = req_end - req_base;
     req_bytes.resize(n_req);
-    const uint8_t* rp = z.req_blob + blk.req_payload_off;
-    uint64_t acc2 = 0;
-    int navail2 = 0;
-    uint64_t bp = 0;
-    const uint64_t mask = (1u << kMaxCodeLen) - 1;
+    BitReader rbr{z.req_blob + blk.req_payload_off, blk.req_payload_len};
     for (uint64_t i = 0; i < n_req; i++) {
-      while (navail2 < kMaxCodeLen) {
-        uint8_t c = bp < blk.req_payload_len ? rp[bp++] : 0;
-        acc2 = (acc2 << 8) | c;
-        navail2 += 8;
-      }
-      uint32_t prefix = (acc2 >> (navail2 - kMaxCodeLen)) & mask;
+      uint32_t prefix = rbr.peek();
       uint8_t ln = z.req_len_table[prefix];
       if (ln == 0) die("invalid req Huffman stream");
       req_bytes[i] = char(z.req_sym_table[prefix]);
-      navail2 -= ln;
+      rbr.take(ln);
     }
   }
   size_t spos = 0;
@@ -1100,7 +1104,7 @@ int class_of_sym(int64_t s) {
   return s == 0x7F ? 0 : s < 0x80 ? 1 : s < 0x100 ? 2 : 3;
 }
 
-// format/vcfz.py::vcfz_from_vcfc, natively (v2 only).  in-memory vcfc in.
+// format/vcfz.py::vcfz_from_vcfc, natively (writes v3).  in-memory vcfc in.
 std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
   Header h = parse_meta(vcfc, n);
   // walk lines: geometry + required cols + symbol streams + escapes
@@ -1110,14 +1114,12 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
   std::vector<uint32_t> req_lens;
   std::vector<std::string> escapes;
   std::unordered_map<std::string, int64_t> esc_ids;
-  uint64_t req_total = 0;
   LineView lv;
   size_t off = h.data_offset;
   while (next_line(vcfc, n, off, &lv)) {
     lvs.push_back(lv);
     int64_t req_len = read_len_header(vcfc + lv.offset + 4);
     req_lens.push_back(uint32_t(req_len));
-    req_total += uint64_t(req_len);
     // sample body: flag bytes + escape text (format/vcfz.py walker)
     size_t b0 = lv.offset + 8 + size_t(req_len);
     size_t b1 = lv.offset + 4 + size_t(lv.line_length) - 1;  // excl '\n'
@@ -1207,7 +1209,6 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
   out.append(reinterpret_cast<char*>(req_lengths.data()), 256);
   out.append(reinterpret_cast<const char*>(req_lens.data()), 4 * L);
   out.append(reinterpret_cast<const char*>(nsym.data()), 4 * L);
-  (void)req_total;
 
   // pack blocks: symbol payloads (context-switching) + req payloads
   std::vector<std::string> payloads, req_payloads;

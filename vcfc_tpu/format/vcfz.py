@@ -4,7 +4,7 @@ A lossless transcoding of `.vcfc`: the per-line sample stream (flag bytes
 plus escape columns) becomes a symbol stream — symbols 0..255 are flag
 bytes, 256+k is the k-th entry of a per-file escape-string dictionary
 (first-occurrence order) — Huffman-coded with global canonical codebooks.
-Version 1 uses ONE codebook; version 2 (current) uses N_CTX=4 codebooks
+Version 1 uses ONE codebook; versions 2 and 3 (current) use N_CTX=4 codebooks
 selected per symbol by the CLASS of the previous symbol (full 0|0 run /
 short 0|0 run / het run / escape; ops/huffman.py::symbol_classes), which
 captures ~96% of the order-1 entropy gain.  Lines are grouped into blocks
@@ -273,9 +273,11 @@ def vcfz_from_vcfc(
 ) -> bytes:
     """Transcode .vcfc -> .vcfz (lossless).
 
-    version 2 (default) codes each symbol with the codebook selected by
+    version 3 (default) codes each symbol with the codebook selected by
     the previous symbol's class (4 classes — ~96% of the order-1 entropy
-    gain); version 1 uses one global codebook."""
+    gain) and order-0-codes the required-column bytes per block;
+    version 2 leaves required columns raw; version 1 uses one global
+    symbol codebook."""
     from ..index.scan import scan_lines
 
     header = parse_metadata_headers(vcfc)
@@ -599,6 +601,10 @@ class VcfzReader:
         payload = self.req_blob[
             blk["req_payload_off"] : blk["req_payload_off"] + blk["req_payload_len"]
         ]
+        if end - start > 8 * len(self.req_blob):
+            # codes are >= 1 bit/byte: a corrupt req_len table would
+            # otherwise drive an unbounded allocation
+            raise ValueError("corrupt .vcfz required-column lengths")
         if not hasattr(self, "_req_tables_cache"):
             self._req_tables_cache = self.req_book.decode_table()
         return unpack_req(payload, end - start, self.req_book, self._req_tables_cache), start

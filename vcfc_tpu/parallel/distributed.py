@@ -162,13 +162,17 @@ def compress_multihost_vcfz(
     Output is byte-identical to single-process ``vcfz_from_vcfc`` of the
     whole file (asserted in tests/test_distributed.py).
     """
+    # the layout below is hard-wired to version 3 (38-byte entries, req
+    # codebook, coded req region) — stamp that literal version, not the
+    # module default, so the field can never drift from the bytes
     from ..format.vcfz import (
         DEFAULT_BLOCK_LINES,
-        VERSION,
         pack_req,
         serialize_prefix,
         symbol_streams,
     )
+
+    WRITE_VERSION = 3
     from ..index.scan import scan_lines
     from ..ops.huffman import (
         N_CTX,
@@ -303,7 +307,7 @@ def compress_multihost_vcfz(
 
     # section offsets from allgathered sizes
     prefix = serialize_prefix(
-        VERSION, block_lines, L, S, header_blob, esc_list, books + [req_book]
+        WRITE_VERSION, block_lines, L, S, header_blob, esc_list, books + [req_book]
     )
     line_counts = _allgather_sizes(my_lines)
     req_sizes = _allgather_sizes(len(req_region))
