@@ -1,0 +1,109 @@
+#!/usr/bin/env bash
+# Full differential verification against the reference VCFC binary.
+#
+# Builds the reference from /root/reference (or $VCFC_REFERENCE), generates
+# a fresh random corpus (new seed every run), and checks every surface of
+# all three implementations:
+#   - reference binary  (ground truth)
+#   - native CLI        (native/vcfcq)
+#   - Python CLI        (python -m vcfc_tpu.cli)
+# compress / decompress / binned + sparse indexes / all query engines /
+# gap-analysis byte-equal; .vcfz lossless with query-z == full scan.
+#
+# Usage: scripts/verify-differential.sh [seed]
+set -euo pipefail
+
+here="$(cd "$(dirname "$0")/.." && pwd)"
+ref_src="${VCFC_REFERENCE:-/root/reference}"
+seed="${1:-$RANDOM$RANDOM}"
+work="$(mktemp -d /tmp/vcfc-verify.XXXXXX)"
+trap 'rm -rf "$work"' EXIT
+echo "workdir: $work  seed: $seed"
+
+# --- build the reference oracle once per machine
+R=/tmp/refbuild/main_release
+if [ ! -x "$R" ]; then
+  mkdir -p /tmp/refbuild
+  cp -r "$ref_src/src" /tmp/refbuild/ && cp "$ref_src/Makefile" /tmp/refbuild/
+  (cd /tmp/refbuild && make release >/dev/null 2>&1)
+fi
+make -C "$here/native" >/dev/null 2>&1 || true
+V="$here/native/vcfcq"
+P=(python -m vcfc_tpu.cli)
+export PYTHONPATH="$here${PYTHONPATH:+:$PYTHONPATH}"
+
+# --- fresh corpus: escapes, >127 run caps, SVs, 3 chroms, pos regressions
+python - "$seed" "$work/f.vcf" <<'EOF'
+import random, sys
+random.seed(int(sys.argv[1]))
+n = random.randint(120, 600)
+lines = ["##fileformat=VCFv4.2", "##source=verify-differential"]
+lines.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(f"S{i}" for i in range(n)))
+gts = ["0|0","0|1","1|0","1|1","2|0","./.","0|2","3|3"]
+w = [0.8,0.05,0.05,0.03,0.02,0.02,0.02,0.01]
+pos = 1000
+for v in range(random.randint(200, 800)):
+    pos += random.randint(1, 500)
+    chrom = ["17","21","X"][min(v // 200, 2)]
+    if v % 200 == 199: pos = random.randint(500, 2000)
+    if v % 41 == 3:
+        ref, alt, info = "N", "<DEL>", f"END={pos+random.randint(10,9000)}"
+    elif v % 41 == 17:
+        ref, alt, info = "N", "<DUP>", f"SVLEN={random.randint(40,800)}"
+    else:
+        ref = random.choice(["A","C","GT","GATTACA"])
+        alt = random.choice(["G","T,A","TTA","A,C,G"])
+        info = "."
+    row = ["0|0"]*n if v % 29 == 7 else random.choices(gts, weights=w, k=n)
+    lines.append(f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t99\tPASS\t{info}\tGT\t" + "\t".join(row))
+open(sys.argv[2], "w").write("\n".join(lines) + "\n")
+EOF
+
+cd "$work"
+fail=0
+check() { if ! "$@"; then echo "FAIL: $*"; fail=1; fi; }
+
+"$R" compress f.vcf r.vcfc
+"$V" compress f.vcf v.vcfc;            check cmp -s r.vcfc v.vcfc
+"${P[@]}" compress f.vcf p.vcfc;       check cmp -s r.vcfc p.vcfc
+"$V" decompress v.vcfc v.rt;           check cmp -s v.rt f.vcf
+"${P[@]}" decompress p.vcfc p.rt;      check cmp -s p.rt f.vcf
+
+"$R" create-binned-index 20 r.vcfc
+"$V" create-binned-index 20 v.vcfc;    check cmp -s r.vcfc.vcfci v.vcfc.vcfci
+"$R" create-sparse-index r.vcfc
+"$V" create-sparse-index v.vcfc
+"$R" sparsify r.vcfc r.sparse 2>/dev/null
+"$V" sparsify v.vcfc v.sparse
+
+for region in "17" "21:1000-99999" "X:2000-2000" "5" "17:1-999999999"; do
+  "$R" query r.vcfc "$region" > a;              "$V" query v.vcfc "$region" > b
+  check cmp -s a b
+  "${P[@]}" query p.vcfc "$region" > c;          check cmp -s a c
+  "$R" query-binned-index r.vcfc "$region" > a; "$V" query-binned-index v.vcfc "$region" > b
+  check cmp -s a b
+  "$R" query-sparse-index r.vcfc "$region" > a 2>/dev/null
+  "$V" query-sparse-index v.vcfc "$region" > b; check cmp -s a b
+done
+for region in "17:1500-1500" "17:1000-50000"; do
+  "$R" sparse-query r.sparse "$region" > a 2>/dev/null
+  "$V" sparse-query v.sparse "$region" > b;     check cmp -s a b
+done
+
+"$R" gap-analysis r.vcfc; mv start-positions.txt a
+"$V" gap-analysis v.vcfc; check cmp -s a start-positions.txt
+
+"$V" compress-z v.vcfc v.vcfz
+"${P[@]}" compress-z p.vcfc p.vcfz;    check cmp -s v.vcfz p.vcfz
+"$V" decompress-z v.vcfz z.rt;         check cmp -s z.rt f.vcf
+"$R" query r.vcfc "21:1000-99999" > a
+"$V" query-z v.vcfz "21:1000-99999" > b; check cmp -s a b
+
+if [ "$fail" = 0 ]; then
+  echo "PASS: all surfaces byte-equal vs reference (seed $seed)"
+else
+  echo "FAILURES above (seed $seed, workdir kept: $work)"
+  trap - EXIT
+  exit 1
+fi
