@@ -1361,18 +1361,26 @@ int do_decompress_z(const char* in_path, const char* out_path) {
   Mapped m;
   if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
   Vcfz z = parse_vcfz(m.data, m.size);
-  std::string out;
-  out.append(reinterpret_cast<const char*>(z.header_blob), z.header_len);
-  std::vector<std::string> lines;
-  std::string text;
-  for (size_t b = 0; b < z.blocks.size(); b++) {
-    lines.clear();
-    vcfz_block_lines(z, b, &lines);
-    for (const std::string& lb : lines)
-      decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
-                       z.n_samples, &out);
-  }
-  if (!write_file(out_path, out)) die(std::string("cannot write ") + out_path);
+  // blocks decode independently: chunk them across threads
+  std::vector<std::string> parts(16);
+  parallel_chunks(int64_t(z.blocks.size()), [&](int w, int64_t lo, int64_t hi) {
+    std::string& out = parts[w];
+    std::vector<std::string> lines;
+    for (int64_t b = lo; b < hi; b++) {
+      lines.clear();
+      vcfz_block_lines(z, size_t(b), &lines);
+      for (const std::string& lb : lines)
+        decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
+                         z.n_samples, &out);
+    }
+  });
+  FILE* f = fopen(out_path, "wb");
+  if (!f) die(std::string("cannot write ") + out_path);
+  if (fwrite(z.header_blob, 1, z.header_len, f) != z.header_len)
+    die("write failed");
+  for (auto& p : parts)
+    if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
+  if (fclose(f) != 0) die("write failed");
   return 0;
 }
 
