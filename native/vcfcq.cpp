@@ -605,21 +605,38 @@ int do_decompress(const char* in_path, const char* out_path) {
     if (off + 4 > m.size) die("Truncated line length headers");
     off += 4 + size_t(read_len_header(m.data + off));
   }
-  std::vector<std::string> parts(16);
-  // decoded text is ~8x the compressed bytes on RLE-heavy cohorts
-  size_t est_line = offs.empty() ? 0 : (m.size - h.data_offset) * 8 / offs.size();
-  parallel_chunks(int64_t(offs.size()), [&](int w, int64_t lo, int64_t hi) {
-    std::string& out = parts[w];
-    out.reserve(size_t(hi - lo) * (est_line + 64));
-    for (int64_t i = lo; i < hi; i++)
-      decode_data_line(m.data, m.size, offs[size_t(i)], h.sample_count, &out);
-  });
+  int workers = int(std::min<int64_t>(
+      int64_t(offs.size()),
+      std::min<unsigned>(std::thread::hardware_concurrency(), 16)));
   FILE* f = fopen(out_path, "wb");
   if (!f) die(std::string("cannot write ") + out_path);
   if (fwrite(m.data, 1, h.data_offset, f) != h.data_offset)  // meta/header
     die("write failed");
-  for (auto& p : parts)
-    if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
+  if (workers <= 1) {
+    // streaming single-core path: bounded buffer, no multi-GB staging
+    std::string out;
+    out.reserve(16u << 20);
+    for (size_t i = 0; i < offs.size(); i++) {
+      decode_data_line(m.data, m.size, offs[i], h.sample_count, &out);
+      if (out.size() > (8u << 20)) {
+        if (fwrite(out.data(), 1, out.size(), f) != out.size()) die("write failed");
+        out.clear();
+      }
+    }
+    if (fwrite(out.data(), 1, out.size(), f) != out.size()) die("write failed");
+  } else {
+    std::vector<std::string> parts(16);
+    // decoded text is ~8x the compressed bytes on RLE-heavy cohorts
+    size_t est_line = offs.empty() ? 0 : (m.size - h.data_offset) * 8 / offs.size();
+    parallel_chunks(int64_t(offs.size()), [&](int w, int64_t lo, int64_t hi) {
+      std::string& out = parts[w];
+      out.reserve(size_t(hi - lo) * (est_line + 64));
+      for (int64_t i = lo; i < hi; i++)
+        decode_data_line(m.data, m.size, offs[size_t(i)], h.sample_count, &out);
+    });
+    for (auto& p : parts)
+      if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
+  }
   if (fclose(f) != 0) die("write failed");
   return 0;
 }
@@ -706,24 +723,42 @@ int do_compress(const char* in_path, const char* out_path) {
     if (end > off) lines.emplace_back(off, end);
     off = end + 1;
   }
-  std::vector<std::string> parts(16);
-  parallel_chunks(int64_t(lines.size()), [&](int w, int64_t lo, int64_t hi) {
-    std::string& out = parts[w];
-    out.reserve(size_t(hi - lo) * 256);
-    for (int64_t i = lo; i < hi; i++) {
-      auto [s, e] = lines[size_t(i)];
-      if (m.data[s] == '#') {  // meta/header passthrough, wherever it is
-        out.append(reinterpret_cast<const char*>(m.data + s), e - s);
-        out.push_back('\n');
-      } else {
-        encode_data_line(m.data + s, e - s, &out);
-      }
+  auto encode_one = [&](size_t s, size_t e, std::string* out) {
+    if (m.data[s] == '#') {  // meta/header passthrough, wherever it is
+      out->append(reinterpret_cast<const char*>(m.data + s), e - s);
+      out->push_back('\n');
+    } else {
+      encode_data_line(m.data + s, e - s, out);
     }
-  });
+  };
+  int workers = int(std::min<int64_t>(
+      int64_t(lines.size()),
+      std::min<unsigned>(std::thread::hardware_concurrency(), 16)));
   FILE* f = fopen(out_path, "wb");
   if (!f) die(std::string("cannot write ") + out_path);
-  for (auto& p : parts)
-    if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
+  if (workers <= 1) {
+    // streaming single-core path: bounded buffer
+    std::string out;
+    out.reserve(16u << 20);
+    for (auto [s, e] : lines) {
+      encode_one(s, e, &out);
+      if (out.size() > (8u << 20)) {
+        if (fwrite(out.data(), 1, out.size(), f) != out.size()) die("write failed");
+        out.clear();
+      }
+    }
+    if (fwrite(out.data(), 1, out.size(), f) != out.size()) die("write failed");
+  } else {
+    std::vector<std::string> parts(16);
+    parallel_chunks(int64_t(lines.size()), [&](int w, int64_t lo, int64_t hi) {
+      std::string& out = parts[w];
+      out.reserve(size_t(hi - lo) * 256);
+      for (int64_t i = lo; i < hi; i++)
+        encode_one(lines[size_t(i)].first, lines[size_t(i)].second, &out);
+    });
+    for (auto& p : parts)
+      if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
+  }
   if (fclose(f) != 0) die("write failed");
   return 0;
 }
@@ -1361,25 +1396,47 @@ int do_decompress_z(const char* in_path, const char* out_path) {
   Mapped m;
   if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
   Vcfz z = parse_vcfz(m.data, m.size);
-  // blocks decode independently: chunk them across threads
-  std::vector<std::string> parts(16);
-  parallel_chunks(int64_t(z.blocks.size()), [&](int w, int64_t lo, int64_t hi) {
-    std::string& out = parts[w];
-    std::vector<std::string> lines;
-    for (int64_t b = lo; b < hi; b++) {
-      lines.clear();
-      vcfz_block_lines(z, size_t(b), &lines);
-      for (const std::string& lb : lines)
-        decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
-                         z.n_samples, &out);
-    }
-  });
+  int workers = int(std::min<int64_t>(
+      int64_t(z.blocks.size()),
+      std::min<unsigned>(std::thread::hardware_concurrency(), 16)));
   FILE* f = fopen(out_path, "wb");
   if (!f) die(std::string("cannot write ") + out_path);
   if (fwrite(z.header_blob, 1, z.header_len, f) != z.header_len)
     die("write failed");
-  for (auto& p : parts)
-    if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
+  if (workers <= 1) {
+    // streaming single-core path: bounded buffer
+    std::string out;
+    out.reserve(16u << 20);
+    std::vector<std::string> lines;
+    for (size_t b = 0; b < z.blocks.size(); b++) {
+      lines.clear();
+      vcfz_block_lines(z, b, &lines);
+      for (const std::string& lb : lines)
+        decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
+                         z.n_samples, &out);
+      if (out.size() > (8u << 20)) {
+        if (fwrite(out.data(), 1, out.size(), f) != out.size()) die("write failed");
+        out.clear();
+      }
+    }
+    if (fwrite(out.data(), 1, out.size(), f) != out.size()) die("write failed");
+  } else {
+    // blocks decode independently: chunk them across threads
+    std::vector<std::string> parts(16);
+    parallel_chunks(int64_t(z.blocks.size()), [&](int w, int64_t lo, int64_t hi) {
+      std::string& out = parts[w];
+      std::vector<std::string> lines;
+      for (int64_t b = lo; b < hi; b++) {
+        lines.clear();
+        vcfz_block_lines(z, size_t(b), &lines);
+        for (const std::string& lb : lines)
+          decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
+                           z.n_samples, &out);
+      }
+    });
+    for (auto& p : parts)
+      if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
+  }
   if (fclose(f) != 0) die("write failed");
   return 0;
 }
