@@ -443,16 +443,16 @@ long long end_position(const LineView& lv) {
     bool has_end = false, has_svlen = false;
     std::string end_val = lookup("END", &has_end);
     if (has_end) {
-      auto ends = split_ints(end_val);
-      if (ends.empty()) return lv.pos;
-      return llabs(*std::max_element(ends.begin(), ends.end()));
+      // reference folds with max_end = 0, only `end > max_end` updates
+      // (main.cpp:800-809): empty/all-negative END -> 0, not pos
+      long long m = 0;
+      for (long long v : split_ints(end_val)) m = std::max(m, v);
+      return m;
     }
     std::string svlen_val = lookup("SVLEN", &has_svlen);
     if (has_svlen) {
-      auto svlens = split_ints(svlen_val);
-      if (svlens.empty()) return lv.pos;
-      long long m = 0;
-      for (long long v : svlens) m = std::max(m, llabs(v));
+      long long m = 0;  // same fold with abs(): empty SVLEN -> pos - 1
+      for (long long v : split_ints(svlen_val)) m = std::max(m, llabs(v));
       return lv.pos + m - 1;
     }
     return lv.pos;

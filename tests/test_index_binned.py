@@ -114,3 +114,21 @@ class TestCoordinateModel:
         # the reference's map operator[] quirk (utils.cpp:23-25)
         q = CoordinateQuery.range("chrUn", 1, 10)
         assert q.compare_to_range("1", 5, 6) == -1
+
+
+class TestEndPositionEdgeCases:
+    """The reference folds END with max_end=0 and only `end > max_end`
+    updates (main.cpp:800-809): empty/all-negative END values yield 0;
+    the analogous abs() fold makes empty SVLEN yield pos-1. Verified
+    byte-identical against the reference binary on .vcfci output."""
+
+    def test_reference_fold_semantics(self):
+        from vcfc_tpu.query.coordinate import compute_end_position
+
+        assert compute_end_position(500, b"N", b"<DEL>", b"END=") == 0
+        assert compute_end_position(600, b"N", b"<DEL>", b"END=-100") == 0
+        assert compute_end_position(800, b"N", b"<DEL>", b"END=-5,-9") == 0
+        assert compute_end_position(900, b"N", b"<DEL>", b"END=850,1200") == 1200
+        assert compute_end_position(700, b"N", b"<INS>", b"SVLEN=") == 699
+        assert compute_end_position(950, b"N", b"<DUP>", b"SVLEN=-60,40") == 1009
+        assert compute_end_position(100, b"N", b"<DEL>", b"SVTYPE=DEL") == 100

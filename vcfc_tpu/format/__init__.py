@@ -17,6 +17,5 @@ from .vcf import (  # noqa: F401
     VcfcSchema,
     compress_bytes,
     decompress_bytes,
-    iter_compressed_lines,
     parse_metadata_headers,
 )

@@ -49,6 +49,10 @@ def parse_metadata_headers(buf: bytes) -> VcfcHeader:
         if offset >= n:
             if not got_header or not got_meta:
                 raise VcfValidationError("File ended before a header or metadata line")
+            # deliberate divergence: the reference DECOMPRESSOR rejects a
+            # stream that ends right after the header line (stale-char
+            # quirk, compress.cpp:1036), but its ENCODER accepts data-less
+            # VCFs — this parser serves both sides, so we accept
             break
         c1 = buf[offset]
         if c1 != ord("#"):
@@ -115,15 +119,3 @@ def decompress_bytes(vcfc: bytes) -> bytes:
     return bytes(out)
 
 
-def iter_compressed_lines(vcfc: bytes, data_offset: int):
-    """Yield (offset, line_length, required_length) for each compressed data
-    line without decoding samples — the skeleton walk used by every index
-    builder (e.g. create_binned_index4, main.cpp:1329-1619)."""
-    from .headers import decode_line_headers
-
-    offset = data_offset
-    n = len(vcfc)
-    while offset < n:
-        line_length, required_length = decode_line_headers(vcfc, offset)
-        yield offset, line_length, required_length
-        offset += 4 + line_length

@@ -41,8 +41,7 @@ def assemble_vcfc_native(
         S, sizes,
     )
     base = len(header_blob)
-    out_off = np.empty(L, np.int64)
-    out_off[0] = 0
+    out_off = np.zeros(L, np.int64)  # zeros: L == 0 stays valid
     if L > 1:
         np.cumsum(sizes[:-1], out=out_off[1:])
     out_off += base
@@ -137,8 +136,7 @@ def assemble_vcf_native(
         oracle_lines[int(i)] = line
         sizes[i] = len(line)
 
-    out_off = np.empty(L, np.int64)
-    out_off[0] = 0
+    out_off = np.zeros(L, np.int64)  # zeros: L == 0 stays valid
     if L > 1:
         np.cumsum(sizes[:-1], out=out_off[1:])
     out_off += base

@@ -154,7 +154,10 @@ def _load():
 
 
 def available() -> bool:
-    return _load() is not None and os.environ.get("VCFC_NO_NATIVE", "") == ""
+    # env check FIRST: VCFC_NO_NATIVE must not trigger the in-tree build
+    if os.environ.get("VCFC_NO_NATIVE", "") != "":
+        return False
+    return _load() is not None
 
 
 def _ptr(a: np.ndarray, ctype):

@@ -201,24 +201,6 @@ def _parse_vcf_bytes_numpy(raw: bytes) -> ParsedVcf:
 
     irregular = ~regular
     if irregular.any():
-        for i in np.flatnonzero(irregular):
-            line = body[line_start[i] : line_end[i]].tobytes()
-            terms = split_terms(line)
-            samples = terms[9:]
-            if len(samples) != S:
-                raise VcfValidationError(
-                    f"line {i}: expected {S} samples, found {len(samples)}"
-                )
-            for j, s in enumerate(samples):
-                if s == b"0|0":
-                    codes[i, j] = 0
-                elif s == b"0|1":
-                    codes[i, j] = 1
-                elif s == b"1|0":
-                    codes[i, j] = 2
-                elif s == b"1|1":
-                    codes[i, j] = 3
-                else:
-                    codes[i, j] = 4
+        _classify_irregular(body, line_start, line_end, codes, irregular, S)
 
     return ParsedVcf(header, body, line_start, line_end, sample_start, codes, irregular)

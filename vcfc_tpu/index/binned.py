@@ -22,7 +22,7 @@ from ..utils.config import BinnedIndexConfig
 from ..utils.refmap import reference_to_int
 from ..utils.timing import timing_probe
 from .entry import ENTRY_SIZE, IndexEntry
-from .scan import scan_lines
+from .scan import header_at as _header_at, scan_lines
 
 
 def build_binned_index(vcfc: bytes, config: BinnedIndexConfig) -> bytes:
@@ -84,12 +84,3 @@ def query_binned_index(vcfc: bytes, vcfci: bytes, query: CoordinateQuery):
             elif cmp < 0:
                 break
 
-
-def _header_at(header, offset: int):
-    """Clone a parsed header with data_offset pinned to a line offset so
-    scan_lines starts mid-file."""
-    from copy import copy
-
-    h = copy(header)
-    h.data_offset = offset
-    return h

@@ -40,22 +40,22 @@ MANIFEST_EXTENSION = ".vcfcm"
 def build_manifest(vcfc: bytes) -> bytes:
     recs = list(scan_lines(vcfc))
     L = len(recs)
-    ref_idx = np.empty(L, np.uint8)
-    pos = np.empty(L, np.uint32)
-    end = np.empty(L, np.uint32)
-    offset = np.empty(L, np.uint64)
-    length = np.empty(L, np.uint32)
-    for i, r in enumerate(recs):
-        ref_idx[i] = reference_to_int(r.chrom)
-        pos[i] = r.pos
-        end[i] = r.end_position()
-        offset[i] = r.offset
-        length[i] = r.line_length
-    # running max of end within each ref run
+    ref_idx = np.fromiter(
+        (reference_to_int(r.chrom) for r in recs), np.uint8, count=L
+    )
+    pos = np.fromiter((r.pos for r in recs), np.uint32, count=L)
+    end = np.fromiter((r.end_position() for r in recs), np.uint32, count=L)
+    offset = np.fromiter((r.offset for r in recs), np.uint64, count=L)
+    length = np.fromiter((r.line_length for r in recs), np.uint32, count=L)
+    # running max of end within each ref run: vectorized accumulate per
+    # segment (segments = contiguous ref runs, a handful per file)
     cummax_end = end.copy()
-    for i in range(1, L):
-        if ref_idx[i] == ref_idx[i - 1] and cummax_end[i - 1] > cummax_end[i]:
-            cummax_end[i] = cummax_end[i - 1]
+    if L:
+        bounds = np.flatnonzero(
+            np.concatenate([[True], ref_idx[1:] != ref_idx[:-1]])
+        ).tolist() + [L]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cummax_end[s:e] = np.maximum.accumulate(end[s:e])
     head = MAGIC + struct.pack("<IQ", VERSION, L)
     return head + b"".join(
         a.tobytes() for a in (ref_idx, pos, end, offset, length, cummax_end)

@@ -63,3 +63,13 @@ def scan_lines(vcfc: bytes, header: VcfcHeader | None = None):
             cols[7],
         )
         offset += 4 + line_length
+
+
+def header_at(header: VcfcHeader, offset: int) -> VcfcHeader:
+    """Clone a parsed header with data_offset pinned to a line offset so
+    scan_lines can start mid-file (shared by the index query engines)."""
+    from copy import copy
+
+    h = copy(header)
+    h.data_offset = offset
+    return h

@@ -19,7 +19,7 @@ from ..utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, SparseConfig
 from ..utils.refmap import reference_to_int
 from ..utils.timing import timing_probe
 from .entry import ENTRY_SIZE, IndexEntry
-from .scan import scan_lines
+from .scan import header_at as _header_at, scan_lines
 
 
 def create_sparse_external_index(
@@ -88,10 +88,3 @@ def query_sparse_external_index(
             else:
                 break
 
-
-def _header_at(header, offset: int):
-    from copy import copy
-
-    h = copy(header)
-    h.data_offset = offset
-    return h

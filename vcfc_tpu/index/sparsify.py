@@ -92,8 +92,19 @@ def query_sparse_file(path: str, query: CoordinateQuery, config: SparseConfig | 
     """Yield decompressed matching lines from a sparsified file."""
     config = config or SparseConfig()
     with open(path, "rb") as f:
-        raw_head = f.read(1 << 20)
-        header = parse_metadata_headers(raw_head)
+        # grow the header read until the #CHROM line fits (wide cohorts can
+        # exceed 1 MiB of meta+header; the reference reads unboundedly)
+        head_size = 1 << 20
+        while True:
+            f.seek(0)
+            raw_head = f.read(head_size)
+            try:
+                header = parse_metadata_headers(raw_head)
+                break
+            except Exception:
+                if len(raw_head) < head_size:
+                    raise  # whole file read and still malformed
+                head_size *= 4
         sample_count = header.schema.sample_count
         data_start = header.data_offset + 8
         f.seek(header.data_offset)

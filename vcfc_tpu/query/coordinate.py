@@ -114,11 +114,15 @@ def compute_end_position(pos: int, ref: bytes, alt: bytes, info: bytes) -> int:
     if alt_is_structural(alt):
         kvp = parse_info_kvp(info)
         if b"END" in kvp:
+            # the reference folds with max_end = 0 and only `end > max_end`
+            # updates (main.cpp:800-809): empty or all-negative END values
+            # yield 0, not pos — observable in .vcfci entry bytes
             ends = [int(v) for v in kvp[b"END"].split(b",") if v]
-            return abs(max(ends)) if ends else pos
+            return max([*ends, 0])
         if b"SVLEN" in kvp:
+            # same fold with abs(): empty SVLEN yields pos + 0 - 1
             svlens = [abs(int(v)) for v in kvp[b"SVLEN"].split(b",") if v]
-            return pos + max(svlens) - 1 if svlens else pos
+            return pos + max([*svlens, 0]) - 1
         return pos
     alts = [a for a in alt.split(b",") if a]
     max_alt = max((len(a) for a in alts), default=0)
