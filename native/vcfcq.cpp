@@ -763,6 +763,112 @@ int do_compress(const char* in_path, const char* out_path) {
   return 0;
 }
 
+uint32_t rd_u32(const uint8_t* p);
+uint64_t rd_u64(const uint8_t* p);
+
+// ------------------------------------------------- .vcfcm block manifest
+// index/manifest.py: columnar per-line arrays enabling O(log n) overlap
+// queries without filesystem holes.
+//   magic "VCFM" | u32 version=1 | u64 L |
+//   u8 ref_idx[L] | u32 pos[L] | u32 end[L] | u64 offset[L] |
+//   u32 length[L] | u32 cummax_end[L]
+int do_create_manifest(const char* path) {
+  Mapped m;
+  if (!map_file(path, &m)) die(std::string("cannot open ") + path);
+  Header h = parse_meta(m.data, m.size);
+  std::vector<uint8_t> ref_idx;
+  std::vector<uint32_t> pos, end, length, cummax;
+  std::vector<uint64_t> offset;
+  LineView lv;
+  size_t off = h.data_offset;
+  while (next_line(m.data, m.size, off, &lv)) {
+    uint8_t r = uint8_t(ref_ordinal(lv.chrom));
+    uint32_t e = uint32_t(end_position(lv));
+    uint32_t cm = e;
+    if (!ref_idx.empty() && ref_idx.back() == r)
+      cm = std::max(cm, cummax.back());
+    ref_idx.push_back(r);
+    pos.push_back(uint32_t(lv.pos));
+    end.push_back(e);
+    offset.push_back(uint64_t(lv.offset));
+    length.push_back(uint32_t(lv.line_length));
+    cummax.push_back(cm);
+    off = lv.offset + 4 + size_t(lv.line_length);
+  }
+  uint64_t L = ref_idx.size();
+  std::string out;
+  out.append("VCFM", 4);
+  uint32_t ver = 1;
+  out.append(reinterpret_cast<char*>(&ver), 4);
+  out.append(reinterpret_cast<char*>(&L), 8);
+  out.append(reinterpret_cast<char*>(ref_idx.data()), L);
+  out.append(reinterpret_cast<char*>(pos.data()), 4 * L);
+  out.append(reinterpret_cast<char*>(end.data()), 4 * L);
+  out.append(reinterpret_cast<char*>(offset.data()), 8 * L);
+  out.append(reinterpret_cast<char*>(length.data()), 4 * L);
+  out.append(reinterpret_cast<char*>(cummax.data()), 4 * L);
+  std::string out_path = std::string(path) + ".vcfcm";
+  if (!write_file(out_path.c_str(), out)) die("cannot write " + out_path);
+  return 0;
+}
+
+int do_query_manifest(const char* path, const std::string& region) {
+  Mapped m;
+  if (!map_file(path, &m)) die(std::string("cannot open ") + path);
+  Header h = parse_meta(m.data, m.size);
+  std::string mpath = std::string(path) + ".vcfcm";
+  Mapped mm;
+  if (!map_file(mpath.c_str(), &mm)) die("cannot open " + mpath);
+  if (mm.size < 16 || memcmp(mm.data, "VCFM", 4) != 0) die("not a .vcfcm manifest");
+  uint32_t ver = rd_u32(mm.data + 4);
+  if (ver != 1) die("unsupported manifest version");
+  uint64_t L = rd_u64(mm.data + 8);
+  if (mm.size < 16 + L * (1 + 4 + 4 + 8 + 4 + 4)) die("Truncated manifest");
+  const uint8_t* ref_idx = mm.data + 16;
+  const uint8_t* posb = ref_idx + L;
+  const uint8_t* endb = posb + 4 * L;
+  const uint8_t* offb = endb + 4 * L;
+  const uint8_t* cmb = offb + 8 * L + 4 * L;  // skip length[]
+  auto posi = [&](uint64_t i) { return rd_u32(posb + 4 * i); };
+  auto endi = [&](uint64_t i) { return rd_u32(endb + 4 * i); };
+  auto cmi = [&](uint64_t i) { return rd_u32(cmb + 4 * i); };
+
+  Query q = parse_region(region);
+  int q_ref = ref_ordinal(q.ref);
+  // ref slice via binary search over the sorted ref_idx column
+  uint64_t lo = std::lower_bound(ref_idx, ref_idx + L, uint8_t(q_ref)) - ref_idx;
+  uint64_t hi = std::upper_bound(ref_idx, ref_idx + L, uint8_t(q_ref)) - ref_idx;
+  std::string out;
+  if (lo < hi) {
+    uint64_t first = lo, last = hi;
+    if (q.has_start || q.has_end) {
+      // lines starting after query end are out (pos sorted within ref)
+      uint64_t a = lo, b = hi;
+      while (a < b) {
+        uint64_t mid = (a + b) / 2;
+        if ((long long)posi(mid) <= q.end) a = mid + 1; else b = mid;
+      }
+      last = a;
+      // lines whose running-max end is before query start can't overlap
+      a = lo; b = hi;
+      while (a < b) {
+        uint64_t mid = (a + b) / 2;
+        if ((long long)cmi(mid) < q.start) a = mid + 1; else b = mid;
+      }
+      first = a;
+    }
+    for (uint64_t i = first; i < last; i++) {
+      if (q.has_start || q.has_end) {
+        if ((long long)endi(i) < q.start || (long long)posi(i) > q.end) continue;
+      }
+      decode_data_line(m.data, m.size, size_t(rd_u64(offb + 8 * i)),
+                       h.sample_count, &out);
+    }
+  }
+  fwrite(out.data(), 1, out.size(), stdout);
+  return 0;
+}
+
 // ----------------------------------------------------- .vcfz container
 // format/vcfz.py layout (little-endian).  Canonical codebooks rebuilt
 // from length tables (ops/huffman.py::Codebook.from_lengths); v2 selects
@@ -1751,6 +1857,9 @@ int main(int argc, char** argv) {
   if (action == "query-z" && argc == 4) return do_query_z(argv[2], argv[3]);
   if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
   if (action == "compress-z" && argc == 4) return do_compress_z(argv[2], argv[3]);
+  if (action == "create-manifest" && argc == 3) return do_create_manifest(argv[2]);
+  if (action == "query-manifest" && argc == 4)
+    return do_query_manifest(argv[2], argv[3]);
   fprintf(stderr, "vcfcq: bad arguments for action '%s'\n", action.c_str());
   return 1;
 }

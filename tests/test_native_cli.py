@@ -192,3 +192,21 @@ class TestNativeCliVcfz:
         out = tmp_path / f"v{version}.vcf"
         run(["decompress-z", str(z_path), str(out)])
         assert out.read_bytes() == vcf
+
+
+class TestNativeCliManifest:
+    def test_manifest_byte_identical_and_queries(self, corpus, tmp_path):
+        from vcfc_tpu.index.manifest import Manifest, build_manifest, query_manifest
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        run(["create-manifest", vcfc_path])
+        want_m = build_manifest(vcfc)
+        got_m = (d / "c.vcfc.vcfcm").read_bytes()
+        assert got_m == want_m
+
+        manifest = Manifest(want_m)
+        for region in ["1", "X", "1:1000-5000", "X:8000-12000", "1:5500-5500", "7"]:
+            q = parse_coordinate_string(region)
+            want = b"".join(query_manifest(vcfc, manifest, q))
+            got = run(["query-manifest", vcfc_path, region]).stdout
+            assert got == want, region
