@@ -19,7 +19,7 @@ from .host.assemble import assemble_vcf, assemble_vcfc, parse_vcfc_bytes
 from .host.parse import parse_vcf_bytes
 from .ops.rle import rle_decode, rle_encode
 
-_LINE_BATCH = 2048
+_LINE_BATCH = 2048  # multiple of the Pallas BLOCK_L (enforced below)
 # Below this many genotype cells the XLA compile + dispatch overhead
 # dominates; route through the host oracle instead.
 _DEVICE_MIN_CELLS = 1 << 18
@@ -51,6 +51,7 @@ def _kernels(s_pad: int = 0):
 
 def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path compress: parse -> RLE encode on device -> assemble."""
+    line_batch = _round_up(max(line_batch, 1), 128)  # Pallas grid granularity
     parsed = parse_vcf_bytes(vcf)
     L, S = parsed.n_lines, parsed.n_samples
     if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
@@ -84,6 +85,21 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = Fal
     return assemble_vcfc(parsed, flagpos, nseg)
 
 
+_SHARDED_STEPS: dict = {}
+
+
+def _sharded_step_for(mesh):
+    """Memoize the jitted sharded step per mesh: a fresh shard_map closure
+    per call would miss the jit cache and retrace every invocation."""
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+    step = _SHARDED_STEPS.get(key)
+    if step is None:
+        from .parallel.shard import make_sharded_encode_step
+
+        step = _SHARDED_STEPS[key] = make_sharded_encode_step(mesh)
+    return step
+
+
 def compress_sharded(vcf: bytes, mesh=None) -> bytes:
     """Compress with the encode step sharded over a device mesh (data
     parallelism across the line axis; pjit/shard_map with psum-merged
@@ -95,7 +111,6 @@ def compress_sharded(vcf: bytes, mesh=None) -> bytes:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from .parallel.mesh import DATA_AXIS, make_data_mesh
-    from .parallel.shard import make_sharded_encode_step
 
     parsed = parse_vcf_bytes(vcf)
     L, S = parsed.n_lines, parsed.n_samples
@@ -114,7 +129,7 @@ def compress_sharded(vcf: bytes, mesh=None) -> bytes:
     sharded = jax.device_put(
         jnp.asarray(codes), NamedSharding(mesh, P(DATA_AXIS, None))
     )
-    step = make_sharded_encode_step(mesh)
+    step = _sharded_step_for(mesh)
     flagpos, nseg, _hist, _offsets = step(sharded, jnp.int32(S))
     flagpos = np.asarray(flagpos)[:L]
     nseg = np.asarray(nseg)[:L]
@@ -128,6 +143,7 @@ def compress_sharded(vcf: bytes, mesh=None) -> bytes:
 
 def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path decompress: unpack stream -> RLE decode on device -> render."""
+    line_batch = _round_up(max(line_batch, 1), 128)  # Pallas grid granularity
     use_native = native.available()
     if use_native:
         from .host.fast import parse_vcfc_native

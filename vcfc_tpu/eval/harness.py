@@ -118,12 +118,13 @@ class Harness:
         cfg = self.config
         positions = _positions(self.dataset, max(cfg.n_positions // 4, 10))
         was_enabled = timing.enabled()
-        timing.enable(False)  # suppress stdout TIMING lines; use totals()
         out: dict = {"dataset": self.dataset.name, "kind": kind, "bins": {}}
         try:
             for bin_size in cfg.bin_sizes_profile:
                 scheme = self.factory.vcfc_binned(bin_size)
-                timing.enable(True)
+                # accumulate via totals() only: echoing TIMING lines would
+                # pollute stdout and inflate enclosing phase timings
+                timing.enable(True, echo=False)
                 phases: dict[str, int] = {}
                 t0 = time.perf_counter()
                 for pos in positions:
@@ -144,7 +145,7 @@ class Harness:
                     "queries": len(positions),
                 }
         finally:
-            timing.enable(was_enabled)
+            timing.enable(was_enabled, echo=True)
         return out
 
     def binned_timing_profile_single(self) -> str:
@@ -174,8 +175,8 @@ class Harness:
         out: dict = {"dataset": self.dataset.name, "schemes": {}}
         for name in cfg.schemes:
             def build():
-                scheme = self.factory.build(name)
-                return scheme
+                # force_rebuild: cached artifacts would make runs 2..N no-ops
+                return self.factory.build(name, force_rebuild=True)
 
             times, scheme = _timed(build, cfg.test_runs, cfg.flush_page_cache)
             if scheme is None:

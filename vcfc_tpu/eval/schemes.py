@@ -33,14 +33,6 @@ class PreparedScheme:
     index_path: str | None = None
 
 
-def _time(fn, flush: bool = False) -> tuple[float, object]:
-    if flush:
-        flush_page_cache()
-    t0 = time.perf_counter()
-    result = fn()
-    return time.perf_counter() - t0, result
-
-
 class SchemeFactory:
     """Prepares compressed artifacts once per dataset and builds
     per-scheme query callables."""
@@ -82,9 +74,11 @@ class SchemeFactory:
 
         return PreparedScheme(f"vcfc-binned-{bin_size}", single, range_, index_path)
 
-    def vcfc_sparse(self) -> PreparedScheme:
+    def vcfc_sparse(self, force_rebuild: bool = False) -> PreparedScheme:
         sparse_path = self.vcfc_path + ".sparse"
         config = SparseConfig()
+        if force_rebuild and os.path.exists(sparse_path):
+            os.unlink(sparse_path)
         if not os.path.exists(sparse_path):
             sparsify_file(self.vcfc, sparse_path, config)
 
@@ -102,9 +96,11 @@ class SchemeFactory:
 
         return PreparedScheme("vcfc-sparse", single, range_, sparse_path)
 
-    def vcfc_sparse_external(self) -> PreparedScheme:
+    def vcfc_sparse_external(self, force_rebuild: bool = False) -> PreparedScheme:
         index_path = self.vcfc_path + ".vcfci-sparse"
         config = SPARSE_EXTERNAL_INDEX_CONFIG
+        if force_rebuild and os.path.exists(index_path):
+            os.unlink(index_path)
         if not os.path.exists(index_path):
             create_sparse_external_index(self.vcfc, index_path, config)
 
@@ -160,7 +156,7 @@ class SchemeFactory:
 
     # -- external schemes (tabix / bcftools) ------------------------------
 
-    def tabix_bgzip(self) -> PreparedScheme | None:
+    def tabix_bgzip(self, force_rebuild: bool = False) -> PreparedScheme | None:
         if not (shutil.which("bgzip") and shutil.which("tabix")):
             return None
         gz = os.path.join(self.workdir, self.dataset.name + ".vcf.gz")
@@ -169,6 +165,12 @@ class SchemeFactory:
                 subprocess.run(
                     ["bgzip", "-c", self.dataset.vcf_path], stdout=f, check=True
                 )
+            subprocess.run(["tabix", "-p", "vcf", gz], check=True)
+        elif force_rebuild:
+            # re-time INDEX creation only (bgzip compression is prep, like
+            # the reference harness's tabix timing, command.py:85-93)
+            if os.path.exists(gz + ".tbi"):
+                os.unlink(gz + ".tbi")
             subprocess.run(["tabix", "-p", "vcf", gz], check=True)
 
         def single(ref, pos):
@@ -183,7 +185,7 @@ class SchemeFactory:
 
         return PreparedScheme("tabix-bgzip", single, range_, gz + ".tbi")
 
-    def tabix_bcf(self) -> PreparedScheme | None:
+    def tabix_bcf(self, force_rebuild: bool = False) -> PreparedScheme | None:
         if not (shutil.which("bcftools") and shutil.which("tabix")):
             return None
         bcf = os.path.join(self.workdir, self.dataset.name + ".bcf")
@@ -192,6 +194,10 @@ class SchemeFactory:
                 ["bcftools", "view", "-O", "b", "-o", bcf, self.dataset.vcf_path],
                 check=True,
             )
+            subprocess.run(["bcftools", "index", bcf], check=True)
+        elif force_rebuild:
+            if os.path.exists(bcf + ".csi"):
+                os.unlink(bcf + ".csi")
             subprocess.run(["bcftools", "index", bcf], check=True)
 
         def single(ref, pos):
@@ -210,17 +216,21 @@ class SchemeFactory:
 
         return PreparedScheme("tabix-bcf", single, range_, bcf + ".csi")
 
-    def build(self, name: str, **kw) -> PreparedScheme | None:
+    def build(
+        self, name: str, force_rebuild: bool = False, **kw
+    ) -> PreparedScheme | None:
+        """force_rebuild re-creates the scheme's index artifact so repeated
+        builds measure real work (the binned schemes always rebuild)."""
         if name.startswith("vcfc-binned-native"):
             return self.vcfc_binned_native(**kw)
         if name.startswith("vcfc-binned"):
             return self.vcfc_binned(**kw)
         if name == "vcfc-sparse":
-            return self.vcfc_sparse()
+            return self.vcfc_sparse(force_rebuild)
         if name == "vcfc-sparse-external":
-            return self.vcfc_sparse_external()
+            return self.vcfc_sparse_external(force_rebuild)
         if name == "tabix-bgzip":
-            return self.tabix_bgzip()
+            return self.tabix_bgzip(force_rebuild)
         if name == "tabix-bcf":
-            return self.tabix_bcf()
+            return self.tabix_bcf(force_rebuild)
         raise ValueError(f"unknown scheme {name}")

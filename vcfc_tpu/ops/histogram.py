@@ -62,10 +62,11 @@ def ctx_flag_histogram(flagpos: jax.Array, n_samples: jax.Array) -> jax.Array:
     present = f > 0
     idx = jax.lax.broadcasted_iota(jnp.int32, (L, S_pad), 1)
     # previous present flag per position: packed last-set cummax, shifted
-    packed = jnp.where(present, (idx << 16) | f, -1)
+    # (8 payload bits — flags are bytes — so idx supports widths to 2^23)
+    packed = jnp.where(present, (idx << 8) | f, -1)
     filled = jax.lax.cummax(packed, axis=1)
     prev_packed = jnp.pad(filled[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-    prev_flag = prev_packed & 0xFFFF
+    prev_flag = prev_packed & 0xFF
     ctx = jnp.where(
         prev_packed < 0,
         CTX_INIT,

@@ -110,12 +110,12 @@ def _decode_kernel(n_ref, flag_ref, codes_ref, decoded_ref):
     # back: a 128-wide windowed scan (7 steps) replaces the full-width
     # one (12 steps).  Padding columns past n may fill to -1 (v=0xFFFF);
     # they are outside the valid mask everywhere downstream.
-    m = jnp.where(present, (idx << 16) | f, -1)
+    m = jnp.where(present, (idx << 8) | f, -1)  # flags are bytes: 8 payload bits
     k = 1
     while k < min(128, S_pad):
         m = jnp.maximum(m, _shift_right(m, k, -1))
         k *= 2
-    v = m & 0xFFFF
+    v = m & 0xFF
 
     is00 = (v & 0x80) == 0
     isesc = (v & 0xE0) == 0xE0

@@ -108,13 +108,17 @@ def rle_encode(codes: jax.Array, n_samples: jax.Array):
 def _last_set_scan(values: jax.Array, present: jax.Array) -> jax.Array:
     """Forward-fill `values` over positions where ``present`` is False.
 
-    Implemented as ONE cummax over packed (position << 16) | value keys:
-    the latest set position always wins, so a single max-scan replaces the
-    two-array associative last-set scan (half the scan traffic)."""
+    Implemented as ONE cummax over packed (position << 8) | value keys:
+    the latest set position always wins, so a single max-scan replaces
+    the two-array associative last-set scan (half the scan traffic).
+    Values are flag BYTES (< 256), so 8 payload bits suffice and the
+    int32 key supports sample widths up to 2^23 without overflow."""
     L, S_pad = values.shape
+    if S_pad >= (1 << 23):  # pragma: no cover - absurd cohort width
+        raise ValueError(f"sample width {S_pad} exceeds the packed-scan range")
     idx = jnp.arange(S_pad, dtype=jnp.int32)[None, :]
-    packed = jnp.where(present, (idx << 16) | values.astype(jnp.int32), -1)
-    return jax.lax.cummax(packed, axis=1) & 0xFFFF
+    packed = jnp.where(present, (idx << 8) | values.astype(jnp.int32), -1)
+    return jax.lax.cummax(packed, axis=1) & 0xFF
 
 
 @jax.jit
@@ -181,7 +185,11 @@ def render_text(codes) -> "jax.Array":
 @functools.partial(jax.jit, static_argnames=("out_width",))
 def expand_packed_flags(flags: jax.Array, nflags: jax.Array, *, out_width: int):
     """Packed (left-aligned) flags -> positional flags.  Host-side code
-    should prefer the native unpack; this exists for device-only paths."""
+    should prefer the native unpack; this exists for device-only paths.
+
+    Scatter-free per the CLAUDE.md kernel invariant: the (L, M, W)
+    one-hot contraction lowers to compares + a reduction (small shapes
+    only — M*W elements per line; production paths use native unpack)."""
     fi = flags.astype(jnp.int32)
     valid = jnp.arange(flags.shape[1], dtype=jnp.int32)[None, :] < nflags[:, None]
     run_len = jnp.where(
@@ -192,11 +200,7 @@ def expand_packed_flags(flags: jax.Array, nflags: jax.Array, *, out_width: int):
         0,
     )
     starts = jnp.cumsum(run_len, axis=1) - run_len
-    L, M = flags.shape
-    rows = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, M))
-    dest = jnp.where(valid & (run_len > 0), starts, out_width)
-    return (
-        jnp.zeros((L, out_width), jnp.uint8)
-        .at[rows, dest]
-        .set(flags, mode="drop", indices_are_sorted=True, unique_indices=True)
-    )
+    dest = jnp.where(valid & (run_len > 0), starts, out_width)  # drop -> W
+    cols = jnp.arange(out_width, dtype=jnp.int32)
+    one_hot = dest[:, :, None] == cols[None, None, :]
+    return (fi[:, :, None] * one_hot).sum(axis=1).astype(jnp.uint8)

@@ -85,8 +85,14 @@ def compress_multihost(input_path: str, output_path: str) -> dict:
     else:
         my_bytes = b""
 
-    # global symbol histogram (codebook input for .vcfz): psum over devices
-    hist = np.asarray(code_histogram(parsed.codes[lo:hi])) if hi > lo else np.zeros(5, np.int64)
+    # global genotype-code histogram: local device reduction, then an
+    # allgather-sum so every process reports the same GLOBAL counts
+    hist = (
+        np.asarray(code_histogram(parsed.codes[lo:hi])).astype(np.int64)
+        if hi > lo
+        else np.zeros(5, np.int64)
+    )
+    hist = _allgather_array(hist).sum(axis=0)
 
     sizes = _allgather_sizes(len(my_bytes))
     my_offset = int(sizes[:pid].sum())

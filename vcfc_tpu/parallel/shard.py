@@ -41,8 +41,9 @@ from .mesh import DATA_AXIS
 def make_sharded_encode_step(mesh):
     """Build a pjit-compiled sharded encode step.
 
-    fn(codes, n_samples) -> (flags, seg_start, nseg, global_hist,
-    shard_byte_offset) with codes sharded (data, None).
+    fn(codes, n_samples) -> (flagpos, nseg, global_hist, shard_offset)
+    with codes sharded (data, None); shard_offset is the exclusive scan
+    of per-shard flag counts (deterministic output placement).
     """
 
     def _shard_body(codes, n_samples):

@@ -18,12 +18,18 @@ import time
 from collections import defaultdict
 
 _ENABLED = os.environ.get("VCFC_TIMING", "") not in ("", "0", "false")
+_ECHO = True  # print TIMING lines to stdout (the reference's behavior)
 _ACCUM: dict[str, int] = defaultdict(int)
 
 
-def enable(on: bool = True) -> None:
-    global _ENABLED
+def enable(on: bool = True, echo: bool | None = None) -> None:
+    """Turn probes on/off; ``echo=False`` accumulates via totals() without
+    printing (the harness uses this — printing inside nested probes would
+    pollute query output and inflate enclosing phase timings)."""
+    global _ENABLED, _ECHO
     _ENABLED = on
+    if echo is not None:
+        _ECHO = echo
 
 
 def enabled() -> bool:
@@ -50,7 +56,8 @@ def timing_probe(label: str):
     finally:
         dur = time.perf_counter_ns() - start
         _ACCUM[label] += dur
-        print(f"TIMING {label}: {dur}", file=sys.stdout)
+        if _ECHO:
+            print(f"TIMING {label}: {dur}", file=sys.stdout)
 
 
 @contextlib.contextmanager
