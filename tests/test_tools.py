@@ -78,8 +78,9 @@ class TestAnalysis:
         hists = run_length_histograms(vcf)
         assert hists == {"0|0": {3: 1}, "1|1": {1: 1}}
         sv = rle_savings(hists, 100)
-        # run of 3 saves 4*3-1=11; run of 1 saves 3
-        assert sv["bytes_saved"] == 14 and sv["total_runs"] == 2
+        # reference calc_savings (repetition-analysis.py:47-52):
+        # every run element saves (4-1)=3 bytes -> (3+1)*3 = 12
+        assert sv["bytes_saved"] == 12 and sv["total_runs"] == 2
 
     def test_gap_stats(self):
         from vcfc_tpu.tools.analysis import gap_analysis_stats

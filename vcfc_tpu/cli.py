@@ -28,8 +28,19 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
 
 from .format.constants import VCFC_BINNING_INDEX_EXTENSION
-from .query.coordinate import parse_coordinate_string
+from .query.coordinate import parse_coordinate_string as _parse_region_raw
 from .utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, BinnedIndexConfig
+
+
+def parse_coordinate_string(s: str):
+    """Region parse with the reference's clean-error behavior: a bad
+    region prints the message and exits 1 (main.cpp:4062-4068) instead of
+    a traceback."""
+    try:
+        return _parse_region_raw(s)
+    except ValueError as e:
+        print(e)
+        raise SystemExit(1)
 
 USAGE = """usage: vcfc <action> ...
 actions: compress decompress query gap-analysis sparsify sparse-query
@@ -227,7 +238,7 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 decode_length_header(data, h.data_offset)
                 is_vcfc = True
-            except ValueError:
+            except Exception:  # short/odd tail: treat as VCF text
                 is_vcfc = False
         vcfc = data if is_vcfc else engine.compress(data)
         _write(args[1], vcfz_from_vcfc(vcfc))

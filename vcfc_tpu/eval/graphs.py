@@ -16,6 +16,11 @@ def _mpl():
     return plt
 
 
+def _png_path(json_path: str) -> str:
+    base, ext = os.path.splitext(json_path)
+    return base + ".png"  # never clobbers the input even without .json
+
+
 def graph_exhaustive(json_path: str, out_path: str | None = None) -> str:
     plt = _mpl()
     with open(json_path) as f:
@@ -37,7 +42,7 @@ def graph_exhaustive(json_path: str, out_path: str | None = None) -> str:
     ax.set_ylabel("latency (ms)")
     ax.set_title(f"{data['dataset']} {data['kind']}-variant query latency")
     ax.legend()
-    out_path = out_path or json_path.replace(".json", ".png")
+    out_path = out_path or _png_path(json_path)
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out_path
@@ -67,7 +72,7 @@ def graph_timing_profile(json_path: str, out_path: str | None = None) -> str:
     ax.set_ylabel("ms per query (stacked phases)")
     ax.set_title(f"{data['dataset']} binned-index {data['kind']} phase profile")
     ax.legend()
-    out_path = out_path or json_path.replace(".json", ".png")
+    out_path = out_path or _png_path(json_path)
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out_path
@@ -89,7 +94,7 @@ def graph_index_creation(json_path: str, out_path: str | None = None) -> str:
         ax.tick_params(axis="x", rotation=30)
     ax.set_ylabel("creation time (s)")
     ax.set_title(f"{data['dataset']} index creation time")
-    out_path = out_path or json_path.replace(".json", ".png")
+    out_path = out_path or _png_path(json_path)
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out_path

@@ -22,7 +22,8 @@ BASES = ["A", "T", "G", "C"]
 def generate_vcf(
     sample_count: int = 1000,
     variant_count: int = 1_000_000,
-    alt_count: int = 2,
+    alt_count: int = 2,  # like the reference, allele_probs stay (0,1,2)-valued
+    # even for alt_count=1 (other/random_vcf.py:66-67 hardcodes alt_vals)
     seed: int = 5,
     chrom: str = "1",
     start_pos: int = 10_000,

@@ -27,7 +27,7 @@ def genotype_counts(vcf_stream) -> dict[str, int]:
     for raw in vcf_stream:
         if raw.startswith(b"#"):
             continue
-        cols = raw.rstrip(b"\n").split(b"\t")
+        cols = raw.strip().split(b"\t")
         counts.update(c.decode("ascii", "replace") for c in cols[9:])
     return dict(counts)
 
@@ -38,7 +38,7 @@ def run_length_histograms(vcf_stream) -> dict[str, dict[int, int]]:
     for raw in vcf_stream:
         if raw.startswith(b"#"):
             continue
-        cols = raw.rstrip(b"\n").split(b"\t")[9:]
+        cols = raw.strip().split(b"\t")[9:]
         if not cols:
             continue
         run_val, run_len = cols[0], 1
@@ -53,13 +53,16 @@ def run_length_histograms(vcf_stream) -> dict[str, dict[int, int]]:
 
 
 def rle_savings(hists: dict[str, dict[int, int]], original_size: int) -> dict:
-    """Compression-savings proxy: a run of n genotypes costs 4n text bytes
-    and compresses to 1 flag byte (repetition-analysis.py:47-59)."""
+    """Compression-savings proxy, exactly the reference's calc_savings
+    (repetition-analysis.py:47-59): every run element saves 4-1 = 3 bytes
+    ("GT\\t" text -> share of one flag byte).  Like the reference it is an
+    approximation — escape genotypes and the 127/31 run caps are ignored
+    — kept identical for figure comparability."""
     saved = 0
     total_runs = 0
     for gt, hist in hists.items():
         for run_len, count in hist.items():
-            saved += count * (4 * int(run_len) - 1)
+            saved += count * int(run_len) * 3
             total_runs += count
     return {
         "total_runs": total_runs,
@@ -85,6 +88,9 @@ def gap_analysis_stats(start_positions_stream) -> dict:
     if n == 0:
         return {"lines": 0}
     block = 4096
+    # model lines packed from a block-aligned base; the real stream's
+    # meta/header prefix shifts every offset equally, so pass data_offset
+    # when absolute alignment matters
     offsets = [0]
     for c in compressed[:-1]:
         offsets.append(offsets[-1] + c)

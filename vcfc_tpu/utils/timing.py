@@ -57,7 +57,7 @@ def timing_probe(label: str):
         dur = time.perf_counter_ns() - start
         _ACCUM[label] += dur
         if _ECHO:
-            print(f"TIMING {label}: {dur}", file=sys.stdout)
+            print(f"TIMING {label}: {dur}", file=sys.stdout, flush=True)
 
 
 @contextlib.contextmanager
