@@ -2,9 +2,11 @@
 //
 // The device kernels (vcfc_tpu.ops.rle) produce/consume *positional flag*
 // matrices: a (L, S) uint8 plane holding the .vcfc flag byte at each
-// run-start sample position and 0 elsewhere (0 is never a legal flag
-// byte).  This library is the thread-parallel byte plumbing between that
-// dense device form and the ragged .vcfc stream:
+// segment's LAST sample position and 0 elsewhere (0 is never a legal
+// flag byte; nonzero lane order == flag-stream order; end placement lets
+// the device encoder emit lengths locally — see ops/rle.py).  This
+// library is the thread-parallel byte plumbing between that dense device
+// form and the ragged .vcfc stream:
 //
 //   * vcfc_scan          — walk a .vcfc stream: per-line offsets + headers
 //   * vcfc_unpack        — file sample bytes -> positional flags, with
@@ -148,12 +150,12 @@ extern "C" void vcfc_unpack(const uint8_t* raw, const int64_t* line_off,
           ++pos;
         } else {
           int64_t rl = flag_run_len(f);
-          if (rl == 0 || pos >= S) {
+          if (rl == 0 || pos + rl > S) {  // also guards the row[] write
             st = 1;
             break;
           }
-          row[pos] = f;
           pos += rl;
+          row[pos - 1] = f;  // segment-end placement
         }
       }
       if (st == 0 && (pos != S || p != end)) st = 1;
@@ -285,7 +287,7 @@ extern "C" void vcfc_rle_encode(const uint8_t* codes, int64_t L, int64_t W,
           int64_t cap = kCap[c];
           while (k < S && crow[k] == c && k - j < cap) ++k;
         }
-        frow[j] = static_cast<uint8_t>(kBase[c] | (k - j));
+        frow[k - 1] = static_cast<uint8_t>(kBase[c] | (k - j));  // end placement
         ++count;
         j = k;
       }
@@ -306,11 +308,11 @@ extern "C" void vcfc_expand_codes(const uint8_t* flagpos, int64_t L, int64_t W,
       uint8_t* crow = codes + i * W;
       int64_t j = 0;
       while (j < S) {
-        uint8_t f = row[j];
-        if (!f) {  // malformed; caller validates via unpack status
-          ++j;
-          continue;
-        }
+        // flags sit at segment ENDS: scan to the next flag, fill back
+        int64_t e = j;
+        while (e < S && !row[e]) ++e;
+        if (e == S) break;  // malformed; caller validates via unpack status
+        uint8_t f = row[e];
         uint8_t c;
         if ((f & 0x80) == 0) {
           c = 0;
@@ -323,9 +325,8 @@ extern "C" void vcfc_expand_codes(const uint8_t* flagpos, int64_t L, int64_t W,
         } else {
           c = 3;
         }
-        int64_t rl = flag_run_len(f);
-        std::memset(crow + j, c, static_cast<size_t>(std::min(rl, S - j)));
-        j += rl;
+        std::memset(crow + j, c, static_cast<size_t>(e + 1 - j));
+        j = e + 1;
       }
     }
   });

@@ -12,10 +12,10 @@ from vcfc_tpu.ops.rle import rle_decode, rle_encode
 class TestRleKernels:
     def _np_reference_flags(self, row):
         """Scalar-oracle RLE of a single code row (caps 127/31/1):
-        returns (flag, start-position) pairs."""
+        returns (flag, end-position) pairs (segment-end placement)."""
         caps = [127, 31, 31, 31, 1]
         bases = [0x00, 0xA0, 0xC0, 0x80, 0xE0]
-        out, starts = [], []
+        out, ends = [], []
         i, n = 0, len(row)
         while i < n:
             c = row[i]
@@ -24,9 +24,9 @@ class TestRleKernels:
                 while j < n and row[j] == c and j - i < caps[c]:
                     j += 1
             out.append(bases[c] | (j - i))
-            starts.append(i)
+            ends.append(j - 1)
             i = j
-        return out, starts
+        return out, ends
 
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_encode_matches_scalar_oracle(self, seed):
@@ -37,17 +37,17 @@ class TestRleKernels:
         pad[:, :S] = codes
         flagpos, nseg = map(np.asarray, rle_encode(pad, S))
         for i in range(7):
-            want, want_starts = self._np_reference_flags(list(codes[i]))
-            got_starts = np.flatnonzero(flagpos[i]).tolist()
-            assert got_starts == want_starts
-            assert flagpos[i][got_starts].tolist() == want
+            want, want_ends = self._np_reference_flags(list(codes[i]))
+            got_ends = np.flatnonzero(flagpos[i]).tolist()
+            assert got_ends == want_ends
+            assert flagpos[i][got_ends].tolist() == want
             assert nseg[i] == len(want)
 
     def test_long_run_caps(self):
         pad = np.zeros((1, 384), np.uint8)
         flagpos, nseg = map(np.asarray, rle_encode(pad, 300))
         assert flagpos[0][np.flatnonzero(flagpos[0])].tolist() == [127, 127, 46]
-        assert np.flatnonzero(flagpos[0]).tolist() == [0, 127, 254]
+        assert np.flatnonzero(flagpos[0]).tolist() == [126, 253, 299]
         assert nseg[0] == 3
 
     def test_decode_inverts_encode(self):
@@ -73,7 +73,7 @@ class TestRleKernels:
         packed = np.zeros((1, 8), np.uint8)
         packed[0, :3] = [127, 127, 46]
         flagpos = np.asarray(expand_packed_flags(packed, np.array([3], np.int32), out_width=384))
-        assert np.flatnonzero(flagpos[0]).tolist() == [0, 127, 254]
+        assert np.flatnonzero(flagpos[0]).tolist() == [126, 253, 299]
 
 
 class TestEngineGolden:

@@ -2,7 +2,7 @@
 streams.
 
 Encode: merge *positional* flag bytes from ``vcfc_tpu.ops.rle.rle_encode``
-(flag value at each run-start sample position, 0 elsewhere) with verbatim
+(flag value at each segment-end sample position, 0 elsewhere) with verbatim
 required-column blobs and the escape side channel into the exact .vcfc
 stream (layout per compress.cpp:5-203).
 
@@ -93,7 +93,7 @@ class ParsedVcfc:
 def parse_vcfc_bytes(raw: bytes, width: int | None = None) -> ParsedVcfc:
     """Walk a .vcfc stream into positional flag matrices (numpy fallback).
 
-    Escape-free lines yield rows with flags at their run-start positions;
+    Escape-free lines yield rows with flags at their segment-end positions;
     lines containing escape bytes (>= 0xE0 in the sample region) are
     marked ``oracle_line`` and decoded by the oracle in assemble_vcf.
     """
@@ -120,15 +120,15 @@ def parse_vcfc_bytes(raw: bytes, width: int | None = None) -> ParsedVcfc:
             counts.append(0)
         else:
             oracle.append(False)
-            # positional placement: flag k sits at the cumulative sample
-            # position of the preceding runs
+            # positional placement: flag k sits at the LAST sample
+            # position of its segment (cumulative run length - 1)
             fi = body.astype(np.int32)
             run_len = np.where(fi & 0x80 == 0, fi & 0x7F, fi & 0x1F)
-            starts = np.cumsum(run_len) - run_len
+            ends = np.cumsum(run_len) - 1
             row = np.zeros(W, np.uint8)
-            if starts.size and (starts[-1] >= W or run_len.min() < 1):
+            if ends.size and (ends[-1] >= W or run_len.min() < 1):
                 raise ValueError(f"malformed flag stream at line offset {offset}")
-            row[starts] = body
+            row[ends] = body
             rows.append(row)
             counts.append(len(body))
         offset += 4 + line_length

@@ -76,24 +76,18 @@ def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
     rem = jnp.where(c == 0, d - q127 * 127, d - q31 * 31)
     boundary = (rem == 0) & (idx < n)
 
-    # Next boundary after i = min(first new_run in (i, i+cap], i+cap):
-    # caps are <= 127, so a 128-wide windowed suffix-min (8 shift steps)
-    # replaces the full-width scan (12 steps).  Positions past the window
-    # can't win because i+cap bounds the result.
-    big = jnp.int32(0x7FFFFFFF)
-    t = _shift_left(jnp.where(new_run, idx, big), 1, big)
-    k = 1
-    while k < min(128, S_pad):  # window min(128, S_pad) — rolls stay valid
-        t = jnp.minimum(t, _shift_left(t, k, big))
-        k *= 2
-    cap = jnp.where(c == 0, 127, jnp.where(c >= CODE_ESCAPE, 1, 31))
-    seg_len = jnp.minimum(jnp.minimum(t, idx + cap), n) - idx
+    # Segment-end flag placement: the last position of a segment is the
+    # one right before the next boundary (or position n-1), and there
+    # the segment length is just rem + 1 — the whole next-boundary
+    # suffix scan of the start-placement formulation disappears.
+    next_boundary = _shift_left(boundary.astype(jnp.int32), 1, 0)
+    last = (next_boundary > 0) | (idx == n - 1)
     base = jnp.where(
         c == 0,
         0,
         jnp.where(c == 1, 0xA0, jnp.where(c == 2, 0xC0, jnp.where(c == 3, 0x80, 0xE0))),
     )
-    flag_ref[:] = jnp.where(boundary, base | seg_len, 0).astype(jnp.uint8)
+    flag_ref[:] = jnp.where(last, base | (rem + 1), 0).astype(jnp.uint8)
     nseg_ref[:] = boundary.sum(axis=1, dtype=jnp.int32, keepdims=True)
 
 
@@ -104,16 +98,18 @@ def _decode_kernel(n_ref, flag_ref, codes_ref, decoded_ref):
     idx = jax.lax.broadcasted_iota(jnp.int32, (BL, S_pad), 1)
 
     present = f > 0
-    # last-set fill via ONE packed cummax: (position << 16) | flag — the
-    # latest set position wins by construction.  Run lengths cap at 127,
-    # so within the valid region every position has a flag at most 126
-    # back: a 128-wide windowed scan (7 steps) replaces the full-width
-    # one (12 steps).  Padding columns past n may fill to -1 (v=0xFFFF);
-    # they are outside the valid mask everywhere downstream.
-    m = jnp.where(present, (idx << 8) | f, -1)  # flags are bytes: 8 payload bits
+    # next-set fill via ONE packed reverse cummin: (position << 8) | flag
+    # — the earliest set position at-or-after wins by construction.
+    # Flags sit at segment ENDS and run lengths cap at 127, so every
+    # valid position has its flag at most 126 ahead: a 128-wide windowed
+    # scan (7 steps) replaces the full-width one (12 steps).  Padding
+    # columns past the final flag fill to the sentinel (v=0xFF); they
+    # are outside the valid mask everywhere downstream.
+    big = jnp.int32(0x7FFFFFFF)
+    m = jnp.where(present, (idx << 8) | f, big)  # flags are bytes: 8 payload bits
     k = 1
     while k < min(128, S_pad):
-        m = jnp.maximum(m, _shift_right(m, k, -1))
+        m = jnp.minimum(m, _shift_left(m, k, big))
         k *= 2
     v = m & 0xFF
 

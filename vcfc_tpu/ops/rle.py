@@ -6,11 +6,16 @@ scalar loop (compress.cpp:124-186, 832-954), we operate on a dense
 
 Representation: *positional flags*.  A legal .vcfc flag byte is never
 0x00 (its count field is >= 1), so a (L, S) matrix holding the flag byte
-at each run-start sample position — and 0 elsewhere — is a lossless,
-fixed-shape encoding of the ragged flag stream.  The device does all the
-dense O(L*S) work on this form; the native host runtime (or numpy
-fallback) performs the tiny O(runs-per-line) positional<->packed
-transforms during file I/O.
+at each segment's LAST sample position — and 0 elsewhere — is a
+lossless, fixed-shape encoding of the ragged flag stream (nonzero lane
+order == flag-stream order either way).  End placement is chosen over
+start placement because it makes the segment length locally available
+to the encoder (length = distance into the run, mod cap, + 1), deleting
+the encoder's whole next-boundary suffix scan; the decoder's fill scan
+just flips direction at identical cost.  The device does all the dense
+O(L*S) work on this form; the native host runtime (or numpy fallback)
+performs the tiny O(runs-per-line) positional<->packed transforms
+during file I/O.
 
 Why: profiled on TPU v5e, the dense scans run at ~3-4 Gcell/s while any
 scatter/gather-based compaction or expansion is 20-50x slower (XLA
@@ -19,10 +24,10 @@ positional form needs neither:
 
   encode:  run boundaries  = shifted-compare + per-code run-cap splitting
            run starts      = cummax segmented scan
-           run lengths     = reverse cummin of boundary positions
+           run lengths     = local (in-run offset mod cap) + 1 at segment ends
            flag bytes      = arithmetic mask selects (no table gather)
 
-  decode:  segment fill    = last-nonzero associative scan
+  decode:  segment fill    = next-nonzero associative scan
            codes           = flag-byte bit tests
            ASCII render    = arithmetic byte synthesis ("X|Y\t")
 
@@ -72,8 +77,8 @@ def rle_encode(codes: jax.Array, n_samples: jax.Array):
     ``n_samples`` is a traced scalar: one compile per padded shape.
 
     Returns:
-      flagpos: (L, S_pad) uint8 — flag byte at each run-start position,
-               0 elsewhere (0 is never a legal flag byte)
+      flagpos: (L, S_pad) uint8 — flag byte at each segment's LAST
+               position, 0 elsewhere (0 is never a legal flag byte)
       nseg:    (L,) int32 — number of flag bytes per row
     """
     L, S_pad = codes.shape
@@ -93,32 +98,32 @@ def rle_encode(codes: jax.Array, n_samples: jax.Array):
     rem = jnp.where(c == 0, d % 127, d % 31)
     boundary = (rem == 0) & (idx < n_samples)
 
-    # next boundary position to the right; sentinel n_samples closes the
-    # final run
-    bpos = jnp.where(boundary, idx, n_samples)
-    nb_incl = jax.lax.cummin(bpos[:, ::-1], axis=1)[:, ::-1]
-    nb_excl = jnp.pad(nb_incl[:, 1:], ((0, 0), (0, 1)), constant_values=n_samples)
-
-    seg_len = jnp.minimum(nb_excl, n_samples) - idx
-    flagpos = jnp.where(boundary, _flag_base(c) | seg_len, 0).astype(jnp.uint8)
+    # a segment's last position is the one right before the next boundary
+    # (or position n-1); there its length is simply rem + 1 — no
+    # next-boundary suffix scan needed
+    next_boundary = jnp.pad(boundary[:, 1:], ((0, 0), (0, 1)), constant_values=False)
+    last = next_boundary | (idx == n_samples - 1)
+    flagpos = jnp.where(last, _flag_base(c) | (rem + 1), 0).astype(jnp.uint8)
     nseg = boundary.sum(axis=1, dtype=jnp.int32)
     return flagpos, nseg
 
 
-def _last_set_scan(values: jax.Array, present: jax.Array) -> jax.Array:
-    """Forward-fill `values` over positions where ``present`` is False.
+def _next_set_scan(values: jax.Array, present: jax.Array) -> jax.Array:
+    """Backward-fill `values` over positions where ``present`` is False
+    (each position takes the next present value at-or-after it).
 
-    Implemented as ONE cummax over packed (position << 8) | value keys:
-    the latest set position always wins, so a single max-scan replaces
-    the two-array associative last-set scan (half the scan traffic).
+    Implemented as ONE reverse cummin over packed (position << 8) | value
+    keys: the earliest set position always wins, so a single min-scan
+    replaces the two-array associative scan (half the scan traffic).
     Values are flag BYTES (< 256), so 8 payload bits suffice and the
     int32 key supports sample widths up to 2^23 without overflow."""
     L, S_pad = values.shape
     if S_pad >= (1 << 23):  # pragma: no cover - absurd cohort width
         raise ValueError(f"sample width {S_pad} exceeds the packed-scan range")
     idx = jnp.arange(S_pad, dtype=jnp.int32)[None, :]
-    packed = jnp.where(present, (idx << 8) | values.astype(jnp.int32), -1)
-    return jax.lax.cummax(packed, axis=1) & 0xFF
+    big = jnp.int32(0x7FFFFFFF)
+    packed = jnp.where(present, (idx << 8) | values.astype(jnp.int32), big)
+    return jax.lax.cummin(packed, axis=1, reverse=True) & 0xFF
 
 
 @jax.jit
@@ -126,7 +131,7 @@ def rle_decode(flagpos: jax.Array, n_samples: jax.Array):
     """Decode positional flag bytes back to codes and rendered ASCII.
 
     Args:
-      flagpos:   (L, S_pad) uint8 — flag byte at each run-start position
+      flagpos:   (L, S_pad) uint8 — flag byte at each segment-end position
       n_samples: traced scalar — true sample count
 
     Returns:
@@ -140,7 +145,7 @@ def rle_decode(flagpos: jax.Array, n_samples: jax.Array):
     """
     L, S_pad = flagpos.shape
     present = flagpos > 0
-    filled = _last_set_scan(flagpos, present)
+    filled = _next_set_scan(flagpos, present)
 
     is00 = (filled & 0x80) == 0
     isesc = (filled & 0xE0) == 0xE0
@@ -199,8 +204,8 @@ def expand_packed_flags(flags: jax.Array, nflags: jax.Array, *, out_width: int):
         ),
         0,
     )
-    starts = jnp.cumsum(run_len, axis=1) - run_len
-    dest = jnp.where(valid & (run_len > 0), starts, out_width)  # drop -> W
+    ends = jnp.cumsum(run_len, axis=1) - 1  # segment-end placement
+    dest = jnp.where(valid & (run_len > 0), ends, out_width)  # drop -> W
     cols = jnp.arange(out_width, dtype=jnp.int32)
     one_hot = dest[:, :, None] == cols[None, None, :]
     return (fi[:, :, None] * one_hot).sum(axis=1).astype(jnp.uint8)
