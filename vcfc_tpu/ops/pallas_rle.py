@@ -57,7 +57,9 @@ def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
     prev = _shift_right(c, 1, -1)
     new_run = (c != prev) | (c == CODE_ESCAPE) | (prev == CODE_ESCAPE)
 
-    # prefix-max doubling: run_start[i] = max_{j<=i} (new_run[j] ? j : -1)
+    # prefix-max doubling: run_start[i] = max_{j<=i} (new_run[j] ? j : -1).
+    # (int16 scans would halve VPU work but Mosaic has no non-32-bit
+    # rotate: "tpu.dynamic_rotate ... i16 not implemented".)
     m = jnp.where(new_run, idx, -1)
     k = 1
     while k < S_pad:
