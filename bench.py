@@ -66,12 +66,17 @@ def main() -> None:
 
         return run
 
-    def timed(fn):
+    def timed(fn, reps=3):
+        """Best-of-reps: the tunneled dispatch adds milliseconds of jitter
+        per call, which the K=1 subtraction would otherwise amplify."""
         r = fn(codes)
         jax.block_until_ready(r)  # warmup/compile
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(codes))
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(codes))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     K = 51
     dt_k = timed(make_loop(K))

@@ -44,3 +44,32 @@ def test_long_runs_cross_pallas_blocks():
     f, k = map(np.asarray, pallas_rle_encode(codes, 300, interpret=True))
     assert np.flatnonzero(f[0]).tolist() == [126, 253, 299]
     assert (k == 3).all()
+
+
+def test_cohort_width_uniform_runs():
+    """Regression: the encode magic-number remainders must be VALUE-exact
+    at realistic cohort widths.  ceil(2^16/31)=2115 (the old q31 magic)
+    overshoots at d=2262 < 2504, emitting a malformed count-0 flag on a
+    uniform non-0|0 row; ceil(2^21/31)=67651 is exact to 72,315."""
+    S = 2504
+    S_pad = 2560
+    codes = np.zeros((BLOCK_L, S_pad), np.uint8)
+    for row, code in enumerate([0, 1, 2, 3]):
+        codes[row, :S] = code
+    f1, k1 = map(np.asarray, rle_encode(codes, S))
+    f2, k2 = map(np.asarray, pallas_rle_encode(codes, S, interpret=True))
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(k1, k2)
+    # decode inverts at full width too
+    c1, d1 = map(np.asarray, rle_decode(f2, S))
+    c2, d2 = map(np.asarray, pallas_rle_decode(f2, S, interpret=True))
+    np.testing.assert_array_equal(c1[:, :S], c2[:, :S])
+    np.testing.assert_array_equal(d1, d2)
+    assert (d2 == S).all()
+    np.testing.assert_array_equal(c2[:, :S], codes[:, :S])
+
+
+def test_width_guard():
+    codes = np.zeros((BLOCK_L, 4224), np.uint8)
+    with pytest.raises(ValueError, match="sample width"):
+        pallas_rle_encode(codes, 4200, interpret=True)

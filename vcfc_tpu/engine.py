@@ -34,7 +34,7 @@ def _kernels(s_pad: int = 0):
     XLA elsewhere or on request (VCFC_KERNEL=xla).  Very wide sample axes
     exceed a VMEM tile; XLA tiles those internally."""
     choice = os.environ.get("VCFC_KERNEL", "auto")
-    if choice == "xla" or s_pad > 4096:
+    if choice == "xla" or s_pad > 4096:  # == ops.pallas_rle.MAX_WIDTH (guarded there)
         return rle_encode, rle_decode
     if choice != "pallas":
         import jax

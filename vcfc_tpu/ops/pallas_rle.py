@@ -22,6 +22,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..format.constants import CODE_ESCAPE
 
 BLOCK_L = 128
+# Widest sample axis the fused kernels accept: one VMEM tile per block,
+# and the encode magic-number remainders are value-exact to 16,644 —
+# far above this bound.  engine._kernels routes wider cohorts to XLA.
+MAX_WIDTH = 4096
 
 
 def _is_tpu() -> bool:
@@ -67,14 +71,21 @@ def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
         k *= 2
     run_start = m
 
-    # boundary = (idx - run_start) % cap == 0 with cap in {127, 31, 1}.
-    # A data-dependent divisor lowers to a full vector integer division
+    # rem = (idx - run_start) % cap with cap in {127, 31, 1}.  A
+    # data-dependent divisor lowers to a full vector integer division
     # (~1 ms/21M cells measured); constant divisors via magic-number
-    # multiply-shift are ~10 VPU ops.  Escape positions (cap=1) always
-    # have d == 0 (they force new_run on both sides), so rem31 == 0 there.
+    # multiply-shift are ~10 VPU ops.  The rem VALUE goes into the flag
+    # byte (not just a rem==0 test), so the quotients must be exact over
+    # the whole d range: with m = ceil(2**21/cap) and e = m*cap - 2**21,
+    # floor(d*m >> 21) == d//cap for d < 2**21/e — 16,644 for cap 127
+    # (e=126) and 72,315 for cap 31 (e=29), both beyond the kernel's
+    # S_pad <= MAX_WIDTH bound (enforced in _grid_call; engine routes
+    # wider cohorts to the XLA kernels, which use exact %).  Escape
+    # positions (cap=1) always have d == 0 (they force new_run on both
+    # sides), so the cap-31 remainder is 0 there.
     d = idx - run_start
-    q127 = (d * 16514) >> 21  # valid for d < 2**21
-    q31 = (d * 2115) >> 16  # valid for d < 2**16
+    q127 = (d * 16514) >> 21  # ceil(2**21/127); exact for d < 16,644
+    q31 = (d * 67651) >> 21  # ceil(2**21/31); exact for d < 72,315
     rem = jnp.where(c == 0, d - q127 * 127, d - q31 * 31)
     boundary = (rem == 0) & (idx < n)
 
@@ -137,6 +148,11 @@ def _decode_kernel(n_ref, flag_ref, codes_ref, decoded_ref):
 
 def _grid_call(kernel, x, n_samples, out_dtypes, interpret):
     L, S_pad = x.shape
+    if S_pad > MAX_WIDTH:
+        raise ValueError(
+            f"sample width {S_pad} > {MAX_WIDTH}: beyond the magic-number "
+            "remainder range — use the XLA kernels (engine._kernels does)"
+        )
     grid = (L // BLOCK_L,)
     n_arr = jnp.full((1,), n_samples, jnp.int32)
     return pl.pallas_call(
