@@ -21,6 +21,7 @@
 // Exposed as a plain C ABI for ctypes.  No Python.h dependency.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -47,6 +48,14 @@ static inline int64_t flag_run_len(uint8_t f) {
 }
 
 static int n_workers(int64_t items) {
+  // VCFC_WORKERS overrides hardware_concurrency AND the items/1024
+  // amortization heuristic (exercises the multi-worker paths on
+  // single-core machines; capping on shared hosts)
+  if (const char* s = getenv("VCFC_WORKERS")) {
+    long v = atol(s);
+    if (v >= 1)
+      return static_cast<int>(std::max<int64_t>(std::min<int64_t>(v, items), 1));
+  }
   unsigned hw = std::thread::hardware_concurrency();
   if (hw == 0) hw = 4;
   int64_t w = std::min<int64_t>(hw, (items + 1023) / 1024);

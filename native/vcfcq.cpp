@@ -103,13 +103,23 @@ bool write_file(const char* path, const std::string& bytes) {
   exit(1);
 }
 
+// Worker count: VCFC_WORKERS overrides hardware_concurrency (testing the
+// multi-worker paths on single-core machines; capping on shared hosts).
+static unsigned worker_limit() {
+  if (const char* s = getenv("VCFC_WORKERS")) {
+    long v = atol(s);
+    if (v >= 1) return unsigned(v);
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw ? hw : 4;
+}
+
 // Chunk [0, n) across workers; body(w, lo, hi) runs on its own thread.
 // Line-independent codec work parallelizes this way (compress.cpp:5 —
 // every data line is self-contained).
 template <typename F>
 void parallel_chunks(int64_t n, F&& body) {
-  int workers = int(std::min<int64_t>(
-      n, std::min<unsigned>(std::thread::hardware_concurrency(), 16)));
+  int workers = int(std::min<int64_t>(n, std::min<unsigned>(worker_limit(), 16)));
   if (workers <= 1) {
     body(0, 0, n);
     return;
@@ -472,24 +482,45 @@ long long end_position(const LineView& lv) {
 
 // ---------------------------------------------------------------- verbs
 
+// Decode `hits` (line offsets) in input order to stdout: sequential for
+// small result sets (thread spin-up would dominate a point query),
+// thread-parallel per-worker buffers for large ranges.
+static void decode_hits_to_stdout(const Mapped& m, const Header& h,
+                                  const std::vector<size_t>& hits) {
+  if (hits.size() < 64) {
+    std::string out;
+    out.reserve(1 << 20);
+    for (size_t off : hits)
+      decode_data_line(m.data, m.size, off, h.sample_count, &out);
+    fwrite(out.data(), 1, out.size(), stdout);
+    return;
+  }
+  std::vector<std::string> parts(16);
+  parallel_chunks(int64_t(hits.size()), [&](int w, int64_t lo, int64_t hi) {
+    std::string& out = parts[w];
+    out.reserve(size_t(hi - lo) * 4096);
+    for (int64_t i = lo; i < hi; i++)
+      decode_data_line(m.data, m.size, hits[size_t(i)], h.sample_count, &out);
+  });
+  for (auto& p : parts) fwrite(p.data(), 1, p.size(), stdout);
+}
+
 int do_query(const char* path, const std::string& region) {
   Mapped m;
   if (!map_file(path, &m)) die(std::string("cannot open ") + path);
   Query q = parse_region(region);
   Header h = parse_meta(m.data, m.size);
-  std::string out;
-  out.reserve(1 << 20);
+  std::vector<size_t> hits;
   LineView lv;
   size_t off = h.data_offset;
   {
     TimingProbe probe("decompress_iteration");
     while (next_line(m.data, m.size, off, &lv)) {
-      if (q.matches(lv.chrom, lv.pos))
-        decode_data_line(m.data, m.size, lv.offset, h.sample_count, &out);
+      if (q.matches(lv.chrom, lv.pos)) hits.push_back(lv.offset);
       off = lv.offset + 4 + size_t(lv.line_length);
     }
+    decode_hits_to_stdout(m, h, hits);
   }
-  fwrite(out.data(), 1, out.size(), stdout);
   return 0;
 }
 
@@ -574,8 +605,7 @@ int do_query_binned_index(const char* path, const std::string& region) {
     start_off = size_t(e.byte_offset);
   }
 
-  std::string out;
-  out.reserve(1 << 20);
+  std::vector<size_t> hits;
   LineView lv;
   size_t off = start_off;
   {
@@ -583,13 +613,13 @@ int do_query_binned_index(const char* path, const std::string& region) {
     while (next_line(m.data, m.size, off, &lv)) {
       int cmp = q.compare_to_range(lv.chrom, lv.pos, end_position(lv));
       if (cmp == 0)
-        decode_data_line(m.data, m.size, lv.offset, h.sample_count, &out);
+        hits.push_back(lv.offset);
       else if (cmp < 0)
         break;
       off = lv.offset + 4 + size_t(lv.line_length);
     }
+    decode_hits_to_stdout(m, h, hits);
   }
-  fwrite(out.data(), 1, out.size(), stdout);
   return 0;
 }
 
@@ -607,7 +637,7 @@ int do_decompress(const char* in_path, const char* out_path) {
   }
   int workers = int(std::min<int64_t>(
       int64_t(offs.size()),
-      std::min<unsigned>(std::thread::hardware_concurrency(), 16)));
+      std::min<unsigned>(worker_limit(), 16)));
   FILE* f = fopen(out_path, "wb");
   if (!f) die(std::string("cannot write ") + out_path);
   if (fwrite(m.data, 1, h.data_offset, f) != h.data_offset)  // meta/header
@@ -733,7 +763,7 @@ int do_compress(const char* in_path, const char* out_path) {
   };
   int workers = int(std::min<int64_t>(
       int64_t(lines.size()),
-      std::min<unsigned>(std::thread::hardware_concurrency(), 16)));
+      std::min<unsigned>(worker_limit(), 16)));
   FILE* f = fopen(out_path, "wb");
   if (!f) die(std::string("cannot write ") + out_path);
   if (workers <= 1) {
@@ -1504,7 +1534,7 @@ int do_decompress_z(const char* in_path, const char* out_path) {
   Vcfz z = parse_vcfz(m.data, m.size);
   int workers = int(std::min<int64_t>(
       int64_t(z.blocks.size()),
-      std::min<unsigned>(std::thread::hardware_concurrency(), 16)));
+      std::min<unsigned>(worker_limit(), 16)));
   FILE* f = fopen(out_path, "wb");
   if (!f) die(std::string("cannot write ") + out_path);
   if (fwrite(z.header_blob, 1, z.header_len, f) != z.header_len)

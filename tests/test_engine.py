@@ -160,6 +160,15 @@ class TestForcedDevicePath:
         monkeypatch.setenv("VCFC_EXECUTOR", "host")
         assert engine.compress(small_vcf, force_device=True) == small_vcfc
 
+    def test_host_executor_multiworker(self, small_vcf, small_vcfc, monkeypatch):
+        """VCFC_WORKERS=4 forces libvcfc_host's multi-thread paths even on
+        single-core machines (hardware_concurrency()==1 would otherwise
+        leave them unexecuted)."""
+        monkeypatch.setenv("VCFC_EXECUTOR", "host")
+        monkeypatch.setenv("VCFC_WORKERS", "4")
+        assert engine.compress(small_vcf, force_device=True) == small_vcfc
+        assert engine.decompress(small_vcfc, force_device=True) == small_vcf
+
 
 class TestZeroSampleCohort:
     """FORMAT column with zero sample columns: the reference handles this

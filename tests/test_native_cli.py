@@ -29,8 +29,11 @@ def corpus(tmp_path_factory):
     return d, vcf, vcfc, str(vcf_path), str(vcfc_path)
 
 
-def run(args):
-    return subprocess.run([cli_path(), *args], capture_output=True, check=True)
+def run(args, env=None):
+    import os
+
+    e = dict(os.environ, **env) if env else None
+    return subprocess.run([cli_path(), *args], capture_output=True, check=True, env=e)
 
 
 class TestNativeCli:
@@ -45,6 +48,25 @@ class TestNativeCli:
         out = d / "n.vcf"
         run(["decompress", vcfc_path, str(out)])
         assert out.read_bytes() == vcf
+
+    def test_multiworker_paths_byte_identical(self, corpus):
+        """VCFC_WORKERS=4 forces the multi-thread code paths even on
+        single-core machines (where hardware_concurrency()==1 would
+        otherwise leave them unexecuted): compress, decompress, and the
+        parallel range-decode must stay byte-identical and ordered."""
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        env = {"VCFC_WORKERS": "4"}
+        out = d / "w4.vcfc"
+        run(["compress", vcf_path, str(out)], env=env)
+        assert out.read_bytes() == vcfc
+        rt = d / "w4.vcf"
+        run(["decompress", vcfc_path, str(rt)], env=env)
+        assert rt.read_bytes() == vcf
+        # >=64 hits engages the parallel hit decode; order must hold
+        q = parse_coordinate_string("1:1-999999999")
+        want = b"".join(query_full_scan(vcfc, q))
+        got = run(["query", vcfc_path, "1:1-999999999"], env=env).stdout
+        assert got == want
 
     def test_binned_index_byte_identical(self, corpus):
         d, vcf, vcfc, vcf_path, vcfc_path = corpus
