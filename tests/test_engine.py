@@ -170,6 +170,57 @@ class TestForcedDevicePath:
         assert engine.decompress(small_vcfc, force_device=True) == small_vcf
 
 
+class TestMalformedStreams:
+    """Fast-path validation parity: a corrupt flag stream must raise (the
+    reference throws VcfValidationError on sample-count mismatch,
+    compress.cpp:835-840) through BOTH the native unpack (status=1) and
+    the numpy fallback walk — never decode garbage silently."""
+
+    def _corrupt(self, vcfc: bytes) -> bytes:
+        from vcfc_tpu.format.headers import decode_line_headers
+        from vcfc_tpu.format.vcf import parse_metadata_headers
+
+        h = parse_metadata_headers(vcfc)
+        _, req_len = decode_line_headers(vcfc, h.data_offset)
+        flag_off = h.data_offset + 8 + req_len
+        bad = bytearray(vcfc)
+        bad[flag_off] = 0x7F  # 127-run of 0|0: overruns the 100-sample row
+        return bytes(bad)
+
+    def test_native_unpack_rejects(self, small_vcfc):
+        corrupt = self._corrupt(small_vcfc)
+        with pytest.raises(ValueError):
+            engine.decompress(corrupt, force_device=True)
+
+    def test_numpy_fallback_rejects(self, small_vcfc, monkeypatch):
+        monkeypatch.setenv("VCFC_NO_NATIVE", "1")
+        corrupt = self._corrupt(small_vcfc)
+        with pytest.raises(ValueError):
+            engine.decompress(corrupt, force_device=True)
+
+    def test_oracle_rejects(self, small_vcfc):
+        from vcfc_tpu.format import decompress_bytes
+        from vcfc_tpu.format.lines import VcfValidationError
+
+        with pytest.raises(VcfValidationError):
+            decompress_bytes(self._corrupt(small_vcfc))
+
+    def test_native_cli_rejects(self, small_vcfc, tmp_path):
+        import subprocess
+
+        from vcfc_tpu.host.native import cli_path
+
+        if cli_path() is None:
+            pytest.skip("vcfcq not built")
+        p = tmp_path / "bad.vcfc"
+        p.write_bytes(self._corrupt(small_vcfc))
+        r = subprocess.run(
+            [cli_path(), "decompress", str(p), str(tmp_path / "out.vcf")],
+            capture_output=True,
+        )
+        assert r.returncode != 0
+
+
 class TestZeroSampleCohort:
     """FORMAT column with zero sample columns: the reference handles this
     (compress.cpp:235 yields sample_count 0); 8-column lines without
