@@ -990,6 +990,9 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint8_t max_len = raw[off + 4];
   z.block_lines = rd_u32(raw + off + 5);
   off += 9;
+  if (z.version == 4)
+    die(".vcfz v4 (vertical prediction) requires the Python reader: "
+        "python -m vcfc_tpu.cli {decompress-z,query-z}");
   if ((z.version < 1 || z.version > 3) || max_len != kMaxCodeLen)
     die("unsupported .vcfz version");
   if (z.block_lines == 0) die("invalid .vcfz block_lines");

@@ -162,7 +162,7 @@ class TestVcfzVersions:
         z_fallback = vcfz_from_vcfc(vcfc)
         assert z_native == z_fallback
 
-    @pytest.mark.parametrize("version", [1, 2, 3])
+    @pytest.mark.parametrize("version", [1, 2, 3, 4])
     def test_all_versions_roundtrip_and_query(self, version):
         from vcfc_tpu.format import decompress_bytes
         from vcfc_tpu.format.vcfz import decompress_vcfz, query_vcfz, vcfz_from_vcfc
@@ -182,3 +182,95 @@ class TestVcfzVersions:
 
         vcfc = compress_bytes(make_vcf(503, 400, 400))
         assert len(vcfz_from_vcfc(vcfc, version=3)) < len(vcfz_from_vcfc(vcfc, version=2))
+
+
+class TestVcfzV4:
+    """Vertical prediction (.vcfz v4): residuals against the previous
+    variant line with MATCH-run symbols."""
+
+    def _correlated_vcfc(self, samples=150, variants=600, mu=0.03):
+        from vcfc_tpu.eval.random_vcf import generate_correlated_vcf
+        from vcfc_tpu.format import compress_bytes
+
+        return compress_bytes(
+            generate_correlated_vcf(samples, variants, mutation_rate=mu, seed=11)
+        )
+
+    def test_v4_beats_v3_on_correlated_data(self):
+        from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+        vcfc = self._correlated_vcfc(300, 1000)
+        z3 = vcfz_from_vcfc(vcfc, version=3)
+        z4 = vcfz_from_vcfc(vcfc, version=4)
+        # measured 2.4x smaller on the 50 MB mu=0.03 cohort (codebook
+        # tables dilute the margin at test scale: 0.65 here)
+        assert len(z4) < 0.75 * len(z3)
+
+    def test_v4_roundtrip_correlated(self):
+        from vcfc_tpu.format import decompress_bytes
+        from vcfc_tpu.format.vcfz import decompress_vcfz, vcfz_from_vcfc
+
+        vcfc = self._correlated_vcfc()
+        assert decompress_vcfz(vcfz_from_vcfc(vcfc, version=4)) == decompress_bytes(vcfc)
+
+    def test_v4_block_boundaries_literal(self):
+        # tiny blocks: every block's first line must decode standalone
+        from vcfc_tpu.format.vcfz import VcfzReader, vcfz_from_vcfc
+
+        vcfc = self._correlated_vcfc(40, 50)
+        z = vcfz_from_vcfc(vcfc, version=4, block_lines=7)
+        r = VcfzReader.parse(z)
+        assert r.to_vcfc() == vcfc
+        # single mid-file block decodes without its predecessors
+        assert b"".join(r.block_lines_vcfc(3)) in vcfc
+
+    def test_v4_numpy_fallback_bytes_identical(self, monkeypatch):
+        from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+        vcfc = self._correlated_vcfc(60, 80)
+        z_native = vcfz_from_vcfc(vcfc, version=4)
+        monkeypatch.setenv("VCFC_NO_NATIVE", "1")
+        assert vcfz_from_vcfc(vcfc, version=4) == z_native
+
+    def test_v4_escapes_never_match(self):
+        # identical escape GTs on consecutive lines must stay literal
+        from vcfc_tpu.format import compress_bytes, decompress_bytes
+        from vcfc_tpu.format.vcfz import decompress_vcfz, vcfz_from_vcfc
+
+        rows = []
+        rows.append(b"##fileformat=VCFv4.2\n")
+        rows.append(b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB\tC\n")
+        for i in range(6):
+            gts = [b"2|0", b"0|0", b"2|0"] if i % 2 == 0 else [b"2|0", b"0|1", b"2|0"]
+            rows.append(
+                b"\t".join([b"1", str(1000 + i).encode(), b".", b"A", b"T", b".",
+                            b".", b".", b"GT", *gts]) + b"\n"
+            )
+        vcf = b"".join(rows)
+        vcfc = compress_bytes(vcf)
+        z4 = vcfz_from_vcfc(vcfc, version=4)
+        assert decompress_vcfz(z4) == vcf
+
+    def test_v4_cli_and_native_rejection(self, tmp_path):
+        import subprocess
+        import sys
+
+        from vcfc_tpu.host.native import cli_path
+
+        vcfc = self._correlated_vcfc(50, 60)
+        src = tmp_path / "c.vcfc"
+        src.write_bytes(vcfc)
+        z4 = tmp_path / "c.vcfz"
+        r = subprocess.run(
+            [sys.executable, "-m", "vcfc_tpu.cli", "compress-z", str(src), str(z4), "4"],
+            capture_output=True,
+        )
+        assert r.returncode == 0, r.stderr
+        assert z4.read_bytes()[:4] == b"VCFZ"
+        if cli_path() is not None:
+            rr = subprocess.run(
+                [cli_path(), "decompress-z", str(z4), str(tmp_path / "o.vcf")],
+                capture_output=True,
+            )
+            assert rr.returncode != 0
+            assert b"v4" in rr.stderr

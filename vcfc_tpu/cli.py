@@ -221,14 +221,20 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- .vcfz extension verbs (beyond reference parity) ---
     if action == "compress-z":
-        if len(args) != 2:
-            print("Usage: vcfc compress-z <input.vcf|.vcfc> <output.vcfz>")
+        if len(args) not in (2, 3):
+            print(
+                "Usage: vcfc compress-z <input.vcf|.vcfc> <output.vcfz> [version]"
+            )
             return 1
         from . import engine
         from .format.headers import decode_length_header
         from .format.vcf import parse_metadata_headers
-        from .format.vcfz import vcfz_from_vcfc
+        from .format.vcfz import VERSION, vcfz_from_vcfc
 
+        z_version = int(args[2]) if len(args) == 3 else VERSION
+        if z_version not in (1, 2, 3, 4):
+            print("vcfz version must be 1-4")
+            return 1
         data = _read(args[0])
         # accept plain VCF (compress first) or an existing .vcfc: a .vcfc
         # data line starts with a 0xC0-flagged length header, ASCII never does
@@ -241,7 +247,7 @@ def main(argv: list[str] | None = None) -> int:
             except Exception:  # short/odd tail: treat as VCF text
                 is_vcfc = False
         vcfc = data if is_vcfc else engine.compress(data)
-        _write(args[1], vcfz_from_vcfc(vcfc))
+        _write(args[1], vcfz_from_vcfc(vcfc, version=z_version))
         return 0
 
     if action == "decompress-z":

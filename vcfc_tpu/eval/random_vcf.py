@@ -64,6 +64,66 @@ def generate_vcf(
     return bytes(out)
 
 
+def generate_correlated_vcf(
+    sample_count: int = 1000,
+    variant_count: int = 10_000,
+    seed: int = 5,
+    chrom: str = "1",
+    start_pos: int = 10_000,
+    pos_step: int = 2,
+    mutation_rate: float = 0.03,
+    allele_probs: tuple[float, ...] = (0.90, 0.08, 0.02),
+) -> bytes:
+    """LD-correlated synthetic cohort: each variant line copies the
+    previous line's genotype per sample with probability
+    ``1 - mutation_rate``, else redraws from the base distribution.
+
+    Real population data (e.g. the 1000 Genomes chromosomes the
+    reference benchmarks on, evaluation_main.py:36-64) has exactly this
+    structure — consecutive variants are in linkage disequilibrium, so
+    sample columns change slowly down the file.  The i.i.d. generator
+    above has no vertical structure at all; this one exists to measure
+    cross-variant modeling (.vcfz v4) on a realistic correlation
+    profile."""
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    out += b"##fileformat=VCFv4.1\n"
+    out += b'##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+    out += b"##fileDate=20150218\n"
+    header = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"]
+    digits = max(int(math.ceil(math.log10(max(sample_count, 2)))), 1)
+    header += [f"HG{j:0{digits}d}" for j in range(sample_count)]
+    out += "\t".join(header).encode() + b"\n"
+
+    alleles = np.arange(len(allele_probs))
+    gt_bytes = np.zeros((len(allele_probs), len(allele_probs), 4), np.uint8)
+    for a in alleles:
+        for b in alleles:
+            gt_bytes[a, b] = np.frombuffer(f"{a}|{b}\t".encode(), np.uint8)
+
+    a1 = rng.choice(alleles, size=sample_count, p=allele_probs)
+    a2 = rng.choice(alleles, size=sample_count, p=allele_probs)
+    pos = start_pos
+    for i in range(variant_count):
+        if i:
+            redraw = rng.random(sample_count) < mutation_rate
+            n_new = int(redraw.sum())
+            if n_new:
+                a1 = a1.copy()
+                a2 = a2.copy()
+                a1[redraw] = rng.choice(alleles, size=n_new, p=allele_probs)
+                a2[redraw] = rng.choice(alleles, size=n_new, p=allele_probs)
+        ref = BASES[rng.integers(len(BASES))]
+        alts = [b for b in BASES if b != ref]
+        prefix = "\t".join(
+            [chrom, str(pos), f"var{i}", ref, ",".join(alts[:2]), "100", "PASS", "INFO", "GT"]
+        )
+        row = gt_bytes[a1, a2].reshape(-1)[:-1]
+        out += prefix.encode() + b"\t" + row.tobytes() + b"\n"
+        pos += pos_step
+    return bytes(out)
+
+
 def main(argv=None) -> int:
     import argparse
 

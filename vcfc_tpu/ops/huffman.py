@@ -128,13 +128,16 @@ def pack_symbols(symbols: np.ndarray, book: Codebook) -> tuple[bytes, int]:
 
 N_CTX = 4
 CTX_INIT = 1
+# v4 adds a 5th class for vertical-match run symbols (format/vcfz.py)
+N_CTX_V4 = 5
 
 
-def symbol_classes(n_symbols: int) -> np.ndarray:
+def symbol_classes(n_symbols: int, match_base: int | None = None) -> np.ndarray:
     """Class of each alphabet symbol when it is the *previous* symbol:
     0 = full 0|0 run (0x7F), 1 = shorter 0|0 run, 2 = het run,
     3 = escape-dictionary symbol (>= 256; raw 0xE0.. bytes never appear
-    as symbols)."""
+    as symbols), and — v4 only — 4 = vertical-match run (symbols >=
+    ``match_base``)."""
     cls = np.empty(n_symbols, np.uint8)
     syms = np.arange(n_symbols)
     cls[syms < 0x80] = 1
@@ -142,6 +145,8 @@ def symbol_classes(n_symbols: int) -> np.ndarray:
         cls[0x7F] = 0
     cls[(syms >= 0x80) & (syms < 0x100)] = 2
     cls[syms >= 0x100] = 3
+    if match_base is not None:
+        cls[syms >= match_base] = 4
     return cls
 
 
@@ -156,27 +161,34 @@ def ctx_of_stream(symbols: np.ndarray, classes: np.ndarray) -> np.ndarray:
 
 
 def context_codebooks(
-    symbol_blocks: list[np.ndarray], n_alphabet: int
+    symbol_blocks: list[np.ndarray],
+    n_alphabet: int,
+    classes: np.ndarray | None = None,
+    n_ctx: int = N_CTX,
 ) -> list[Codebook]:
     """One codebook per context class.  Frequencies are accumulated with
     the exact per-block context assignment (every block restarts at
     CTX_INIT), so every (context, symbol) pair the packer will emit is
     guaranteed a codeword."""
-    classes = symbol_classes(n_alphabet)
-    freqs = np.zeros((N_CTX, n_alphabet), np.int64)
+    if classes is None:
+        classes = symbol_classes(n_alphabet)
+    freqs = np.zeros((n_ctx, n_alphabet), np.int64)
     for block in symbol_blocks:
         block = np.asarray(block, np.int64)
         ctx = ctx_of_stream(block, classes)
         np.add.at(freqs, (ctx.astype(np.int64), block), 1)
-    return [Codebook.from_frequencies(freqs[c]) for c in range(N_CTX)]
+    return [Codebook.from_frequencies(freqs[c]) for c in range(n_ctx)]
 
 
-def pack_symbols_ctx(symbols: np.ndarray, books: list[Codebook]) -> tuple[bytes, int]:
+def pack_symbols_ctx(
+    symbols: np.ndarray, books: list[Codebook], classes: np.ndarray | None = None
+) -> tuple[bytes, int]:
     """Context-switching MSB-first packing (native bit writer when
     available; the numpy path below is the oracle fallback)."""
     symbols = np.asarray(symbols, np.int64)
     n_alphabet = len(books[0].lengths)
-    classes = symbol_classes(n_alphabet)
+    if classes is None:
+        classes = symbol_classes(n_alphabet)
     ctx = ctx_of_stream(symbols, classes).astype(np.int64)
     all_lengths = np.stack([b.lengths for b in books])  # (N_CTX, alphabet)
     all_codes = np.stack([b.codes for b in books])
@@ -204,12 +216,14 @@ def pack_symbols_ctx(symbols: np.ndarray, books: list[Codebook]) -> tuple[bytes,
 
 
 def unpack_symbols_ctx(
-    payload: bytes, n_symbols: int, books: list[Codebook]
+    payload: bytes, n_symbols: int, books: list[Codebook],
+    classes: np.ndarray | None = None,
 ) -> np.ndarray:
     """Context-switching canonical decode (numpy oracle; the native
     decoder is the fast path)."""
     tables = [b.decode_table() for b in books]
-    classes = symbol_classes(len(books[0].lengths))
+    if classes is None:
+        classes = symbol_classes(len(books[0].lengths))
     bits = np.unpackbits(np.frombuffer(payload, np.uint8))
     window = MAX_CODE_LEN
     padded = np.concatenate([bits, np.zeros(window, np.uint8)])
