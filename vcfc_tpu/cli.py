@@ -231,7 +231,10 @@ def main(argv: list[str] | None = None) -> int:
         from .format.vcf import parse_metadata_headers
         from .format.vcfz import VERSION, vcfz_from_vcfc
 
-        z_version = int(args[2]) if len(args) == 3 else VERSION
+        try:
+            z_version = int(args[2]) if len(args) == 3 else VERSION
+        except ValueError:
+            z_version = 0
         if z_version not in (1, 2, 3, 4):
             print("vcfz version must be 1-4")
             return 1

@@ -85,6 +85,11 @@ def generate_correlated_vcf(
     above has no vertical structure at all; this one exists to measure
     cross-variant modeling (.vcfz v4) on a realistic correlation
     profile."""
+    if len(allele_probs) > 3:
+        # the ALT column lists two alternates; allele indexes beyond 2
+        # would reference nonexistent alleles (same constraint as
+        # generate_vcf / the reference's hardcoded alt_vals)
+        raise ValueError("allele_probs supports at most 3 alleles")
     rng = np.random.default_rng(seed)
     out = bytearray()
     out += b"##fileformat=VCFv4.1\n"

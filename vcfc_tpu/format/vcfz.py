@@ -22,20 +22,22 @@ collectives" path of BASELINE.json: histograms come from the device mesh
 
 Layout (little-endian):
 
-  magic "VCFZ" | u32 version (1, 2 or 3) | u8 max_code_len | u32 block_lines
+  magic "VCFZ" | u32 version (1-4) | u8 max_code_len | u32 block_lines
   u64 n_lines | u32 n_samples
   u64 header_len | header blob (meta + #CHROM lines verbatim)
   u32 n_escapes | per escape: u16 len | bytes
-  u32 n_symbols | u8 lengths[n_symbols] x (1 if version==1 else N_CTX)
-                                                 (canonical symbol codebooks)
-  [v3] u8 req_lengths[256]                       (order-0 required-bytes book)
+  u32 n_symbols (v1-v3: 256 + n_escapes; v4: 256 + n_escapes +
+                 n_samples + 1 — the vertical-match band)
+  u8 lengths[n_symbols] x n_books                (canonical symbol codebooks;
+                 n_books = 1 for v1, N_CTX=4 for v2/v3, N_CTX_V4=5 for v4)
+  [v3/v4] u8 req_lengths[256]                    (order-0 required-bytes book)
   u32 req_len[n_lines]                           (required-cols length)
   u32 nsym[n_lines]                              (symbols per line)
   u64 req_region_len |
       v1/v2: concatenated raw required-column blobs
-      v3:    per-block order-0-coded required-column payloads
+      v3/v4: per-block order-0-coded required-column payloads
   u32 n_blocks | per block:
-      u64 payload_len | u64 n_block_symbols | [v3] u64 req_payload_len
+      u64 payload_len | u64 n_block_symbols | [v3/v4] u64 req_payload_len
       u8 ref_first | u32 pos_first | u8 ref_last | u32 pos_last | u32 cummax_end
   symbol payloads (bit-packed, byte-aligned per block)
 """
@@ -227,8 +229,31 @@ def symbol_streams(vcfc: bytes, recs=None):
 # comparison — the TPU-friendly formulation; the reference has no
 # cross-variant modeling at all.
 
-_FLAG_BASE_BY_CODE = (0x00, 0xA0, 0xC0, 0x80)
+# single source of truth for the flag scheme: format/constants.py
+from .constants import CODE_ESCAPE, CODE_FLAG_BASE, CODE_RUN_CAP
+
+_FLAG_BASE_BY_CODE = tuple(CODE_FLAG_BASE[c] for c in range(4))
+_RUN_CAP_BY_CODE = tuple(CODE_RUN_CAP[c] for c in range(4))
 _CODE_MATCH = 5  # transient row code; never serialized directly
+
+
+def _symbol_run_lens(symbols, is_esc, is_match=None, m_base=0):
+    """Samples covered per symbol: flag bytes carry their count field,
+    escape symbols cover one cell, MATCH symbols (v4) carry
+    ``sym - m_base``.  Shared by the body builder and the row expander
+    so the flag-band decode rules live in exactly one place."""
+    run_len = np.where(
+        is_esc,
+        1,
+        np.where(
+            symbols < 0x80,
+            symbols & 0x7F,
+            np.where((symbols & 0xE0) == 0xE0, 1, symbols & 0x1F),
+        ),
+    )
+    if is_match is not None:
+        run_len = np.where(is_match, symbols - m_base, run_len)
+    return run_len
 
 
 def _expand_block_rows(symbols, nsym, S, m_base=None):
@@ -241,25 +266,13 @@ def _expand_block_rows(symbols, nsym, S, m_base=None):
     mb = m_base if m_base is not None else np.iinfo(np.int64).max
     is_match = symbols >= mb
     is_esc = (symbols >= 256) & ~is_match
-    run_len = np.where(
-        is_match,
-        symbols - mb,
-        np.where(
-            is_esc,
-            1,
-            np.where(
-                symbols < 0x80,
-                symbols & 0x7F,
-                np.where((symbols & 0xE0) == 0xE0, 1, symbols & 0x1F),
-            ),
-        ),
-    )
+    run_len = _symbol_run_lens(symbols, is_esc, is_match, mb)
     code = np.where(
         is_match,
         _CODE_MATCH,
         np.where(
             is_esc,
-            4,
+            CODE_ESCAPE,
             np.where(
                 symbols < 0x80,
                 0,
@@ -296,11 +309,11 @@ def _emit_row_symbols(work, esc_grid, m_base):
     counts = np.zeros(n, np.uint32)
     if S == 0:
         return np.zeros(0, np.int64), counts
-    caps = (127, 31, 31, 31)
+    caps = _RUN_CAP_BY_CODE
     out: list[int] = []
     for i in range(n):
         r = work[i]
-        is_esc = r == 4
+        is_esc = r == CODE_ESCAPE
         newrun = np.empty(S, bool)
         newrun[0] = True
         newrun[1:] = (r[1:] != r[:-1]) | is_esc[1:] | is_esc[:-1]
@@ -312,7 +325,7 @@ def _emit_row_symbols(work, esc_grid, m_base):
             v = int(r[s])
             if v == _CODE_MATCH:
                 out.append(m_base + l)
-            elif v == 4:
+            elif v == CODE_ESCAPE:
                 out.append(256 + int(eg[s]))
             else:
                 cap = caps[v]
@@ -330,7 +343,11 @@ def _v4_transform_block(symbols, nsym, S, m_base):
     rows, esc_grid = _expand_block_rows(symbols, nsym, S)
     work = rows.copy()
     if len(rows) > 1:
-        match = (rows[1:] == rows[:-1]) & (rows[1:] != 4) & (rows[:-1] != 4)
+        match = (
+            (rows[1:] == rows[:-1])
+            & (rows[1:] != CODE_ESCAPE)
+            & (rows[:-1] != CODE_ESCAPE)
+        )
         work[1:][match] = _CODE_MATCH
     return _emit_row_symbols(work, esc_grid, m_base)
 
@@ -564,7 +581,7 @@ class VcfzReader:
     n_samples: int
     header_blob: bytes
     escapes: list[bytes]
-    books: list[Codebook]  # one (v1) or N_CTX (v2/v3) symbol codebooks
+    books: list[Codebook]  # 1 (v1) / N_CTX (v2/v3) / N_CTX_V4 (v4) symbol codebooks
     version: int
     req_lens: np.ndarray
     nsym: np.ndarray
@@ -718,15 +735,7 @@ class VcfzReader:
 
         esc_mask = symbols >= 256
         # run length per symbol (escapes cover exactly one sample)
-        run_len = np.where(
-            esc_mask,
-            1,
-            np.where(
-                symbols < 0x80,
-                symbols & 0x7F,
-                np.where((symbols & 0xE0) == 0xE0, 1, symbols & 0x1F),
-            ),
-        )
+        run_len = _symbol_run_lens(symbols, esc_mask)
         # samples covered after each symbol, reset per line (empty lines
         # only occur when sample_count == 0, i.e. every line is empty)
         cum = np.cumsum(run_len)
