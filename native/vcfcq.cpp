@@ -916,6 +916,7 @@ struct VcfzBlock {
 
 constexpr int kMaxCodeLen = 15;
 constexpr int kNCtx = 4;
+constexpr int kNCtxV4 = 5;  // v4 adds a class for vertical-match symbols
 constexpr int kCtxInit = 1;
 
 struct Vcfz {
@@ -990,10 +991,7 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint8_t max_len = raw[off + 4];
   z.block_lines = rd_u32(raw + off + 5);
   off += 9;
-  if (z.version == 4)
-    die(".vcfz v4 (vertical prediction) requires the Python reader: "
-        "python -m vcfc_tpu.cli {decompress-z,query-z}");
-  if ((z.version < 1 || z.version > 3) || max_len != kMaxCodeLen)
+  if ((z.version < 1 || z.version > 4) || max_len != kMaxCodeLen)
     die("unsupported .vcfz version");
   if (z.block_lines == 0) die("invalid .vcfz block_lines");
   need(12);
@@ -1021,8 +1019,12 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   need(4);
   z.n_symbols = rd_u32(raw + off);
   off += 4;
-  if (z.n_symbols != 256 + n_esc) die("corrupt .vcfz symbol count");
-  int n_books = z.version == 1 ? 1 : kNCtx;
+  // v4's alphabet appends the vertical-match band [m_base, m_base + S]
+  uint64_t want_syms = z.version == 4
+                           ? 256 + uint64_t(n_esc) + z.n_samples + 1
+                           : 256 + uint64_t(n_esc);
+  if (z.n_symbols != want_syms) die("corrupt .vcfz symbol count");
+  int n_books = z.version == 1 ? 1 : (z.version == 4 ? kNCtxV4 : kNCtx);
   z.sym_tables.resize(n_books);
   z.len_tables.resize(n_books);
   for (int b = 0; b < n_books; b++) {
@@ -1035,9 +1037,14 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
     build_decode_table(raw + off, 256, &z.req_sym_table, &z.req_len_table);
     off += 256;
   }
+  uint32_t m_base = 256 + n_esc;  // first vertical-match symbol (v4)
   z.class_of.resize(z.n_symbols);
   for (uint32_t s = 0; s < z.n_symbols; s++)
-    z.class_of[s] = s == 0x7F ? 0 : s < 0x80 ? 1 : s < 0x100 ? 2 : 3;
+    z.class_of[s] = (z.version == 4 && s >= m_base) ? 4
+                    : s == 0x7F                     ? 0
+                    : s < 0x80                      ? 1
+                    : s < 0x100                     ? 2
+                                                    : 3;
   need(uint64_t(4) * z.n_lines);
   z.req_len = reinterpret_cast<const uint32_t*>(raw + off);
   off += 4 * z.n_lines;
@@ -1137,6 +1144,63 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
   uint64_t lo = uint64_t(b) * z.block_lines;
   uint64_t hi = std::min(lo + z.block_lines, z.n_lines);
 
+  // v4: expand the block's residual streams into literal code rows
+  // (format/vcfz.py::_v4_block_to_v3): MATCH-run symbols (>= m_base)
+  // copy cells from the line above; block-first lines are literal.
+  const uint64_t S = z.n_samples;
+  const uint32_t m_base = uint32_t(z.n_symbols - S - 1);  // v4 only
+  std::vector<uint8_t> rows;       // (hi-lo) x S codes 0-4 after resolve
+  std::vector<int32_t> esc_cells;  // escape id per cell, -1 elsewhere
+  if (z.version == 4) {
+    uint64_t nrows = hi - lo;
+    rows.assign(size_t(nrows * S), 0);
+    esc_cells.assign(size_t(nrows * S), -1);
+    size_t sp = 0;
+    for (uint64_t i = 0; i < nrows; i++) {
+      uint32_t n = rd_u32(reinterpret_cast<const uint8_t*>(z.nsym + lo + i));
+      if (sp + n > syms.size()) die("corrupt .vcfz per-line symbol counts");
+      uint8_t* row = rows.data() + i * S;
+      int32_t* eg = esc_cells.data() + i * S;
+      uint64_t j = 0;
+      for (uint32_t k = 0; k < n; k++) {
+        int32_t s = syms[sp + k];
+        uint64_t rl;
+        uint8_t c;
+        if (uint32_t(s) >= m_base) {
+          rl = uint32_t(s) - m_base;
+          c = 5;  // MATCH
+        } else if (s >= 256) {
+          rl = 1;
+          c = 4;
+        } else if ((s & 0x80) == 0) {
+          rl = uint64_t(s & 0x7F);
+          c = 0;
+        } else if ((s & 0xE0) == 0xE0) {
+          die("corrupt .vcfz v4: raw escape byte in symbol stream");
+        } else {
+          rl = uint64_t(s & 0x1F);
+          c = (s & 0xE0) == 0xA0 ? 1 : (s & 0xE0) == 0xC0 ? 2 : 3;
+        }
+        if (rl == 0 || j + rl > S) die("corrupt .vcfz v4 line coverage");
+        memset(row + j, c, size_t(rl));
+        if (c == 4) eg[j] = s - 256;
+        j += rl;
+      }
+      if (j != S) die("corrupt .vcfz v4 line coverage");
+      sp += n;
+    }
+    if (nrows && S) {
+      for (uint64_t jj = 0; jj < S; jj++)
+        if (rows[jj] == 5) die("corrupt .vcfz v4: MATCH in first block line");
+      for (uint64_t i = 1; i < nrows; i++) {
+        uint8_t* cur = rows.data() + i * S;
+        const uint8_t* prv = rows.data() + (i - 1) * S;
+        for (uint64_t jj = 0; jj < S; jj++)
+          if (cur[jj] == 5) cur[jj] = prv[jj];
+      }
+    }
+  }
+
   // v3: required-column bytes are order-0 coded per block
   std::string req_bytes;
   uint64_t req_base = 0;
@@ -1162,18 +1226,50 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
     // body: flag bytes; escapes expand to 0xE1 + text + '\t' unless the
     // line's final sample (compress.cpp:182-184 tab rule)
     std::string body;
-    long long covered = 0;
-    for (uint32_t k = 0; k < n; k++) {
-      int32_t s = syms[spos + k];
-      if (s < 256) {
-        body.push_back(char(s));
-        covered += (s & 0x80) == 0 ? (s & 0x7F) : ((s & 0xE0) == 0xE0 ? 1 : (s & 0x1F));
-      } else {
-        body.push_back(char(0xE1));
-        auto& e = z.escapes[s - 256];
-        body.append(reinterpret_cast<const char*>(e.first), e.second);
-        covered += 1;
-        if (covered < (long long)z.n_samples) body.push_back('\t');
+    if (z.version == 4) {
+      // re-emit greedy capped runs from the resolved code row
+      const uint8_t* row = rows.data() + (i - lo) * S;
+      const int32_t* eg = esc_cells.data() + (i - lo) * S;
+      uint64_t j = 0;
+      while (j < S) {
+        uint8_t c = row[j];
+        if (c == 4) {
+          int32_t id = eg[j];
+          if (id < 0 || size_t(id) >= z.escapes.size())
+            die("corrupt .vcfz v4 escape cell");
+          body.push_back(char(0xE1));
+          auto& e = z.escapes[size_t(id)];
+          body.append(reinterpret_cast<const char*>(e.first), e.second);
+          j += 1;
+          if (j < S) body.push_back('\t');
+        } else {
+          uint64_t end = j + 1;
+          while (end < S && row[end] == c) end++;
+          uint64_t len = end - j;
+          uint64_t cap = c == 0 ? 127 : 31;
+          uint8_t base = c == 0 ? 0x00 : c == 1 ? 0xA0 : c == 2 ? 0xC0 : 0x80;
+          while (len) {
+            uint64_t t = len < cap ? len : cap;
+            body.push_back(char(base | t));
+            len -= t;
+          }
+          j = end;
+        }
+      }
+    } else {
+      long long covered = 0;
+      for (uint32_t k = 0; k < n; k++) {
+        int32_t s = syms[spos + k];
+        if (s < 256) {
+          body.push_back(char(s));
+          covered += (s & 0x80) == 0 ? (s & 0x7F) : ((s & 0xE0) == 0xE0 ? 1 : (s & 0x1F));
+        } else {
+          body.push_back(char(0xE1));
+          auto& e = z.escapes[s - 256];
+          body.append(reinterpret_cast<const char*>(e.first), e.second);
+          covered += 1;
+          if (covered < (long long)z.n_samples) body.push_back('\t');
+        }
       }
     }
     spos += n;

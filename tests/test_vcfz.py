@@ -251,11 +251,14 @@ class TestVcfzV4:
         z4 = vcfz_from_vcfc(vcfc, version=4)
         assert decompress_vcfz(z4) == vcf
 
-    def test_v4_cli_and_native_rejection(self, tmp_path):
+    def test_v4_cli_and_native_reader(self, tmp_path):
         import subprocess
         import sys
 
+        from vcfc_tpu.format import decompress_bytes
+        from vcfc_tpu.format.vcfz import query_vcfz, vcfz_from_vcfc
         from vcfc_tpu.host.native import cli_path
+        from vcfc_tpu.query.coordinate import parse_coordinate_string
 
         vcfc = self._correlated_vcfc(50, 60)
         src = tmp_path / "c.vcfc"
@@ -268,9 +271,17 @@ class TestVcfzV4:
         assert r.returncode == 0, r.stderr
         assert z4.read_bytes()[:4] == b"VCFZ"
         if cli_path() is not None:
+            # the native CLI reads v4 too: decompress + query byte-equal
+            out = tmp_path / "o.vcf"
             rr = subprocess.run(
-                [cli_path(), "decompress-z", str(z4), str(tmp_path / "o.vcf")],
-                capture_output=True,
+                [cli_path(), "decompress-z", str(z4), str(out)], capture_output=True
             )
-            assert rr.returncode != 0
-            assert b"v4" in rr.stderr
+            assert rr.returncode == 0, rr.stderr
+            assert out.read_bytes() == decompress_bytes(vcfc)
+            region = "1:10000-10060"
+            q = parse_coordinate_string(region)
+            want = b"".join(query_vcfz(z4.read_bytes(), q))
+            rq = subprocess.run(
+                [cli_path(), "query-z", str(z4), region], capture_output=True
+            )
+            assert rq.returncode == 0 and rq.stdout == want

@@ -72,9 +72,9 @@ MAGIC = b"VCFZ"
 # v1 = one global codebook; v2 = context-classed codebooks; v3 = v2 plus an
 # order-0 codebook over the required-columns bytes (per-block payloads,
 # 38-byte block entries); v4 = v3 plus vertical prediction (N_CTX_V4
-# books, MATCH-run symbol band).  All versions read; VERSION is the
-# default write (v4 is opt-in: it wins on LD-correlated cohorts but
-# costs ~18% on uncorrelated data, and the native CLI reads v1-3 only).
+# books, MATCH-run symbol band).  All versions read everywhere (incl.
+# the native CLI); VERSION is the default write (v4 is opt-in: it wins
+# big on LD-correlated cohorts but costs ~18% on uncorrelated data).
 VERSION = 3
 DEFAULT_BLOCK_LINES = 256
 _ESC_FLAG = 0xE1
