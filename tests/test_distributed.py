@@ -85,13 +85,22 @@ def test_two_process_cooperative_compress(tmp_path):
     assert out_path.read_bytes() == want, "stitched output != single-process oracle"
 
 
-_WORKER_Z = _WORKER.replace("compress_multihost", "compress_multihost_vcfz")
+_WORKER_Z = _WORKER.replace(
+    "from vcfc_tpu.parallel.distributed import compress_multihost",
+    "from vcfc_tpu.parallel.distributed import compress_multihost_vcfz",
+).replace(
+    "print(json.dumps(compress_multihost(in_path, out_path)))",
+    "print(json.dumps(compress_multihost_vcfz("
+    "in_path, out_path, version=int(os.environ.get('VCFZ_VERSION', '3')))))",
+)
 
 
-def test_two_process_cooperative_vcfz(tmp_path):
+@pytest.mark.parametrize("version", [3, 4])
+def test_two_process_cooperative_vcfz(tmp_path, version):
     """2-process .vcfz transcode: global escape dict + codebooks via
     allgather, blocks packed per stripe — byte-identical to the
-    single-process writer."""
+    single-process writer.  v4 additionally runs the vertical-prediction
+    transform per stripe on globally remapped escape ids."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     vcf = make_vcf(701, 120, 700, sv_every=17)
     in_path = tmp_path / "in.vcf"
@@ -102,6 +111,7 @@ def test_two_process_cooperative_vcfz(tmp_path):
 
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["VCFZ_VERSION"] = str(version)
     errs = [open(tmp_path / f"z{pid}.err", "wb") for pid in (0, 1)]
     procs = [
         subprocess.Popen(
@@ -126,11 +136,12 @@ def test_two_process_cooperative_vcfz(tmp_path):
     from vcfc_tpu import engine
     from vcfc_tpu.format.vcfz import vcfz_from_vcfc
 
-    want = vcfz_from_vcfc(engine.compress(vcf))
+    want = vcfz_from_vcfc(engine.compress(vcf), version=version)
     assert out_path.read_bytes() == want
 
 
-def test_single_process_vcfz_matches_writer(tmp_path):
+@pytest.mark.parametrize("version", [3, 4])
+def test_single_process_vcfz_matches_writer(tmp_path, version):
     from vcfc_tpu import engine
     from vcfc_tpu.format.vcfz import vcfz_from_vcfc
     from vcfc_tpu.parallel.distributed import compress_multihost_vcfz
@@ -139,5 +150,5 @@ def test_single_process_vcfz_matches_writer(tmp_path):
     in_path = tmp_path / "a.vcf"
     out_path = tmp_path / "a.vcfz"
     in_path.write_bytes(vcf)
-    compress_multihost_vcfz(str(in_path), str(out_path))
-    assert out_path.read_bytes() == vcfz_from_vcfc(engine.compress(vcf))
+    compress_multihost_vcfz(str(in_path), str(out_path), version=version)
+    assert out_path.read_bytes() == vcfz_from_vcfc(engine.compress(vcf), version=version)

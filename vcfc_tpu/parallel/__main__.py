@@ -34,11 +34,22 @@ def main(argv=None) -> int:
             else None
         ),
     )
+    p.add_argument(
+        "--vcfz-version",
+        type=int,
+        default=3,
+        choices=(3, 4),
+        help=".vcfz version for .vcfz outputs (4 = vertical prediction)",
+    )
     args = p.parse_args(argv)
 
     initialize(args.coordinator, args.num_processes, args.process_id)
-    fn = compress_multihost_vcfz if args.output.endswith(".vcfz") else compress_multihost
-    stats = fn(args.input, args.output)
+    if args.output.endswith(".vcfz"):
+        stats = compress_multihost_vcfz(
+            args.input, args.output, version=args.vcfz_version
+        )
+    else:
+        stats = compress_multihost(args.input, args.output)
     print(json.dumps(stats))
     return 0
 

@@ -150,7 +150,8 @@ def _allgather_blobs(blob: bytes) -> list[bytes]:
 
 
 def compress_multihost_vcfz(
-    input_path: str, output_path: str, block_lines: int | None = None
+    input_path: str, output_path: str, block_lines: int | None = None,
+    version: int = 3,
 ) -> dict:
     """Cooperatively transcode one VCF to `.vcfz` across all processes —
     the end-to-end "global codebook via collectives" path:
@@ -165,23 +166,30 @@ def compress_multihost_vcfz(
          req_len/nsym/req_blob/block-table/payload sections at offsets
          from allgathered size scans; process 0 writes the prefix.
 
+    version 4 applies the vertical-prediction transform per block AFTER
+    the global escape remap (the MATCH band sits above the global escape
+    band); block-aligned stripes make it entirely stripe-local.
+
     Output is byte-identical to single-process ``vcfz_from_vcfc`` of the
     whole file (asserted in tests/test_distributed.py).
     """
-    # the layout below is hard-wired to version 3 (38-byte entries, req
-    # codebook, coded req region) — stamp that literal version, not the
-    # module default, so the field can never drift from the bytes
+    # the layout below needs the v3+ sections (38-byte entries, req
+    # codebook, coded req region): v1/v2 are single-process formats
+    if version not in (3, 4):
+        raise ValueError("multihost .vcfz transcode writes version 3 or 4")
     from ..format.vcfz import (
         DEFAULT_BLOCK_LINES,
+        _v4_transform_block,
         pack_req,
         serialize_prefix,
         symbol_streams,
     )
 
-    WRITE_VERSION = 3
+    WRITE_VERSION = version
     from ..index.scan import scan_lines
     from ..ops.huffman import (
         N_CTX,
+        N_CTX_V4,
         Codebook,
         ctx_of_stream,
         pack_symbols_ctx,
@@ -261,20 +269,41 @@ def compress_multihost_vcfz(
     # per-block frequency accumulation with the exact block ctx assignment
     sym_ends = np.cumsum(nsym)
 
-    def block_slice(b):
+    def v3_block_slice(b):
         l0 = b * block_lines
         l1 = min(l0 + block_lines, my_lines)
         s0 = 0 if l0 == 0 else int(sym_ends[l0 - 1])
         return syms[s0 : int(sym_ends[l1 - 1])] if l1 > l0 else syms[:0]
 
-    classes = symbol_classes(n_symbols)
-    freqs = np.zeros((N_CTX, n_symbols), np.int64)
+    if version == 4:
+        # vertical-prediction transform, stripe-local (stripes are
+        # block-aligned); runs on GLOBAL escape ids so every process
+        # agrees on the match band
+        m_base = n_symbols
+        n_symbols = m_base + S + 1
+        per_block = []
+        nsym_v4 = np.empty(my_lines, np.uint32)
+        for b in range(my_blocks):
+            l0 = b * block_lines
+            l1 = min(l0 + block_lines, my_lines)
+            s4, counts = _v4_transform_block(v3_block_slice(b), nsym[l0:l1], S, m_base)
+            per_block.append(s4)
+            nsym_v4[l0:l1] = counts
+        nsym = nsym_v4
+        classes = symbol_classes(n_symbols, match_base=m_base)
+        n_ctx = N_CTX_V4
+    else:
+        per_block = [v3_block_slice(b) for b in range(my_blocks)]
+        classes = symbol_classes(n_symbols)
+        n_ctx = N_CTX
+
+    freqs = np.zeros((n_ctx, n_symbols), np.int64)
     for b in range(my_blocks):
-        blk = np.asarray(block_slice(b), np.int64)
+        blk = np.asarray(per_block[b], np.int64)
         ctx = ctx_of_stream(blk, classes)
         np.add.at(freqs, (ctx.astype(np.int64), blk), 1)
     freqs = _allgather_array(freqs).sum(axis=0)  # global histogram merge
-    books = [Codebook.from_frequencies(freqs[c]) for c in range(N_CTX)]
+    books = [Codebook.from_frequencies(freqs[c]) for c in range(n_ctx)]
 
     # v3: global order-0 required-bytes codebook (allgather-summed)
     req_freqs = np.bincount(np.frombuffer(req_blob, np.uint8), minlength=256)
@@ -289,8 +318,8 @@ def compress_multihost_vcfz(
     req_payloads = []
     entries = bytearray()
     for b in range(my_blocks):
-        blk_syms = block_slice(b)
-        payload, _bits = pack_symbols_ctx(blk_syms, books)
+        blk_syms = per_block[b]
+        payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
         l0, l1 = b * block_lines, min(b * block_lines + block_lines, my_lines)
         rp = pack_req(
             req_blob[int(req_starts_local[l0]) : int(req_starts_local[l1])], req_book
