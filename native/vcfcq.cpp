@@ -1370,12 +1370,92 @@ void canonical_codes(const uint8_t* lengths, size_t K, uint32_t* codes) {
   }
 }
 
+// v3 per-line symbol streams of one block -> v4 residual streams
+// (format/vcfz.py::_v4_transform_block): expand to code rows, mark cells
+// equal to the cell above as MATCH (escapes never match), re-emit greedy
+// capped runs with MATCH runs as m_base + len.
+static void v4_transform_block(const std::vector<int64_t>& syms,
+                               const std::vector<uint32_t>& nsym,
+                               const std::vector<uint64_t>& sym_base,
+                               uint64_t lo, uint64_t hi, uint64_t S,
+                               uint64_t m_base, std::vector<int64_t>* out_syms,
+                               std::vector<uint32_t>* out_nsym) {
+  uint64_t nrows = hi - lo;
+  std::vector<uint8_t> rows(size_t(nrows * S));
+  std::vector<int32_t> eg(size_t(nrows * S), -1);
+  uint64_t sp = sym_base[size_t(lo)];
+  for (uint64_t i = 0; i < nrows; i++) {
+    uint8_t* row = rows.data() + i * S;
+    int32_t* e = eg.data() + i * S;
+    uint64_t j = 0;
+    for (uint32_t k = 0; k < nsym[size_t(lo + i)]; k++) {
+      int64_t s = syms[size_t(sp++)];
+      uint64_t rl;
+      uint8_t c;
+      if (s >= 256) {
+        rl = 1;
+        c = 4;
+      } else if ((s & 0x80) == 0) {
+        rl = uint64_t(s & 0x7F);
+        c = 0;
+      } else {
+        rl = uint64_t(s & 0x1F);
+        c = (s & 0xE0) == 0xA0 ? 1 : (s & 0xE0) == 0xC0 ? 2 : 3;
+      }
+      if (rl == 0 || j + rl > S) die("corrupt symbol stream");
+      memset(row + j, c, size_t(rl));
+      if (c == 4) e[j] = int32_t(s - 256);
+      j += rl;
+    }
+    if (j != S) die("corrupt symbol stream coverage");
+  }
+  // mark top-down so row i-1 is still literal when row i compares to it
+  for (uint64_t i = nrows; i-- > 1;) {
+    uint8_t* cur = rows.data() + i * S;
+    const uint8_t* prv = rows.data() + (i - 1) * S;
+    for (uint64_t jj = 0; jj < S; jj++)
+      if (cur[jj] == prv[jj] && cur[jj] != 4) cur[jj] = 5;
+  }
+  for (uint64_t i = 0; i < nrows; i++) {
+    const uint8_t* row = rows.data() + i * S;
+    const int32_t* e = eg.data() + i * S;
+    size_t count0 = out_syms->size();
+    uint64_t j = 0;
+    while (j < S) {
+      uint8_t c = row[j];
+      if (c == 4) {  // every escape cell is its own run
+        out_syms->push_back(256 + int64_t(e[j]));
+        j += 1;
+        continue;
+      }
+      uint64_t end = j + 1;
+      while (end < S && row[end] == c) end++;
+      uint64_t len = end - j;
+      if (c == 5) {
+        out_syms->push_back(int64_t(m_base + len));
+      } else {
+        uint64_t cap = c == 0 ? 127 : 31;
+        uint8_t base = c == 0 ? 0x00 : c == 1 ? 0xA0 : c == 2 ? 0xC0 : 0x80;
+        while (len) {
+          uint64_t t = len < cap ? len : cap;
+          out_syms->push_back(int64_t(base | t));
+          len -= t;
+        }
+      }
+      j = end;
+    }
+    out_nsym->push_back(uint32_t(out_syms->size() - count0));
+  }
+}
+
 int class_of_sym(int64_t s) {
   return s == 0x7F ? 0 : s < 0x80 ? 1 : s < 0x100 ? 2 : 3;
 }
 
 // format/vcfz.py::vcfz_from_vcfc, natively (writes v3).  in-memory vcfc in.
-std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
+std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
+                       int version = 3) {
+  if (version != 3 && version != 4) die("vcfz_write supports versions 3 and 4");
   Header h = parse_meta(vcfc, n);
   // walk lines: geometry + required cols + symbol streams + escapes
   std::vector<LineView> lvs;
@@ -1421,24 +1501,46 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
     off = lv.offset + 4 + size_t(lv.line_length);
   }
   uint64_t L = lvs.size();
-  size_t K = 256 + escapes.size();
-
-  // per-block context frequencies (ops/huffman.py::context_codebooks)
-  std::vector<std::vector<int64_t>> freqs(kNCtx, std::vector<int64_t>(K, 0));
+  const uint64_t S = h.sample_count;
+  const uint64_t m_base = 256 + escapes.size();
+  size_t K = size_t(m_base);
   std::vector<uint64_t> sym_base(L + 1, 0);
   for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
   uint64_t n_blocks = L ? (L + block_lines - 1) / block_lines : 0;
+
+  if (version == 4) {
+    // vertical-prediction transform per block (block-first lines literal)
+    K = size_t(m_base + S + 1);
+    std::vector<int64_t> syms4;
+    syms4.reserve(syms.size());
+    std::vector<uint32_t> nsym4;
+    nsym4.reserve(size_t(L));
+    for (uint64_t b = 0; b < n_blocks; b++) {
+      uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
+      v4_transform_block(syms, nsym, sym_base, lo, hi, S, m_base, &syms4, &nsym4);
+    }
+    syms.swap(syms4);
+    nsym.swap(nsym4);
+    for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
+  }
+  const int n_ctx = version == 4 ? kNCtxV4 : kNCtx;
+  auto cls_of = [&](int64_t s) {
+    return (version == 4 && uint64_t(s) >= m_base) ? 4 : class_of_sym(s);
+  };
+
+  // per-block context frequencies (ops/huffman.py::context_codebooks)
+  std::vector<std::vector<int64_t>> freqs(n_ctx, std::vector<int64_t>(K, 0));
   for (uint64_t b = 0; b < n_blocks; b++) {
     uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
     int ctx = kCtxInit;
     for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
       freqs[size_t(ctx)][size_t(syms[s])]++;
-      ctx = class_of_sym(syms[s]);
+      ctx = cls_of(syms[s]);
     }
   }
-  std::vector<std::vector<uint8_t>> lengths(kNCtx, std::vector<uint8_t>(K));
-  std::vector<std::vector<uint32_t>> codes(kNCtx, std::vector<uint32_t>(K, 0));
-  for (int c = 0; c < kNCtx; c++) {
+  std::vector<std::vector<uint8_t>> lengths(n_ctx, std::vector<uint8_t>(K));
+  std::vector<std::vector<uint32_t>> codes(n_ctx, std::vector<uint32_t>(K, 0));
+  for (int c = 0; c < n_ctx; c++) {
     huffman_lengths(freqs[size_t(c)], lengths[size_t(c)].data());
     canonical_codes(lengths[size_t(c)].data(), K, codes[size_t(c)].data());
   }
@@ -1460,7 +1562,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
   auto put_u32 = [&](uint32_t v) { out.append(reinterpret_cast<char*>(&v), 4); };
   auto put_u64 = [&](uint64_t v) { out.append(reinterpret_cast<char*>(&v), 8); };
   out.append("VCFZ", 4);
-  put_u32(3);
+  put_u32(uint32_t(version));
   out.push_back(char(kMaxCodeLen));
   put_u32(block_lines);
   put_u64(L);
@@ -1474,7 +1576,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
     out.append(e);
   }
   put_u32(uint32_t(K));
-  for (int c = 0; c < kNCtx; c++)
+  for (int c = 0; c < n_ctx; c++)
     out.append(reinterpret_cast<char*>(lengths[size_t(c)].data()), K);
   out.append(reinterpret_cast<char*>(req_lengths.data()), 256);
   out.append(reinterpret_cast<const char*>(req_lens.data()), 4 * L);
@@ -1500,7 +1602,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
         payload.push_back(char((acc >> (nbits - 8)) & 0xFF));
         nbits -= 8;
       }
-      ctx = class_of_sym(sym);
+      ctx = cls_of(sym);
     }
     if (nbits > 0) payload.push_back(char((acc << (8 - nbits)) & 0xFF));
 
@@ -1549,7 +1651,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines) {
   return out;
 }
 
-int do_compress_z(const char* in_path, const char* out_path) {
+int do_compress_z(const char* in_path, const char* out_path, int version) {
   Mapped m;
   if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
   // accept VCF text or an existing .vcfc (cli.py compress-z semantics:
@@ -1558,7 +1660,7 @@ int do_compress_z(const char* in_path, const char* out_path) {
   bool is_vcfc = h.data_offset < m.size && (m.data[h.data_offset] & 0xC0) == 0xC0;
   std::string z;
   if (is_vcfc) {
-    z = vcfz_write(m.data, m.size, 256);
+    z = vcfz_write(m.data, m.size, 256, version);
   } else {
     // compress to .vcfc in memory first (same pipeline as do_compress)
     std::string vcfc;
@@ -1578,7 +1680,8 @@ int do_compress_z(const char* in_path, const char* out_path) {
       }
       off = end + 1;
     }
-    z = vcfz_write(reinterpret_cast<const uint8_t*>(vcfc.data()), vcfc.size(), 256);
+    z = vcfz_write(reinterpret_cast<const uint8_t*>(vcfc.data()), vcfc.size(), 256,
+                   version);
   }
   if (!write_file(out_path, z)) die(std::string("cannot write ") + out_path);
   return 0;
@@ -1985,7 +2088,11 @@ int main(int argc, char** argv) {
   if (action == "gap-analysis" && argc == 3) return do_gap_analysis(argv[2]);
   if (action == "query-z" && argc == 4) return do_query_z(argv[2], argv[3]);
   if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
-  if (action == "compress-z" && argc == 4) return do_compress_z(argv[2], argv[3]);
+  if (action == "compress-z" && (argc == 4 || argc == 5)) {
+    int zv = argc == 5 ? atoi(argv[4]) : 3;
+    if (zv != 3 && zv != 4) die("vcfz version must be 3 or 4");
+    return do_compress_z(argv[2], argv[3], zv);
+  }
   if (action == "create-manifest" && argc == 3) return do_create_manifest(argv[2]);
   if (action == "query-manifest" && argc == 4)
     return do_query_manifest(argv[2], argv[3]);

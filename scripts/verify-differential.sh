@@ -100,8 +100,9 @@ done
 "$R" query r.vcfc "21:1000-99999" > a
 "$V" query-z v.vcfz "21:1000-99999" > b; check cmp -s a b
 
-# v4 (vertical prediction): Python writes, BOTH readers must invert it
+# v4 (vertical prediction): both writers byte-equal, both readers invert
 "${P[@]}" compress-z p.vcfc p4.vcfz 4
+"$V" compress-z v.vcfc v4.vcfz 4;      check cmp -s p4.vcfz v4.vcfz
 "$V" decompress-z p4.vcfz z4.rt;       check cmp -s z4.rt f.vcf
 "${P[@]}" decompress-z p4.vcfz z4p.rt; check cmp -s z4p.rt f.vcf
 "$V" query-z p4.vcfz "21:1000-99999" > b4; check cmp -s a b4

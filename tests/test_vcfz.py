@@ -271,7 +271,15 @@ class TestVcfzV4:
         assert r.returncode == 0, r.stderr
         assert z4.read_bytes()[:4] == b"VCFZ"
         if cli_path() is not None:
-            # the native CLI reads v4 too: decompress + query byte-equal
+            # the native CLI WRITES v4 byte-identically to Python
+            z4n = tmp_path / "n.vcfz"
+            rw = subprocess.run(
+                [cli_path(), "compress-z", str(src), str(z4n), "4"],
+                capture_output=True,
+            )
+            assert rw.returncode == 0, rw.stderr
+            assert z4n.read_bytes() == vcfz_from_vcfc(vcfc, version=4)
+            # and reads v4 too: decompress + query byte-equal
             out = tmp_path / "o.vcf"
             rr = subprocess.run(
                 [cli_path(), "decompress-z", str(z4), str(out)], capture_output=True
