@@ -919,6 +919,49 @@ constexpr int kNCtx = 4;
 constexpr int kNCtxV4 = 5;  // v4 adds a class for vertical-match symbols
 constexpr int kCtxInit = 1;
 
+// single source of the flag scheme for every symbol<->row transform in
+// this file (mirrors format/constants.py CODE_RUN_CAP / CODE_FLAG_BASE)
+constexpr uint64_t kRunCap[4] = {127, 31, 31, 31};
+constexpr uint8_t kFlagBase[4] = {0x00, 0xA0, 0xC0, 0x80};
+
+// symbol -> (samples covered, row code 0-5); m_base=0 disables the v4
+// match band.  Returns false on a raw 0xE0-class byte (never emitted as
+// a symbol — corrupt stream).
+static inline bool sym_run(int64_t s, uint64_t m_base, uint64_t* rl,
+                           uint8_t* c) {
+  if (m_base && uint64_t(s) >= m_base) {
+    *rl = uint64_t(s) - m_base;
+    *c = 5;
+    return true;
+  }
+  if (s >= 256) {
+    *rl = 1;
+    *c = 4;
+    return true;
+  }
+  if ((s & 0x80) == 0) {
+    *rl = uint64_t(s & 0x7F);
+    *c = 0;
+    return true;
+  }
+  if ((s & 0xE0) == 0xE0) return false;
+  *rl = uint64_t(s & 0x1F);
+  *c = (s & 0xE0) == 0xA0 ? 1 : (s & 0xE0) == 0xC0 ? 2 : 3;
+  return true;
+}
+
+// greedy capped re-emission of a literal run (the reference's split
+// order: [cap, cap, ..., remainder])
+template <typename Push>
+static inline void emit_capped_run(uint8_t c, uint64_t len, Push&& push) {
+  uint64_t cap = kRunCap[c];
+  while (len) {
+    uint64_t t = len < cap ? len : cap;
+    push(uint8_t(kFlagBase[c] | t));
+    len -= t;
+  }
+}
+
 struct Vcfz {
   const uint8_t* raw;
   size_t size;
@@ -1153,6 +1196,13 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
   std::vector<int32_t> esc_cells;  // escape id per cell, -1 elsewhere
   if (z.version == 4) {
     uint64_t nrows = hi - lo;
+    // grid-size sanity BEFORE allocating: every cell comes from a symbol
+    // covering <= max(127, S) samples and every symbol costs >= 1 payload
+    // bit, so a crafted header (huge claimed n_samples, tiny payload)
+    // dies cleanly here instead of attempting a multi-GB allocation
+    uint64_t max_run = S > 127 ? S : 127;
+    if (S && nrows * S > blk.payload_len * 8 * max_run)
+      die("corrupt .vcfz v4: sample grid exceeds payload capacity");
     rows.assign(size_t(nrows * S), 0);
     esc_cells.assign(size_t(nrows * S), -1);
     size_t sp = 0;
@@ -1166,21 +1216,8 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
         int32_t s = syms[sp + k];
         uint64_t rl;
         uint8_t c;
-        if (uint32_t(s) >= m_base) {
-          rl = uint32_t(s) - m_base;
-          c = 5;  // MATCH
-        } else if (s >= 256) {
-          rl = 1;
-          c = 4;
-        } else if ((s & 0x80) == 0) {
-          rl = uint64_t(s & 0x7F);
-          c = 0;
-        } else if ((s & 0xE0) == 0xE0) {
+        if (!sym_run(s, m_base, &rl, &c))
           die("corrupt .vcfz v4: raw escape byte in symbol stream");
-        } else {
-          rl = uint64_t(s & 0x1F);
-          c = (s & 0xE0) == 0xA0 ? 1 : (s & 0xE0) == 0xC0 ? 2 : 3;
-        }
         if (rl == 0 || j + rl > S) die("corrupt .vcfz v4 line coverage");
         memset(row + j, c, size_t(rl));
         if (c == 4) eg[j] = s - 256;
@@ -1245,14 +1282,7 @@ void vcfz_block_lines(const Vcfz& z, size_t b, std::vector<std::string>* out_lin
         } else {
           uint64_t end = j + 1;
           while (end < S && row[end] == c) end++;
-          uint64_t len = end - j;
-          uint64_t cap = c == 0 ? 127 : 31;
-          uint8_t base = c == 0 ? 0x00 : c == 1 ? 0xA0 : c == 2 ? 0xC0 : 0x80;
-          while (len) {
-            uint64_t t = len < cap ? len : cap;
-            body.push_back(char(base | t));
-            len -= t;
-          }
+          emit_capped_run(c, end - j, [&](uint8_t f) { body.push_back(char(f)); });
           j = end;
         }
       }
@@ -1392,16 +1422,7 @@ static void v4_transform_block(const std::vector<int64_t>& syms,
       int64_t s = syms[size_t(sp++)];
       uint64_t rl;
       uint8_t c;
-      if (s >= 256) {
-        rl = 1;
-        c = 4;
-      } else if ((s & 0x80) == 0) {
-        rl = uint64_t(s & 0x7F);
-        c = 0;
-      } else {
-        rl = uint64_t(s & 0x1F);
-        c = (s & 0xE0) == 0xA0 ? 1 : (s & 0xE0) == 0xC0 ? 2 : 3;
-      }
+      if (!sym_run(s, 0, &rl, &c)) die("corrupt symbol stream");
       if (rl == 0 || j + rl > S) die("corrupt symbol stream");
       memset(row + j, c, size_t(rl));
       if (c == 4) e[j] = int32_t(s - 256);
@@ -1434,13 +1455,7 @@ static void v4_transform_block(const std::vector<int64_t>& syms,
       if (c == 5) {
         out_syms->push_back(int64_t(m_base + len));
       } else {
-        uint64_t cap = c == 0 ? 127 : 31;
-        uint8_t base = c == 0 ? 0x00 : c == 1 ? 0xA0 : c == 2 ? 0xC0 : 0x80;
-        while (len) {
-          uint64_t t = len < cap ? len : cap;
-          out_syms->push_back(int64_t(base | t));
-          len -= t;
-        }
+        emit_capped_run(c, len, [&](uint8_t f) { out_syms->push_back(int64_t(f)); });
       }
       j = end;
     }

@@ -37,16 +37,18 @@ def main(argv=None) -> int:
     p.add_argument(
         "--vcfz-version",
         type=int,
-        default=3,
+        default=None,
         choices=(3, 4),
         help=".vcfz version for .vcfz outputs (4 = vertical prediction)",
     )
     args = p.parse_args(argv)
+    if args.vcfz_version is not None and not args.output.endswith(".vcfz"):
+        p.error("--vcfz-version only applies to .vcfz outputs")
 
     initialize(args.coordinator, args.num_processes, args.process_id)
     if args.output.endswith(".vcfz"):
         stats = compress_multihost_vcfz(
-            args.input, args.output, version=args.vcfz_version
+            args.input, args.output, version=args.vcfz_version or 3
         )
     else:
         stats = compress_multihost(args.input, args.output)
