@@ -63,6 +63,8 @@ class HarnessConfig:
         "vcfc-binned-native",
         "vcfc-sparse",
         "vcfc-sparse-external",
+        "vcfz-v3",
+        "vcfz-v4",
         "tabix-bgzip",
         "tabix-bcf",
     )

@@ -154,6 +154,38 @@ class SchemeFactory:
 
         return PreparedScheme(f"vcfc-binned-native-{bin_size}", single, range_, index_path)
 
+    def vcfz(self, version: int = 3) -> PreparedScheme | None:
+        """Range queries over the entropy-coded `.vcfz` container through
+        the native CLI (`vcfcq query-z`), one process per query — measures
+        the extension format's random access against the index schemes.
+        version 4 adds vertical prediction (see format/vcfz.py)."""
+        from ..host.native import cli_path
+
+        cli = cli_path()
+        if cli is None:
+            return None
+        z_path = os.path.join(self.workdir, f"{self.dataset.name}.v{version}.vcfz")
+        if not os.path.exists(z_path):
+            subprocess.run(
+                [cli, "compress-z", self.vcfc_path, z_path, str(version)], check=True
+            )
+
+        def single(ref, pos):
+            return subprocess.run(
+                [cli, "query-z", z_path, f"{ref}:{pos}-{pos}"],
+                capture_output=True,
+                check=True,
+            ).stdout
+
+        def range_(ref, start, end):
+            return subprocess.run(
+                [cli, "query-z", z_path, f"{ref}:{start}-{end}"],
+                capture_output=True,
+                check=True,
+            ).stdout
+
+        return PreparedScheme(f"vcfz-v{version}", single, range_, z_path)
+
     # -- external schemes (tabix / bcftools) ------------------------------
 
     def tabix_bgzip(self, force_rebuild: bool = False) -> PreparedScheme | None:
@@ -223,6 +255,10 @@ class SchemeFactory:
         builds measure real work (the binned schemes always rebuild)."""
         if name.startswith("vcfc-binned-native"):
             return self.vcfc_binned_native(**kw)
+        if name.startswith("vcfz-v"):
+            return self.vcfz(version=int(name.split("-v")[1]))
+        if name == "vcfz":
+            return self.vcfz(**kw)
         if name.startswith("vcfc-binned"):
             return self.vcfc_binned(**kw)
         if name == "vcfc-sparse":
