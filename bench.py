@@ -55,14 +55,21 @@ def main() -> None:
     def make_loop(iters):
         @jax.jit
         def run(c):
-            def body(i, acc):
-                flagpos, nseg, dec_codes, decoded = step(c)
-                # fold outputs into the carry so no iteration is dead code
-                return acc ^ (
-                    nseg[0] + decoded[0] + jnp.int32(dec_codes[0, 0]) + i
-                )
+            def body(i, carry):
+                c_in, acc = carry
+                flagpos, nseg, dec_codes, decoded = step(c_in)
+                # thread the (unchanged) codes through the carry via an
+                # always-false mask XOR: a loop-INVARIANT body would let
+                # XLA hoist the whole step out of the loop and the
+                # subtraction would measure nothing (observed for the
+                # plain-XLA kernels; scripts/profile_kernels.py had this
+                # bug).  The mask is provably zero so values are intact.
+                c_next = (c_in ^ (flagpos > jnp.uint8(255))).astype(jnp.uint8)
+                acc = acc ^ (nseg[0] + decoded[0] + jnp.int32(dec_codes[0, 0]) + i)
+                return (c_next, acc)
 
-            return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+            _, acc = jax.lax.fori_loop(0, iters, body, (c, jnp.int32(0)))
+            return acc
 
         return run
 

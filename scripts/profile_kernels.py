@@ -2,6 +2,12 @@
 
 Usage: python scripts/profile_kernels.py [L] [S]
 Prints per-phase ms and GB/s of genotype text (4 B/cell).
+
+Timing method (CLAUDE.md "Axon tunnel timing traps"): K iterations run
+inside ONE jitted ``lax.fori_loop`` and the K=1 dispatch cost is
+subtracted — on this machine per-dispatch RPC is ~2.3 ms and
+``block_until_ready`` does not reliably wait in async mode, so a
+host-side timing loop would measure the tunnel, not the kernels.
 """
 
 from __future__ import annotations
@@ -14,17 +20,48 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+K = 51
 
-def timeit(fn, *args, iters=10):
+
+def device_time(step, x, iters):
+    """Seconds per step, pure device time via in-jit loop subtraction."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    def make(n):
+        @jax.jit
+        def run(x):
+            def body(i, carry):
+                x_in, acc = carry
+                outs = step(x_in)
+                # thread x through an always-false-mask XOR: without a
+                # data dependence XLA hoists the loop-invariant step out
+                # of the loop and the measurement reads near-zero
+                x_next = (x_in ^ (outs[0] > jnp.uint8(255)).astype(x_in.dtype)).astype(
+                    x_in.dtype
+                )
+                acc = acc ^ (
+                    jnp.int32(outs[0].reshape(-1)[0])
+                    + jnp.int32(outs[1].reshape(-1)[0])
+                    + i
+                )
+                return (x_next, acc)
+
+            _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.int32(0)))
+            return acc
+
+        return run
+
+    def timed(fn, reps=3):
+        jax.block_until_ready(fn(x))  # compile/warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(make(iters)) - timed(make(1))) / (iters - 1)
 
 
 def main():
@@ -49,8 +86,10 @@ def main():
         kernels["pallas"] = (pallas_rle_encode, pallas_rle_decode)
 
     for name, (enc, dec) in kernels.items():
-        dt_e, (flag, nseg) = timeit(lambda c: enc(c, n), codes)
-        dt_d, _ = timeit(lambda f: dec(f, n), flag)
+        flag, _ = enc(codes, n)
+        flag = jax.device_put(np.asarray(flag))
+        dt_e = device_time(lambda c: enc(c, n), codes, K)
+        dt_d = device_time(lambda f: dec(f, n), flag, K)
         print(
             f"{name:7s} encode {dt_e*1e3:7.2f} ms ({text_gb/dt_e:7.1f} GB/s)   "
             f"decode {dt_d*1e3:7.2f} ms ({text_gb/dt_d:7.1f} GB/s)   "
