@@ -251,6 +251,41 @@ class TestVcfzV4:
         z4 = vcfz_from_vcfc(vcfc, version=4)
         assert decompress_vcfz(z4) == vcf
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_v4_transform_inverse_property(self, seed):
+        """Property: _v4_block_to_v3(_v4_transform_block(x)) == x for
+        arbitrary random code matrices (incl. escapes and runs straddling
+        the 127/31 caps), independent of any VCF corpus."""
+        import numpy as np
+
+        from vcfc_tpu.format.vcfz import (
+            _emit_row_symbols,
+            _expand_block_rows,
+            _v4_block_to_v3,
+            _v4_transform_block,
+        )
+
+        rng = np.random.default_rng(seed)
+        n, S = 17, int(rng.integers(1, 400))
+        codes = rng.choice(5, size=(n, S), p=[0.5, 0.15, 0.15, 0.1, 0.1]).astype(np.uint8)
+        # rows with long uniform stretches exercise cap splitting
+        codes[3, :] = 0
+        codes[4, : S // 2] = 1
+        n_esc = 8
+        esc_grid = np.where(
+            codes == 4, rng.integers(0, n_esc, size=(n, S)), -1
+        ).astype(np.int32)
+        v3_syms, v3_nsym = _emit_row_symbols(codes, esc_grid, m_base=0)
+        m_base = 256 + n_esc
+        v4_syms, v4_nsym = _v4_transform_block(v3_syms, v3_nsym, S, m_base)
+        back_syms, back_nsym = _v4_block_to_v3(v4_syms, v4_nsym, S, m_base)
+        np.testing.assert_array_equal(back_syms, v3_syms)
+        np.testing.assert_array_equal(back_nsym, v3_nsym)
+        # and the rows themselves survive
+        rows2, esc2 = _expand_block_rows(back_syms, back_nsym, S)
+        np.testing.assert_array_equal(rows2, codes)
+        np.testing.assert_array_equal(esc2, esc_grid)
+
     def test_v4_cli_and_native_reader(self, tmp_path):
         import subprocess
         import sys
