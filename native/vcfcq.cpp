@@ -1418,12 +1418,22 @@ static void v4_transform_block(const std::vector<int64_t>& syms,
     uint8_t* row = rows.data() + i * S;
     int32_t* e = eg.data() + i * S;
     uint64_t j = 0;
+    // greedy-input check: v4 re-emits greedy maximal runs, so it is
+    // byte-exact only for canonically encoded input (everything our
+    // encoders and the reference produce) — reject anything else
+    int prev_c = -1;
+    uint64_t prev_rl = 0;
     for (uint32_t k = 0; k < nsym[size_t(lo + i)]; k++) {
       int64_t s = syms[size_t(sp++)];
       uint64_t rl;
       uint8_t c;
       if (!sym_run(s, 0, &rl, &c)) die("corrupt symbol stream");
       if (rl == 0 || j + rl > S) die("corrupt symbol stream");
+      if (c < 4 && prev_c == int(c) && prev_rl < kRunCap[c])
+        die("non-greedy flag runs: .vcfz v4 requires canonical .vcfc "
+            "input (use version 3)");
+      prev_c = c < 4 ? int(c) : -1;
+      prev_rl = rl;
       memset(row + j, c, size_t(rl));
       if (c == 4) e[j] = int32_t(s - 256);
       j += rl;

@@ -251,6 +251,64 @@ class TestVcfzV4:
         z4 = vcfz_from_vcfc(vcfc, version=4)
         assert decompress_vcfz(z4) == vcf
 
+    def test_v4_rejects_non_greedy_input(self):
+        """A valid-but-non-canonical .vcfc (ten 0|0s as [0x05, 0x05])
+        would be silently canonicalized by the v4 re-emission; both the
+        Python and native writers must reject it instead (v1-v3 transcode
+        it byte-exactly)."""
+        import numpy as np
+
+        from vcfc_tpu.format.headers import encode_length_header
+        from vcfc_tpu.format.vcfz import VcfzReader, vcfz_from_vcfc
+
+        header = b"##m=1\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT" + \
+            b"".join(b"\tS%d" % i for i in range(10)) + b"\n"
+        req = b"1\t100\t.\tA\tT\t.\t.\t.\tGT\t"
+        body = bytes([0x05, 0x05])  # non-greedy: 5+5 instead of 0x0A
+        line = encode_length_header(4 + len(req) + len(body) + 1) + \
+            encode_length_header(len(req)) + req + body + b"\n"
+        vcfc = header + line
+        z3 = vcfz_from_vcfc(vcfc, version=3)  # v3 is byte-exact on it
+        assert VcfzReader.parse(z3).to_vcfc() == vcfc
+        with pytest.raises(ValueError, match="non-greedy"):
+            vcfz_from_vcfc(vcfc, version=4)
+
+        from vcfc_tpu.host.native import cli_path
+
+        if cli_path() is not None:
+            import subprocess
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as d:
+                src = f"{d}/ng.vcfc"
+                open(src, "wb").write(vcfc)
+                r = subprocess.run(
+                    [cli_path(), "compress-z", src, f"{d}/ng.vcfz", "4"],
+                    capture_output=True,
+                )
+                assert r.returncode != 0 and b"non-greedy" in r.stderr
+
+    def test_corrupt_containers_rejected(self):
+        """Crafted containers must die cleanly, not decode garbage."""
+        import numpy as np
+
+        from vcfc_tpu.format.vcfz import VcfzReader, vcfz_from_vcfc
+        from vcfc_tpu.ops.huffman import Codebook
+
+        vcfc = self._correlated_vcfc(40, 60)
+        z = bytearray(vcfz_from_vcfc(vcfc, version=4))
+        r = VcfzReader.parse(bytes(z))
+        # zero-symbol line: nsym table starts right after req_lens
+        nsym_off = bytes(z).find(r.req_lens.astype(np.uint32).tobytes())
+        nsym_off += 4 * r.n_lines  # past req_lens into nsym
+        corrupt = bytearray(z)
+        corrupt[nsym_off : nsym_off + 4] = (0).to_bytes(4, "little")
+        with pytest.raises(ValueError):
+            VcfzReader.parse(bytes(corrupt)).to_vcfc()
+        # Kraft-violating codebook length table
+        with pytest.raises(ValueError, match="Kraft"):
+            Codebook.from_lengths(np.full(300, 8, np.uint8))
+
     @pytest.mark.parametrize("seed", [0, 1, 2, 3])
     def test_v4_transform_inverse_property(self, seed):
         """Property: _v4_block_to_v3(_v4_transform_block(x)) == x for

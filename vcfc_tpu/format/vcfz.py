@@ -15,8 +15,9 @@ m_base = 256 + n_escapes; 5th context class) — 2.4x smaller than v3 on
 LD-correlated cohorts (62x vs VCF at mutation rate 0.03), identical
 container layout otherwise.  Lines are grouped into blocks
 that decode independently (each block's first symbol is coded in context
-CTX_INIT), and a block table with (first/last position, running-max end)
-gives O(log B) random access.  This is the "global codebook via
+CTX_INIT), and a block table with (first/last position, per-block max end
+position) lets queries prune to overlapping blocks in one linear pass
+over the tiny table.  This is the "global codebook via
 collectives" path of BASELINE.json: histograms come from the device mesh
 (psum-merged), the codebooks are replicated, blocks are data-parallel.
 
@@ -118,7 +119,6 @@ def _symbol_streams_native(vcfc: bytes):
     from ..host.fast import parse_vcfc_native
 
     parsed = parse_vcfc_native(vcfc)
-    L = parsed.n_lines
     if parsed.oracle_line.any():
         # structurally irregular lines (never produced by our encoder)
         # would break first-occurrence escape-id ordering if spliced;
@@ -263,6 +263,10 @@ def _expand_block_rows(symbols, nsym, S, m_base=None):
     symbols = np.asarray(symbols, np.int64)
     nsym = np.asarray(nsym, np.int64)
     n = len(nsym)
+    if S > 0 and n and (nsym <= 0).any():
+        # every line covers S > 0 samples, so zero-symbol lines are
+        # corrupt — and would negative-index the escape-base computation
+        raise ValueError("corrupt .vcfz: zero-symbol line in a nonempty cohort")
     mb = m_base if m_base is not None else np.iinfo(np.int64).max
     is_match = symbols >= mb
     is_esc = (symbols >= 256) & ~is_match
@@ -338,8 +342,47 @@ def _emit_row_symbols(work, esc_grid, m_base):
     return np.array(out, np.int64), counts
 
 
+def _require_greedy(symbols, nsym) -> None:
+    """v4 re-emits greedy maximal capped runs, so it is byte-exact only
+    for greedily encoded inputs (everything the reference encoder or any
+    of ours produces).  A valid-but-non-greedy .vcfc (e.g. ten 0|0
+    samples as [0x05, 0x05]) would be silently canonicalized — reject it
+    so the lossless transcode contract cannot be broken quietly.  The
+    non-greedy signature: a literal flag follows a same-code literal
+    whose count is below the cap."""
+    syms = np.asarray(symbols, np.int64)
+    if len(syms) < 2:
+        return
+    lit = syms < 256
+    code = np.where(
+        syms < 0x80,
+        0,
+        np.where((syms & 0xE0) == 0xA0, 1, np.where((syms & 0xE0) == 0xC0, 2, 3)),
+    )
+    ln = np.where(syms < 0x80, syms & 0x7F, syms & 0x1F)
+    cap = np.where(code == 0, 127, 31)
+    first = np.zeros(len(syms), bool)
+    nsym = np.asarray(nsym, np.int64)
+    starts = np.concatenate([[0], np.cumsum(nsym)[:-1]])
+    first[starts[nsym > 0]] = True
+    bad = (
+        ~first[1:]
+        & lit[1:]
+        & lit[:-1]
+        & (code[1:] == code[:-1])
+        & (ln[:-1] < cap[:-1])
+    )
+    if bad.any():
+        raise ValueError(
+            "non-greedy flag runs: .vcfz v4 requires canonically (greedily) "
+            "encoded .vcfc input — use version 3 for byte-exact transcoding "
+            "of non-canonical streams"
+        )
+
+
 def _v4_transform_block(symbols, nsym, S, m_base):
     """v3 symbol streams of one block -> v4 (vertical-residual) streams."""
+    _require_greedy(symbols, nsym)
     rows, esc_grid = _expand_block_rows(symbols, nsym, S)
     work = rows.copy()
     if len(rows) > 1:
@@ -448,6 +491,8 @@ def vcfz_from_vcfc(
     per-block residuals against the previous variant line with
     MATCH-run symbols — a large win on LD-correlated cohorts, a small
     cost on uncorrelated data (see _v4_transform_block)."""
+    if version not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported .vcfz version {version}")
     from ..index.scan import scan_lines
 
     header = parse_metadata_headers(vcfc)
@@ -740,6 +785,12 @@ class VcfzReader:
         # only occur when sample_count == 0, i.e. every line is empty)
         cum = np.cumsum(run_len)
         if len(symbols):
+            if S > 0 and (nsym <= 0).any():
+                # a zero-symbol line would negative-index `cum` below and
+                # silently garble the escape tab placement
+                raise ValueError(
+                    "corrupt .vcfz: zero-symbol line in a nonempty cohort"
+                )
             sym_line_end = np.cumsum(nsym.astype(np.int64))
             bases = np.concatenate([[0], cum[sym_line_end[:-1] - 1]])
             covered_after = cum - np.repeat(bases, nsym)
@@ -859,8 +910,6 @@ def query_vcfz(vcfz: bytes, query: CoordinateQuery):
     binned-index query)."""
     from .lines import decode_data_line
     from ..query.coordinate import compute_end_position
-
-    from ..utils.refmap import reference_to_int
 
     reader = VcfzReader.parse(vcfz)
     S = reader.n_samples

@@ -31,6 +31,10 @@ def code_lengths(freqs: np.ndarray) -> np.ndarray:
     lengths = np.zeros(len(freqs), np.uint8)
     if n == 0:
         return lengths
+    if n > (1 << MAX_CODE_LEN):  # a depth-15 tree has at most 2^15 leaves
+        raise ValueError(
+            f"{n} distinct symbols cannot fit {MAX_CODE_LEN}-bit-limited codes"
+        )
     if n == 1:
         lengths[present[0]] = 1
         return lengths
@@ -59,7 +63,7 @@ def code_lengths(freqs: np.ndarray) -> np.ndarray:
             lengths[present] = depth.astype(np.uint8)
             return lengths
         # flatten the distribution and retry (standard length-limit trick)
-        f = np.maximum(f // 2, 1) if f.dtype.kind == "i" else np.maximum(f / 2, 1.0)
+        f = np.maximum(f / 2, 1.0)
     raise RuntimeError("failed to limit Huffman code lengths")
 
 
@@ -73,6 +77,15 @@ class Codebook:
     @classmethod
     def from_lengths(cls, lengths: np.ndarray) -> "Codebook":
         lengths = np.asarray(lengths, np.uint8)
+        if (lengths > MAX_CODE_LEN).any():
+            raise ValueError("code length exceeds MAX_CODE_LEN")
+        # Kraft check: length tables come from untrusted containers; an
+        # over-subscribed table would silently overlap decode-table rows
+        present = lengths[lengths > 0].astype(np.int64)
+        if present.size and int(
+            (np.int64(1) << (MAX_CODE_LEN - present)).sum()
+        ) > (1 << MAX_CODE_LEN):
+            raise ValueError("corrupt codebook: Kraft inequality violated")
         codes = np.zeros(len(lengths), np.uint32)
         code = 0
         for bit_len in range(1, MAX_CODE_LEN + 1):
@@ -100,22 +113,28 @@ class Codebook:
         return sym_t, len_t
 
 
-def pack_symbols(symbols: np.ndarray, book: Codebook) -> tuple[bytes, int]:
-    """Vectorized MSB-first bit packing. Returns (payload, total_bits)."""
-    lengths = book.lengths[symbols].astype(np.int64)
-    if (lengths == 0).any():
-        raise ValueError("symbol with no codeword in the codebook")
-    codes = book.codes[symbols].astype(np.uint64)
+def _pack_bits(codes: np.ndarray, lengths: np.ndarray) -> tuple[bytes, int]:
+    """Vectorized MSB-first packing of per-symbol (code, length) pairs —
+    the single packing routine behind pack_symbols and pack_symbols_ctx.
+    Expands every symbol to its bits: bit k of an n-bit code is
+    (code >> (n-1-k)) & 1."""
+    codes = codes.astype(np.uint64)
     total = int(lengths.sum())
-    # expand every symbol to its bits: bit k of an n-bit code is
-    # (code >> (n-1-k)) & 1
     ends = np.cumsum(lengths)
     starts = ends - lengths
-    bit_sym = np.repeat(np.arange(len(symbols)), lengths)
+    bit_sym = np.repeat(np.arange(len(codes)), lengths)
     bit_k = np.arange(total) - np.repeat(starts, lengths)
     shift = (lengths[bit_sym] - 1 - bit_k).astype(np.uint64)
     bits = ((codes[bit_sym] >> shift) & np.uint64(1)).astype(np.uint8)
     return np.packbits(bits).tobytes(), total
+
+
+def pack_symbols(symbols: np.ndarray, book: Codebook) -> tuple[bytes, int]:
+    """MSB-first bit packing. Returns (payload, total_bits)."""
+    lengths = book.lengths[symbols].astype(np.int64)
+    if (lengths == 0).any():
+        raise ValueError("symbol with no codeword in the codebook")
+    return _pack_bits(book.codes[symbols], lengths)
 
 
 # --------------------------------------------------------------------------
@@ -204,15 +223,7 @@ def pack_symbols_ctx(
         )
         return payload, int(lengths.sum())
 
-    codes = all_codes[ctx, symbols].astype(np.uint64)
-    total = int(lengths.sum())
-    ends = np.cumsum(lengths)
-    starts = ends - lengths
-    bit_sym = np.repeat(np.arange(len(symbols)), lengths)
-    bit_k = np.arange(total) - np.repeat(starts, lengths)
-    shift = (lengths[bit_sym] - 1 - bit_k).astype(np.uint64)
-    bits = ((codes[bit_sym] >> shift) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes(), total
+    return _pack_bits(all_codes[ctx, symbols], lengths)
 
 
 def unpack_symbols_ctx(
@@ -234,9 +245,12 @@ def unpack_symbols_ctx(
     for i in range(n_symbols):
         sym_t, len_t = tables[ctx]
         prefix = int(padded[pos : pos + window] @ weights)
+        ln = int(len_t[prefix])
+        if ln == 0:  # uncovered prefix: same error as the native decoder
+            raise ValueError("invalid Huffman stream")
         sym = sym_t[prefix]
         out[i] = sym
-        pos += int(len_t[prefix])
+        pos += ln
         ctx = int(classes[sym])
     return out
 
@@ -254,6 +268,9 @@ def unpack_symbols(payload: bytes, n_symbols: int, book: Codebook) -> np.ndarray
     weights = (1 << np.arange(window - 1, -1, -1)).astype(np.int64)
     for i in range(n_symbols):
         prefix = int(padded[pos : pos + window] @ weights)
+        ln = int(len_t[prefix])
+        if ln == 0:  # uncovered prefix: same error as the native decoder
+            raise ValueError("invalid Huffman stream")
         out[i] = sym_t[prefix]
-        pos += int(len_t[prefix])
+        pos += ln
     return out
