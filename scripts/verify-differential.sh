@@ -31,6 +31,10 @@ make -C "$here/native" >/dev/null 2>&1 || true
 V="$here/native/vcfcq"
 P=(python -m vcfc_tpu.cli)
 export PYTHONPATH="$here${PYTHONPATH:+:$PYTHONPATH}"
+# byte-level verification never needs the accelerator; a degraded TPU
+# tunnel must not be able to hang the gauntlet (observed: CLI stuck in
+# backend init for minutes when the tunnel was unhealthy)
+export VCFC_FORCE_CPU=1
 
 # --- fresh corpus: escapes, >127 run caps, SVs, 3 chroms, pos regressions
 python - "$seed" "$work/f.vcf" <<'EOF'

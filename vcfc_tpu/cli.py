@@ -27,6 +27,16 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
 
+if os.environ.get("VCFC_FORCE_CPU"):
+    # Pin JAX to the CPU backend BEFORE any backend initialization.
+    # On machines whose sitecustomize pins an accelerator platform
+    # (jax.config beats env vars there), a flaky accelerator link would
+    # otherwise hang every CLI invocation; verification scripts set this
+    # since correctness checking never needs the accelerator.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from .format.constants import VCFC_BINNING_INDEX_EXTENSION
 from .query.coordinate import parse_coordinate_string as _parse_region_raw
 from .utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, BinnedIndexConfig
