@@ -998,6 +998,17 @@ uint64_t rd_u64(const uint8_t* p) {
 
 void build_decode_table(const uint8_t* lengths, uint32_t n_symbols,
                         std::vector<int32_t>* sym_t, std::vector<uint8_t>* len_t) {
+  // Length tables come from untrusted containers.  Mirror the Python reader's
+  // Kraft guard (ops/huffman.py Codebook.from_lengths): lengths > kMaxCodeLen
+  // or an over-subscribed table would index past the 2^kMaxCodeLen rows below.
+  uint64_t kraft = 0;
+  for (uint32_t sym = 0; sym < n_symbols; sym++) {
+    if (lengths[sym] == 0) continue;
+    if (lengths[sym] > kMaxCodeLen) die("corrupt codebook: code length exceeds max");
+    kraft += uint64_t(1) << (kMaxCodeLen - lengths[sym]);
+  }
+  if (kraft > (uint64_t(1) << kMaxCodeLen))
+    die("corrupt codebook: Kraft inequality violated");
   sym_t->assign(size_t(1) << kMaxCodeLen, 0);
   len_t->assign(size_t(1) << kMaxCodeLen, 0);
   uint32_t code = 0;

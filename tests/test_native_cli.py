@@ -200,6 +200,40 @@ class TestNativeCliVcfz:
         run(["compress-z", vcf_path, str(out2)])
         assert out2.read_bytes() == want
 
+    @pytest.mark.parametrize("verb", ["decompress-z", "query-z"])
+    def test_crafted_codebook_rejected(self, corpus, tmp_path, verb):
+        """Kraft-violating code-length tables in an untrusted .vcfz must
+        die cleanly in the NATIVE reader too — an over-subscribed table
+        (e.g. every symbol at length 1) would otherwise index past the
+        2^15-row decode table (heap OOB writes, ASAN-verified before the
+        guard was added)."""
+        import struct
+
+        from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+        d, vcf, vcfc, vcf_path, vcfc_path = corpus
+        z = bytearray(vcfz_from_vcfc(vcfc, version=3))
+        # walk the container to the first code-length table
+        off = 4 + 9  # magic + (version u32, max_len u8, block_lines u32)
+        off += 12 + 8  # (n_lines u64, n_samples u32) + header_len u64
+        header_len = struct.unpack_from("<Q", z, off - 8)[0]
+        off += header_len
+        (n_esc,) = struct.unpack_from("<I", z, off)
+        off += 4
+        for _ in range(n_esc):
+            (elen,) = struct.unpack_from("<H", z, off)
+            off += 2 + elen
+        (n_symbols,) = struct.unpack_from("<I", z, off)
+        off += 4
+        z[off : off + n_symbols] = bytes([1]) * n_symbols  # oversubscribed
+        z_path = tmp_path / "kraft.vcfz"
+        z_path.write_bytes(bytes(z))
+        args = [str(z_path), str(tmp_path / "out.vcf")] \
+            if verb == "decompress-z" else [str(z_path), "1:1000-5000"]
+        r = subprocess.run([cli_path(), verb, *args], capture_output=True)
+        assert r.returncode != 0
+        assert b"Kraft" in r.stderr or b"corrupt codebook" in r.stderr
+
     @pytest.mark.parametrize("version", [1, 2, 3])
     def test_query_z_all_versions(self, corpus, tmp_path, version):
         from vcfc_tpu.format.vcfz import query_vcfz, vcfz_from_vcfc

@@ -49,6 +49,17 @@ def _try_build() -> None:
         pass
 
 
+def _stale(binary: str, source: str) -> bool:
+    """True when the binary is missing or older than its source — a stale
+    vcfcq would silently compare old code against the Python engines."""
+    if not os.path.exists(binary):
+        return True
+    try:
+        return os.path.getmtime(source) > os.path.getmtime(binary)
+    except OSError:
+        return False
+
+
 def cli_path() -> str | None:
     """Path to the low-latency native CLI (native/vcfcq), or None.
 
@@ -58,16 +69,18 @@ def cli_path() -> str | None:
     per-process latency isn't dominated by interpreter startup; its
     output is byte-identical to the Python engines
     (tests/test_native_cli.py).  Re-reads the env on every call, like
-    ``available()``; only the build attempt is one-shot."""
+    ``available()``; rebuilds (make is mtime-correct) whenever the
+    source is newer than the binary."""
     if os.environ.get("VCFC_NO_NATIVE"):
         return None
     env = os.environ.get("VCFC_NATIVE_CLI")
     if env:
         return env if os.path.exists(env) else None
-    path = os.path.abspath(
-        os.path.join(os.path.dirname(__file__), "..", "..", "native", "vcfcq")
+    native_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native")
     )
-    if not os.path.exists(path):
+    path = os.path.join(native_dir, "vcfcq")
+    if _stale(path, os.path.join(native_dir, "vcfcq.cpp")):
         _try_build_once()
     return path if os.path.exists(path) else None
 
@@ -83,7 +96,12 @@ def _load():
     if os.environ.get(_LIB_ENV):
         candidates.append(os.environ[_LIB_ENV])
     candidates += [os.path.abspath(p) for p in _DEFAULT_PATHS]
-    if not any(os.path.exists(p) for p in candidates):
+    src = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native", "vcfc_host.cpp")
+    )
+    if not any(os.path.exists(p) for p in candidates) or (
+        not os.environ.get(_LIB_ENV) and _stale(candidates[0], src)
+    ):
         _try_build()
     for path in candidates:
         if os.path.exists(path):
