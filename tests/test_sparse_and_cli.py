@@ -104,6 +104,17 @@ class TestSparsify:
         )
         assert miss == b""
 
+    def test_no_criteria_raises(self, tmp_path, small_vcfc):
+        """Conscious divergence (PARITY.md C13): the reference's sparse query
+        silently does nothing when the query has no criteria (main.cpp:279,335
+        — both branches require has_criteria(); the fall-through returns
+        nothing).  We raise instead, in both implementations (sparsify.py:147,
+        vcfcq.cpp:1933)."""
+        path = str(tmp_path / "small.sparse")
+        sparsify_file(small_vcfc, path, TEST_SPARSE)
+        with pytest.raises(NotImplementedError, match="no filter"):
+            list(query_sparse_file(path, CoordinateQuery(), TEST_SPARSE))
+
     def test_file_is_sparse(self, tmp_path, small_vcfc):
         path = str(tmp_path / "small.sparse")
         sparsify_file(small_vcfc, path, TEST_SPARSE)
