@@ -64,6 +64,34 @@ struct TimingProbe {
   }
 };
 
+// Disjoint seeking→iteration phase accounting for index-backed queries —
+// the reference's state machine (main.cpp:3276-3345): `decompress_seeking`
+// runs from scan start until the first line at-or-past the query, then
+// `decompress_iteration` covers the decode phase; a scan that never
+// reaches the query reports seeking only.
+struct SeekIterPhases {
+  bool seeking = true;
+  std::chrono::steady_clock::time_point t0 = std::chrono::steady_clock::now();
+  static void emit(const char* label, std::chrono::steady_clock::time_point a,
+                   std::chrono::steady_clock::time_point b) {
+    if (!g_timing) return;
+    auto ns =
+        std::chrono::duration_cast<std::chrono::nanoseconds>(b - a).count();
+    printf("TIMING %s: %lld\n", label, static_cast<long long>(ns));
+  }
+  void reached_query() {  // first cmp<=0 line
+    if (!seeking) return;
+    auto now = std::chrono::steady_clock::now();
+    emit("decompress_seeking", t0, now);
+    t0 = now;
+    seeking = false;
+  }
+  ~SeekIterPhases() {
+    emit(seeking ? "decompress_seeking" : "decompress_iteration", t0,
+         std::chrono::steady_clock::now());
+  }
+};
+
 // ------------------------------------------------------------------- io
 struct Mapped {
   const uint8_t* data = nullptr;
@@ -609,9 +637,10 @@ int do_query_binned_index(const char* path, const std::string& region) {
   LineView lv;
   size_t off = start_off;
   {
-    TimingProbe probe("decompress_iteration");
+    SeekIterPhases phases;
     while (next_line(m.data, m.size, off, &lv)) {
       int cmp = q.compare_to_range(lv.chrom, lv.pos, end_position(lv));
+      if (cmp <= 0) phases.reached_query();
       if (cmp == 0)
         hits.push_back(lv.offset);
       else if (cmp < 0)
@@ -2045,7 +2074,7 @@ int do_query_sparse_index(const char* path, const std::string& region) {
   close(ifd);
   std::string out;
   if (found) {
-    TimingProbe probe("decompress_iteration");
+    SeekIterPhases phases;
     LineView lv;
     size_t off = size_t(entry.byte_offset);
     while (next_line(m.data, m.size, off, &lv)) {
@@ -2054,6 +2083,7 @@ int do_query_sparse_index(const char* path, const std::string& region) {
       int cmp = (a < b || (a == b && lv.pos < q.start))   ? 1
                 : (a > b || (a == b && lv.pos > q.end)) ? -1
                                                          : 0;
+      if (cmp <= 0) phases.reached_query();
       if (cmp == 0)
         decode_data_line(m.data, m.size, lv.offset, h.sample_count, &out);
       else if (cmp < 0)

@@ -111,6 +111,40 @@ done
 "${P[@]}" decompress-z p4.vcfz z4p.rt; check cmp -s z4p.rt f.vcf
 "$V" query-z p4.vcfz "21:1000-99999" > b4; check cmp -s a b4
 
+# --- TIMING phase taxonomy differential (VERDICT r1 #8): the reference's
+# main_timing build and both our CLIs must emit TIMING labels that the
+# eval harness maps into the SAME phase-category sets (the cross-language
+# contract: command.py:135-158 regex + evaluation_main.py:649-670 taxonomy).
+T=/tmp/refbuild/main_timing
+if [ ! -x "$T" ]; then (cd /tmp/refbuild && make timing >/dev/null 2>&1); fi
+tcats() {
+  python -c '
+import re, sys
+cat = {"decompress2_metadata_headers": "headers",
+       "decompress2_metadata_headers_fd": "headers",
+       "decompress_iteration": "iteration",
+       "index_search": "index_search",
+       "decompress_seeking": "seeking"}
+found = set()
+text = open(sys.argv[1], "r", errors="replace").read()
+for m in re.finditer(r"TIMING (\w+): (\d+)", text):
+    if m.group(1) in cat:
+        found.add(cat[m.group(1)])
+print(",".join(sorted(found)))
+' "$1"
+}
+# hit region: all four categories; EOF-miss region: seeking, no iteration
+for region in "17:1000-99999" "X:999999990-999999999"; do
+  "$T" query-binned-index r.vcfc "$region" > ta 2>/dev/null
+  VCFC_TIMING=1 "$V" query-binned-index v.vcfc "$region" > tb
+  # v.vcfc is byte-identical to p.vcfc and has a .vcfci built above
+  VCFC_TIMING=1 "${P[@]}" query-binned-index v.vcfc "$region" > tc
+  ca=$(tcats ta); cb=$(tcats tb); cc=$(tcats tc)
+  check [ -n "$ca" ]
+  check [ "$ca" = "$cb" ]
+  check [ "$ca" = "$cc" ]
+done
+
 if [ "$fail" = 0 ]; then
   echo "PASS: all surfaces byte-equal vs reference (seed $seed)"
 else

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from ..utils.timing import timing_probe
 from .constants import VCF_REQUIRED_COL_COUNT
 from .lines import VcfValidationError, decode_data_line, encode_data_line
 
@@ -39,6 +40,11 @@ def parse_metadata_headers(buf: bytes) -> VcfcHeader:
     (compress.cpp:995-1098): meta before header, header required, sample
     count = tabs beyond the 8 required columns on the header line.
     """
+    with timing_probe("decompress2_metadata_headers"):
+        return _parse_metadata_headers(buf)
+
+
+def _parse_metadata_headers(buf: bytes) -> VcfcHeader:
     out = VcfcHeader()
     offset = 0
     got_meta = False

@@ -14,13 +14,14 @@ a linear scan of the compressed file from that entry's byte offset
 from __future__ import annotations
 
 import bisect
+import time
 
 from ..format.lines import decode_data_line
 from ..format.vcf import parse_metadata_headers
 from ..query.coordinate import CoordinateQuery
 from ..utils.config import BinnedIndexConfig
 from ..utils.refmap import reference_to_int
-from ..utils.timing import timing_probe
+from ..utils.timing import enabled as timing_enabled, record, timing_probe
 from .entry import ENTRY_SIZE, IndexEntry
 from .scan import header_at as _header_at, scan_lines
 
@@ -73,14 +74,33 @@ def query_binned_index(vcfc: bytes, vcfci: bytes, query: CoordinateQuery):
     if entry is None:
         return
     sample_count = header.schema.sample_count
-    with timing_probe("decompress_iteration"):
+    # Disjoint seeking→iteration phase split (reference main.cpp:3276-3345):
+    # `decompress_seeking` covers the scan from the bin start until the
+    # first line at-or-past the query; `decompress_iteration` covers the
+    # decode phase after.  A scan that never reaches the query emits
+    # seeking only — the exact state machine of the TIMING contract the
+    # harness graphs (command.py:135-158, evaluation_main.py:649-670).
+    probing = timing_enabled()
+    t0 = time.perf_counter_ns() if probing else 0
+    seeking = True
+    try:
         for rec in scan_lines(vcfc, header=_header_at(header, entry.byte_offset)):
             cmp = query.compare_to_range(
                 rec.chrom.decode(), rec.pos, rec.end_position()
             )
+            if probing and seeking and cmp <= 0:
+                now = time.perf_counter_ns()
+                record("decompress_seeking", now - t0)
+                t0, seeking = now, False
             if cmp == 0:
                 line, _ = decode_data_line(vcfc, rec.offset, sample_count)
                 yield line
             elif cmp < 0:
                 break
+    finally:
+        if probing:
+            record(
+                "decompress_seeking" if seeking else "decompress_iteration",
+                time.perf_counter_ns() - t0,
+            )
 

@@ -11,13 +11,14 @@ into the index, brute-search forward over zero entries with SEEK_DATA
 from __future__ import annotations
 
 import os
+import time
 
 from ..format.lines import decode_data_line
 from ..format.vcf import parse_metadata_headers
 from ..query.coordinate import CoordinateQuery
 from ..utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, SparseConfig
 from ..utils.refmap import reference_to_int
-from ..utils.timing import timing_probe
+from ..utils.timing import enabled as timing_enabled, record, timing_probe
 from .entry import ENTRY_SIZE, IndexEntry
 from .scan import header_at as _header_at, scan_lines
 
@@ -76,15 +77,30 @@ def query_sparse_external_index(
                     continue
                 break
 
-    with timing_probe("decompress_iteration"):
+    # seeking→iteration phase split as in the binned query (reference
+    # main.cpp:1191-1276 uses the same state machine)
+    probing = timing_enabled()
+    t0 = time.perf_counter_ns() if probing else 0
+    seeking = True
+    try:
         h = _header_at(header, entry.byte_offset)
         for rec in scan_lines(vcfc, header=h):
             cmp = query.compare_to(rec.chrom.decode(), rec.pos)
             if cmp > 0:
                 continue  # before query range
+            if probing and seeking:
+                now = time.perf_counter_ns()
+                record("decompress_seeking", now - t0)
+                t0, seeking = now, False
             if cmp == 0:
                 line, _ = decode_data_line(vcfc, rec.offset, sample_count)
                 yield line
             else:
                 break
+    finally:
+        if probing:
+            record(
+                "decompress_seeking" if seeking else "decompress_iteration",
+                time.perf_counter_ns() - t0,
+            )
 

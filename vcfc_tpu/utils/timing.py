@@ -45,6 +45,18 @@ def totals() -> dict[str, int]:
     return dict(_ACCUM)
 
 
+def record(label: str, ns: int) -> None:
+    """Manually account ``ns`` nanoseconds to ``label`` — for phase state
+    machines (e.g. the reference's seeking→iteration transition in the
+    binned query, main.cpp:3276-3345) where context managers can't express
+    the disjoint-phase split."""
+    if not _ENABLED:
+        return
+    _ACCUM[label] += ns
+    if _ECHO:
+        print(f"TIMING {label}: {ns}", file=sys.stdout, flush=True)
+
+
 @contextlib.contextmanager
 def timing_probe(label: str):
     if not _ENABLED:
