@@ -151,3 +151,14 @@ def test_compress_sharded_byte_identical():
     want = compress_bytes(vcf)
     got = engine.compress_sharded(vcf)  # 8-device virtual mesh
     assert got == want
+
+
+def test_decompress_sharded_byte_identical():
+    from test_fuzz import make_vcf
+    from vcfc_tpu import engine
+    from vcfc_tpu.format import compress_bytes
+
+    vcf = make_vcf(902, 140, 90, sv_every=13)
+    vcfc = compress_bytes(vcf)
+    got = engine.decompress_sharded(vcfc)  # 8-device virtual mesh
+    assert got == vcf

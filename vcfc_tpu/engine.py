@@ -141,6 +141,67 @@ def compress_sharded(vcf: bytes, mesh=None) -> bytes:
     return assemble_vcfc(parsed, flagpos, nseg)
 
 
+def _sharded_decode_step_for(mesh):
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, "decode")
+    step = _SHARDED_STEPS.get(key)
+    if step is None:
+        from .parallel.shard import make_sharded_decode_step
+
+        step = _SHARDED_STEPS[key] = make_sharded_decode_step(mesh)
+    return step
+
+
+def decompress_sharded(vcfc: bytes, mesh=None) -> bytes:
+    """Decompress with the decode step sharded over a device mesh — the
+    file-level decode twin of ``compress_sharded`` (VERDICT r1 #2): lines
+    shard across the data axis, each device run-fills its shard, and the
+    host renders the gathered codes.  Byte-identical to ``decompress``
+    (the reference's sequential spec: decompress2_fd, compress.cpp:1214)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import DATA_AXIS, make_data_mesh
+
+    use_native = native.available()
+    if use_native:
+        from .host.fast import parse_vcfc_native
+
+        parsed = parse_vcfc_native(vcfc)
+    else:
+        parsed = parse_vcfc_bytes(vcfc)
+    L = parsed.n_lines
+    S = parsed.header.schema.sample_count
+    if L == 0 or S == 0:
+        from .format.vcf import decompress_bytes
+
+        return decompress_bytes(vcfc)
+
+    if mesh is None:
+        mesh = make_data_mesh(len(jax.devices()))
+    n_dev = mesh.devices.size
+    W = parsed.flags.shape[1]
+    S_pad = max(_round_up(max(S, W), 128), 128)
+    L_pad = _round_up(L, n_dev)
+    flags = np.zeros((L_pad, S_pad), np.uint8)
+    flags[:L, :W] = parsed.flags
+    sharded = jax.device_put(
+        jnp.asarray(flags), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    step = _sharded_decode_step_for(mesh)
+    codes, decoded = step(sharded, jnp.int32(S))
+    codes = np.asarray(codes)[:L]
+    decoded = np.asarray(decoded)[:L]
+
+    if use_native:
+        from .host.fast import assemble_vcf_native
+
+        return assemble_vcf_native(parsed, codes, decoded)
+    from .ops.rle import render_text
+
+    return assemble_vcf(parsed, render_text(codes), decoded)
+
+
 def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path decompress: unpack stream -> RLE decode on device -> render."""
     line_batch = _round_up(max(line_batch, 1), 256)  # Pallas BLOCK_L granularity

@@ -1,8 +1,11 @@
-"""Multi-host driver: python -m vcfc_tpu.parallel <in.vcf> <out.vcfc|.vcfz>
+"""Multi-host driver.
+
+  compress:   python -m vcfc_tpu.parallel <in.vcf>  <out.vcfc|.vcfz>
+  decompress: python -m vcfc_tpu.parallel <in.vcfc> <out.vcf>
 
 Launch once per host/process with coordinator env vars (or flags):
   VCFC_COORDINATOR=host:port  VCFC_NUM_PROCESSES=N  VCFC_PROCESS_ID=i
-Single-process without any of them (degrades to a local compress).
+Single-process without any of them (degrades to a local run).
 """
 
 from __future__ import annotations
@@ -12,7 +15,12 @@ import json
 import os
 import sys
 
-from .distributed import compress_multihost, compress_multihost_vcfz, initialize
+from .distributed import (
+    compress_multihost,
+    compress_multihost_vcfz,
+    decompress_multihost,
+    initialize,
+)
 
 
 def main(argv=None) -> int:
@@ -50,6 +58,8 @@ def main(argv=None) -> int:
         stats = compress_multihost_vcfz(
             args.input, args.output, version=args.vcfz_version or 3
         )
+    elif args.input.endswith(".vcfc"):
+        stats = decompress_multihost(args.input, args.output)
     else:
         stats = compress_multihost(args.input, args.output)
     print(json.dumps(stats))

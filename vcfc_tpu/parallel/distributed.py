@@ -121,6 +121,78 @@ def compress_multihost(input_path: str, output_path: str) -> dict:
     }
 
 
+def decompress_multihost(input_path: str, output_path: str) -> dict:
+    """Cooperatively decompress one .vcfc across all processes — the decode
+    twin of ``compress_multihost`` (VERDICT r1 #2; sequential spec:
+    decompress2_fd, compress.cpp:1214-1257).
+
+      1. every process reads the compressed file and hops the 4-byte line
+         length headers to the data-line offsets;
+      2. each takes a contiguous line stripe and decodes it with the local
+         engine (device kernels or the native host executor);
+      3. decompressed stripe byte counts are all-gathered -> deterministic
+         exclusive output offsets, fixed by process index;
+      4. each process pwrite()s its text at its offset; process 0 writes
+         the verbatim header text.
+
+    Byte-identical to the single-process ``engine.decompress`` of the
+    whole file (asserted in tests/test_distributed.py).
+    """
+    from .. import engine
+    from ..format.headers import decode_line_headers
+    from ..format.vcf import parse_metadata_headers
+
+    pid, procs = jax.process_index(), jax.process_count()
+    with open(input_path, "rb") as f:
+        raw = f.read()
+
+    header = parse_metadata_headers(raw)
+    # .vcfc stores meta/header lines verbatim, so the compressed header
+    # section IS the decompressed header text
+    header_blob = raw[: header.data_offset]
+
+    offsets = []
+    off = header.data_offset
+    n = len(raw)
+    while off < n:
+        line_length, _ = decode_line_headers(raw, off)
+        offsets.append(off)
+        off = off + 4 + line_length
+    L = len(offsets)
+    lo, hi = _stripe(L, procs, pid)
+
+    if hi > lo:
+        start = offsets[lo]
+        end = offsets[hi - 1] + 4 + decode_line_headers(raw, offsets[hi - 1])[0]
+        stripe_vcfc = header_blob + raw[start:end]
+        my_text = engine.decompress(stripe_vcfc)[len(header_blob) :]
+    else:
+        my_text = b""
+
+    sizes = _allgather_sizes(len(my_text))
+    my_offset = int(sizes[:pid].sum())
+    total = int(sizes.sum())
+
+    fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        os.ftruncate(fd, len(header_blob) + total)
+        if pid == 0:
+            os.pwrite(fd, header_blob, 0)
+        if my_text:
+            os.pwrite(fd, my_text, len(header_blob) + my_offset)
+    finally:
+        os.close(fd)
+
+    return {
+        "process": pid,
+        "processes": procs,
+        "lines": hi - lo,
+        "stripe_bytes": len(my_text),
+        "offset": my_offset,
+        "total_bytes": len(header_blob) + total,
+    }
+
+
 def _allgather_array(arr: np.ndarray) -> np.ndarray:
     """All processes receive every process's equally-shaped array, stacked
     on axis 0 in process order.  64-bit arrays ride as int32 pairs —

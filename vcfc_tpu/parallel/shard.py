@@ -90,6 +90,29 @@ def make_sharded_codebook_step(mesh):
     return jax.jit(sharded)
 
 
+def make_sharded_decode_step(mesh):
+    """Build a pjit-compiled sharded decode step — the decode twin of
+    ``make_sharded_encode_step`` (VERDICT r1 #2; the reference's sequential
+    spec is decompress2_fd, compress.cpp:1214-1257).
+
+    fn(flagpos, n_samples) -> (codes, decoded) with flagpos sharded
+    (data, None); every device run-fills its line shard locally (lines
+    are independent), no collectives needed on the decode path itself.
+    """
+
+    def _shard_body(flagpos, n_samples):
+        return rle_decode(flagpos, n_samples)
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_roundtrip_step(mesh):
     """Encode + decode on-device roundtrip step (used by multichip dry runs
     and correctness sweeps): returns decoded codes and a per-shard match
