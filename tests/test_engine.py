@@ -67,13 +67,51 @@ class TestRleKernels:
         assert text.shape == (5, 384 * 4)
         assert bytes(text[0, :4]) in (b"0|0\t", b"0|1\t", b"1|0\t", b"1|1\t", b"?|?\t")
 
-    def test_expand_packed_flags(self):
-        from vcfc_tpu.ops.rle import expand_packed_flags
+    def test_unpack_packed_flags(self):
+        from vcfc_tpu.ops.rle import unpack_packed_flags
 
         packed = np.zeros((1, 8), np.uint8)
         packed[0, :3] = [127, 127, 46]
-        flagpos = np.asarray(expand_packed_flags(packed, np.array([3], np.int32), out_width=384))
+        flagpos = np.asarray(unpack_packed_flags(packed, np.array([3], np.int32), out_width=384))
         assert np.flatnonzero(flagpos[0]).tolist() == [126, 253, 299]
+        assert flagpos[0, 126] == 127 and flagpos[0, 299] == 46
+
+    def test_unpack_inverts_compaction_production_shape(self):
+        """Device unpack == inverse of flag compaction at a production
+        shape (2,504-sample cohort width), differentially against the
+        positional flags the encoder produced and, when the native
+        runtime is present, against its packed stream."""
+        from vcfc_tpu.host import native
+        from vcfc_tpu.ops.rle import rle_encode, unpack_packed_flags
+
+        rng = np.random.default_rng(77)
+        L, S = 512, 2504
+        S_pad = 2560
+        codes = np.zeros((L, S_pad), np.uint8)
+        codes[:, :S] = rng.choice(
+            5, size=(L, S), p=[0.8, 0.07, 0.07, 0.04, 0.02]
+        ).astype(np.uint8)
+        # long constant blocks exercise the 127-run-cap splitting
+        codes[: L // 4, :S] = 0
+        flagpos, nseg = map(np.asarray, rle_encode(codes, S))
+
+        # pack (compact the nonzero flag bytes, preserving order)
+        M = int(nseg.max())
+        packed = np.zeros((L, M), np.uint8)
+        for i in range(L):
+            nz = flagpos[i][flagpos[i] > 0]
+            packed[i, : len(nz)] = nz
+            assert len(nz) == nseg[i]
+        if native.available():
+            flat = native.compact_flags(flagpos, nseg)
+            np.testing.assert_array_equal(
+                flat, packed[packed > 0], err_msg="native compaction disagrees"
+            )
+
+        got = np.asarray(
+            unpack_packed_flags(packed, nseg.astype(np.int32), out_width=S_pad)
+        )
+        np.testing.assert_array_equal(got, flagpos)
 
 
 class TestEngineGolden:

@@ -186,17 +186,46 @@ def render_text(codes) -> "jax.Array":
     return lut[codes].reshape(L, S_pad * 4)
 
 
-# Back-compat shim for packed-flag callers (tests, multichip roundtrip):
 @functools.partial(jax.jit, static_argnames=("out_width",))
-def expand_packed_flags(flags: jax.Array, nflags: jax.Array, *, out_width: int):
-    """Packed (left-aligned) flags -> positional flags.  Host-side code
-    should prefer the native unpack; this exists for device-only paths.
+def unpack_packed_flags(flags: jax.Array, nflags: jax.Array, *, out_width: int):
+    """Packed (left-aligned) flag bytes -> positional flags, on device —
+    the device-side inverse of flag compaction, so device decode can start
+    from file flag bytes (packed per line) instead of detouring through
+    the native host unpack.
 
-    Scatter-free per the CLAUDE.md kernel invariant: the (L, M, W)
-    one-hot contraction lowers to compares + a reduction (small shapes
-    only — M*W elements per line; production paths use native unpack)."""
+    The axis transfer (flag slot j -> sample position end_j) is the one
+    place a scatter seems forced.  Instead, the placement one-hot
+    ``[end_j == p]`` is factored into window and lane indicators,
+
+        [end_j == p]  =  [end_j >> 7 == p >> 7] * [end_j & 127 == p & 127],
+
+    which turns the redistribution into a batched
+    (W/128, M) x (M, 128) matmul that runs on the MXU systolic array —
+    no 2-D scatter, no lane gather (CLAUDE.md kernel invariant; scatters
+    profiled 20-50x slower than dense work on TPU v5e).  bf16 operands
+    are exact: flag bytes are < 256 (8-bit significand covers them), the
+    indicators are 0/1, at most one term per output position is nonzero,
+    and the MXU accumulates in f32.
+
+    Precondition (same as the rest of the positional representation):
+    escape flags carry count 1 — the writer never emits more
+    (compress.cpp:171-185 "TODO lookahead"), rle_decode assigns escape
+    segments length 1, and the native unpack routes count != 1 lines to
+    the oracle (vcfc_host.cpp status 2).
+
+    Args:
+      flags:  (L, M) uint8 packed flag bytes, left-aligned, 0-padded
+      nflags: (L,) int32 — valid flag count per line
+      out_width: static positional width (>= samples covered)
+
+    Returns (L, out_width) uint8 positional flags.
+    """
+    L, M = flags.shape
+    w_pad = (out_width + 127) // 128 * 128
+    nwin = w_pad // 128
+
     fi = flags.astype(jnp.int32)
-    valid = jnp.arange(flags.shape[1], dtype=jnp.int32)[None, :] < nflags[:, None]
+    valid = jnp.arange(M, dtype=jnp.int32)[None, :] < nflags[:, None]
     run_len = jnp.where(
         valid,
         jnp.where(
@@ -205,7 +234,18 @@ def expand_packed_flags(flags: jax.Array, nflags: jax.Array, *, out_width: int):
         0,
     )
     ends = jnp.cumsum(run_len, axis=1) - 1  # segment-end placement
-    dest = jnp.where(valid & (run_len > 0), ends, out_width)  # drop -> W
-    cols = jnp.arange(out_width, dtype=jnp.int32)
-    one_hot = dest[:, :, None] == cols[None, None, :]
-    return (fi[:, :, None] * one_hot).sum(axis=1).astype(jnp.uint8)
+    ok = valid & (run_len > 0) & (ends < out_width)
+    win = jnp.where(ok, ends >> 7, nwin)  # sentinel window: matches nothing
+    lane = jnp.where(ok, ends & 127, 128)
+
+    # window factor carries the flag value; lane factor is the 0/1 mask
+    a = (
+        win[:, None, :] == jnp.arange(nwin, dtype=jnp.int32)[None, :, None]
+    ).astype(jnp.bfloat16) * fi[:, None, :].astype(jnp.bfloat16)
+    b = (
+        lane[:, :, None] == jnp.arange(128, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "lwm,lmk->lwk", a, b, preferred_element_type=jnp.float32
+    ).reshape(L, w_pad)
+    return out[:, :out_width].astype(jnp.uint8)
