@@ -713,7 +713,9 @@ class VcfzReader:
             req_blob, blocks, off, req_book,
         )
 
-    def _decode_block_symbols(self, b: int) -> np.ndarray:
+    def _decode_block_symbols(self, b: int, n_take: int | None = None) -> np.ndarray:
+        """Decode block b's symbol payload; ``n_take`` stops the sequential
+        prefix decode after that many symbols (sub-block query reads)."""
         blk = self.blocks[b]
         payload = self.raw[
             self.payload_base + blk["payload_off"] :
@@ -721,7 +723,7 @@ class VcfzReader:
         ]
         from ..host import native
 
-        n = int(blk["n_symbols"])
+        n = int(blk["n_symbols"]) if n_take is None else min(n_take, int(blk["n_symbols"]))
         if self.version == 1:
             if native.available():
                 sym_t, len_t = self._decode_tables()[0]
@@ -762,14 +764,26 @@ class VcfzReader:
             )
         return self._ctx_tables_cache
 
-    def block_lines_vcfc(self, b: int) -> list[bytes]:
-        """Reconstruct the .vcfc line bytes of block b (vectorized: one
-        numpy pass over the block's symbols; Python loops only over
-        escapes and lines)."""
+    def block_lines_vcfc(
+        self, b: int, want: np.ndarray | None = None, limit: int | None = None
+    ) -> list[bytes]:
+        """Reconstruct .vcfc line bytes of block b (vectorized: one numpy
+        pass over the block's symbols; Python loops only over escapes and
+        lines).  ``limit`` bounds the lines considered to the block's
+        first ``limit``; ``want`` (bool, relative to the block) selects
+        which of those are materialized — sub-block query reads
+        (VERDICT r1 #7) decode symbols and resolve v4 rows only up to
+        the last line they need."""
         lo = b * self.block_lines
         hi = min(lo + self.block_lines, self.n_lines)
-        symbols = np.asarray(self._decode_block_symbols(b), np.int64)
+        if limit is not None:
+            hi = min(hi, lo + limit)
+        if hi <= lo:
+            return []
         nsym = self.nsym[lo:hi]
+        symbols = np.asarray(
+            self._decode_block_symbols(b, int(nsym.sum())), np.int64
+        )
         S = self.n_samples
         if self.version == 4:
             # resolve vertical-match runs into plain v3 streams first;
@@ -824,6 +838,10 @@ class VcfzReader:
         for i in range(lo, hi):
             n = int(nsym[i - lo])
             blen = int(sizes[spos : spos + n].sum())
+            spos += n
+            if want is not None and not want[i - lo]:
+                boff += blen  # unmatched line: cursor advance only
+                continue
             r0 = int(self.req_starts[i]) - req_base
             req = req_bytes[r0 : r0 + int(self.req_lens[i])]
             line = bytearray()
@@ -833,7 +851,6 @@ class VcfzReader:
             line += body_bytes[boff : boff + blen]
             line += b"\n"
             out.append(bytes(line))
-            spos += n
             boff += blen
         return out
 
@@ -907,7 +924,14 @@ def decompress_vcfz(vcfz: bytes) -> bytes:
 
 def query_vcfz(vcfz: bytes, query: CoordinateQuery):
     """Yield decompressed matching lines (SV-aware overlap, like the
-    binned-index query)."""
+    binned-index query).
+
+    Two-pass per candidate block (VERDICT r1 #7): the required-column
+    bytes alone carry CHROM/POS/REF/ALT/INFO, so pass 1 evaluates the
+    range test without touching the genotype-symbol payload (blocks with
+    no matching line skip it entirely), and pass 2 materializes only the
+    matched lines, decoding symbols — and resolving v4 vertical rows —
+    only up to the last hit."""
     from .lines import decode_data_line
     from ..query.coordinate import compute_end_position
 
@@ -916,8 +940,15 @@ def query_vcfz(vcfz: bytes, query: CoordinateQuery):
     ref_only = not query.has_start and not query.has_end
     q_ref = reference_to_int(query.reference_name)
     for b in reader.select_blocks(query):
-        for line_bytes in reader.block_lines_vcfc(b):
-            cols = line_bytes[8:].split(b"\t", 8)
+        lo = b * reader.block_lines
+        hi = min(lo + reader.block_lines, reader.n_lines)
+        req_bytes, req_base = reader._block_req_bytes(b, lo, hi)
+        want = np.zeros(hi - lo, bool)
+        past = False
+        last = -1
+        for i in range(lo, hi):
+            r0 = int(reader.req_starts[i]) - req_base
+            cols = req_bytes[r0 : r0 + int(reader.req_lens[i])].split(b"\t", 8)
             chrom, pos = cols[0], int(cols[1])
             if ref_only:
                 # ref-only regions match every line of that reference
@@ -925,15 +956,23 @@ def query_vcfz(vcfz: bytes, query: CoordinateQuery):
                 # returns nothing here — a quirk we keep only there)
                 line_ref = reference_to_int(chrom.decode())
                 if line_ref == q_ref:
-                    line, _ = decode_data_line(line_bytes, 0, S)
-                    yield line
+                    want[i - lo] = True
+                    last = i - lo
                 elif line_ref > q_ref:
-                    return
+                    past = True
+                    break
                 continue
             end = compute_end_position(pos, cols[3], cols[4], cols[7])
             cmp = query.compare_to_range(chrom.decode(), pos, end)
             if cmp == 0:
+                want[i - lo] = True
+                last = i - lo
+            elif cmp < 0:
+                past = True
+                break
+        if last >= 0:
+            for line_bytes in reader.block_lines_vcfc(b, want=want, limit=last + 1):
                 line, _ = decode_data_line(line_bytes, 0, S)
                 yield line
-            elif cmp < 0:
-                return
+        if past:
+            return
