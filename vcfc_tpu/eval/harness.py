@@ -49,11 +49,16 @@ def _timed(fn, runs: int, flush: bool):
 
 
 def _summary(times: list[float]) -> dict:
+    s = sorted(times)
+    # nearest-rank p99 (== max below 100 samples; meaningful for the
+    # across-positions aggregate — BASELINE.md names p50/p99 as a gate)
+    p99 = s[min(len(s) - 1, max(0, -(-99 * len(s) // 100) - 1))]
     return {
         "mean_s": statistics.fmean(times),
         "min_s": min(times),
         "max_s": max(times),
         "p50_s": statistics.median(times),
+        "p99_s": p99,
         "runs": len(times),
     }
 

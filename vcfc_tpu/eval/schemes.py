@@ -25,6 +25,34 @@ from ..utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, BinnedIndexConfig, Spar
 from .config import Dataset, flush_page_cache
 
 
+def _tool(name: str) -> str | None:
+    """External tool lookup: PATH first (real htslib wins when present),
+    then the in-tree minihts fallback (native/htsbin — a from-spec BGZF/
+    tabix/BCF implementation, built on demand) so the reference's
+    headline tabix/BCF comparison runs even on hermetic machines."""
+    found = shutil.which(name)
+    if found:
+        return found
+    htsbin = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "htsbin"
+    )
+    path = os.path.abspath(os.path.join(htsbin, name))
+    if not os.path.exists(path):
+        import subprocess as sp
+
+        native_dir = os.path.dirname(os.path.dirname(path))
+        try:
+            sp.run(
+                ["make", "-C", native_dir, "htsbin"],
+                capture_output=True,
+                timeout=180,
+                check=False,
+            )
+        except Exception:
+            return None
+    return path if os.path.exists(path) else None
+
+
 @dataclass
 class PreparedScheme:
     name: str
@@ -154,7 +182,7 @@ class SchemeFactory:
 
         return PreparedScheme(f"vcfc-binned-native-{bin_size}", single, range_, index_path)
 
-    def vcfz(self, version: int = 3) -> PreparedScheme | None:
+    def vcfz(self, version: int = 3, force_rebuild: bool = False) -> PreparedScheme | None:
         """Range queries over the entropy-coded `.vcfz` container through
         the native CLI (`vcfcq query-z`), one process per query — measures
         the extension format's random access against the index schemes.
@@ -165,6 +193,10 @@ class SchemeFactory:
         if cli is None:
             return None
         z_path = os.path.join(self.workdir, f"{self.dataset.name}.v{version}.vcfz")
+        if force_rebuild and os.path.exists(z_path):
+            # "index creation" for .vcfz is the whole transcode: the
+            # container is its own random-access index (block table)
+            os.unlink(z_path)
         if not os.path.exists(z_path):
             subprocess.run(
                 [cli, "compress-z", self.vcfc_path, z_path, str(version)], check=True
@@ -189,59 +221,61 @@ class SchemeFactory:
     # -- external schemes (tabix / bcftools) ------------------------------
 
     def tabix_bgzip(self, force_rebuild: bool = False) -> PreparedScheme | None:
-        if not (shutil.which("bgzip") and shutil.which("tabix")):
+        bgzip, tabix = _tool("bgzip"), _tool("tabix")
+        if not (bgzip and tabix):
             return None
         gz = os.path.join(self.workdir, self.dataset.name + ".vcf.gz")
         if not os.path.exists(gz):
             with open(gz, "wb") as f:
                 subprocess.run(
-                    ["bgzip", "-c", self.dataset.vcf_path], stdout=f, check=True
+                    [bgzip, "-c", self.dataset.vcf_path], stdout=f, check=True
                 )
-            subprocess.run(["tabix", "-p", "vcf", gz], check=True)
+            subprocess.run([tabix, "-p", "vcf", gz], check=True)
         elif force_rebuild:
             # re-time INDEX creation only (bgzip compression is prep, like
             # the reference harness's tabix timing, command.py:85-93)
             if os.path.exists(gz + ".tbi"):
                 os.unlink(gz + ".tbi")
-            subprocess.run(["tabix", "-p", "vcf", gz], check=True)
+            subprocess.run([tabix, "-p", "vcf", gz], check=True)
 
         def single(ref, pos):
             return subprocess.run(
-                ["tabix", gz, f"{ref}:{pos}-{pos}"], capture_output=True, check=True
+                [tabix, gz, f"{ref}:{pos}-{pos}"], capture_output=True, check=True
             ).stdout
 
         def range_(ref, start, end):
             return subprocess.run(
-                ["tabix", gz, f"{ref}:{start}-{end}"], capture_output=True, check=True
+                [tabix, gz, f"{ref}:{start}-{end}"], capture_output=True, check=True
             ).stdout
 
         return PreparedScheme("tabix-bgzip", single, range_, gz + ".tbi")
 
     def tabix_bcf(self, force_rebuild: bool = False) -> PreparedScheme | None:
-        if not (shutil.which("bcftools") and shutil.which("tabix")):
+        bcftools = _tool("bcftools")
+        if not bcftools:
             return None
         bcf = os.path.join(self.workdir, self.dataset.name + ".bcf")
         if not os.path.exists(bcf):
             subprocess.run(
-                ["bcftools", "view", "-O", "b", "-o", bcf, self.dataset.vcf_path],
+                [bcftools, "view", "-O", "b", "-o", bcf, self.dataset.vcf_path],
                 check=True,
             )
-            subprocess.run(["bcftools", "index", bcf], check=True)
+            subprocess.run([bcftools, "index", bcf], check=True)
         elif force_rebuild:
             if os.path.exists(bcf + ".csi"):
                 os.unlink(bcf + ".csi")
-            subprocess.run(["bcftools", "index", bcf], check=True)
+            subprocess.run([bcftools, "index", bcf], check=True)
 
         def single(ref, pos):
             return subprocess.run(
-                ["bcftools", "view", "-H", bcf, f"{ref}:{pos}-{pos}"],
+                [bcftools, "view", "-H", bcf, f"{ref}:{pos}-{pos}"],
                 capture_output=True,
                 check=True,
             ).stdout
 
         def range_(ref, start, end):
             return subprocess.run(
-                ["bcftools", "view", "-H", bcf, f"{ref}:{start}-{end}"],
+                [bcftools, "view", "-H", bcf, f"{ref}:{start}-{end}"],
                 capture_output=True,
                 check=True,
             ).stdout
@@ -256,7 +290,7 @@ class SchemeFactory:
         if name.startswith("vcfc-binned-native"):
             return self.vcfc_binned_native(**kw)
         if name.startswith("vcfz-v"):
-            return self.vcfz(version=int(name.split("-v")[1]))
+            return self.vcfz(version=int(name.split("-v")[1]), force_rebuild=force_rebuild)
         if name == "vcfz":
             return self.vcfz(**kw)
         if name.startswith("vcfc-binned"):

@@ -63,14 +63,33 @@ def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
     prev = _shift_right(c, 1, -1)
     new_run = (c != prev) | (c == CODE_ESCAPE) | (prev == CODE_ESCAPE)
 
-    # prefix-max doubling: run_start[i] = max_{j<=i} (new_run[j] ? j : -1).
-    # (int16 scans would halve VPU work but Mosaic has no non-32-bit
-    # rotate: "tpu.dynamic_rotate ... i16 not implemented".)
+    # run_start[i] = max_{j<=i} (new_run[j] ? j : -1), computed
+    # HIERARCHICALLY instead of by full-width doubling (12 log steps at
+    # S_pad 2560-4096): 7 sliding steps give the 128-window max, and the
+    # cross-window carry runs on a 128x-smaller array.  Correctness:
+    # position i in aligned window w needs max over [0, i]; the sliding
+    # window covers [i-127, i] and the exclusive window-summary prefix
+    # covers [0, 128w - 1]; since i - 128w <= 127 the union is exactly
+    # [0, i].  (int16 scans would halve VPU traffic instead, but Mosaic
+    # has no non-32-bit rotate: "tpu.dynamic_rotate ... i16".)
     m = jnp.where(new_run, idx, -1)
     k = 1
-    while k < S_pad:
+    while k < min(128, S_pad):
         m = jnp.maximum(m, _shift_right(m, k, -1))
         k *= 2
+    if S_pad > 128:
+        nwin = S_pad // 128  # MAX_WIDTH guard keeps S_pad a multiple of 128
+        m3 = m.reshape(BL, nwin, 128)
+        # window summaries: position 127 of each window already holds the
+        # aligned-window max after the 7 sliding steps
+        summ = m3[:, :, 127]
+        # exclusive prefix-max across windows (log2(nwin) tiny-array steps)
+        carry = _shift_right(summ, 1, -1)
+        k = 1
+        while k < nwin:
+            carry = jnp.maximum(carry, _shift_right(carry, k, -1))
+            k *= 2
+        m = jnp.maximum(m3, carry[:, :, None]).reshape(BL, S_pad)
     run_start = m
 
     # rem = (idx - run_start) % cap with cap in {127, 31, 1}.  A
