@@ -61,10 +61,11 @@ def main() -> None:
                 # thread the (unchanged) codes through the carry via an
                 # always-false mask XOR: a loop-INVARIANT body would let
                 # XLA hoist the whole step out of the loop and the
-                # subtraction would measure nothing (observed for the
-                # plain-XLA kernels; scripts/profile_kernels.py had this
-                # bug).  The mask is provably zero so values are intact.
-                c_next = (c_in ^ (flagpos > jnp.uint8(255))).astype(jnp.uint8)
+                # subtraction would measure nothing.  The mask must be
+                # RUNTIME-opaque (nseg is never negative, but XLA cannot
+                # fold that); a provably-false compare like `u8 > 255`
+                # DOES get folded and the hoist comes back.
+                c_next = (c_in ^ (nseg[0] == jnp.int32(-0x7EAD)).astype(jnp.uint8)).astype(jnp.uint8)
                 acc = acc ^ (nseg[0] + decoded[0] + jnp.int32(dec_codes[0, 0]) + i)
                 return (c_next, acc)
 

@@ -34,12 +34,14 @@ def device_time(step, x, iters):
             def body(i, carry):
                 x_in, acc = carry
                 outs = step(x_in)
-                # thread x through an always-false-mask XOR: without a
-                # data dependence XLA hoists the loop-invariant step out
-                # of the loop and the measurement reads near-zero
-                x_next = (x_in ^ (outs[0] > jnp.uint8(255)).astype(x_in.dtype)).astype(
-                    x_in.dtype
-                )
+                # thread x through an always-false-mask XOR so the body
+                # stays loop-variant (else XLA hoists it and the
+                # measurement reads ~zero).  The predicate must be
+                # RUNTIME-opaque: a provably-false compare like
+                # `u8 > 255` gets folded and the hoist comes back
+                # (observed: negative decode times).
+                mask = jnp.int32(outs[1].reshape(-1)[0]) == jnp.int32(-0x7EAD)
+                x_next = (x_in ^ mask.astype(x_in.dtype)).astype(x_in.dtype)
                 acc = acc ^ (
                     jnp.int32(outs[0].reshape(-1)[0])
                     + jnp.int32(outs[1].reshape(-1)[0])

@@ -63,33 +63,29 @@ def _encode_kernel(n_ref, codes_ref, flag_ref, nseg_ref):
     prev = _shift_right(c, 1, -1)
     new_run = (c != prev) | (c == CODE_ESCAPE) | (prev == CODE_ESCAPE)
 
-    # run_start[i] = max_{j<=i} (new_run[j] ? j : -1), computed
-    # HIERARCHICALLY instead of by full-width doubling (12 log steps at
-    # S_pad 2560-4096): 7 sliding steps give the 128-window max, and the
-    # cross-window carry runs on a 128x-smaller array.  Correctness:
-    # position i in aligned window w needs max over [0, i]; the sliding
-    # window covers [i-127, i] and the exclusive window-summary prefix
-    # covers [0, 128w - 1]; since i - 128w <= 127 the union is exactly
-    # [0, i].  (int16 scans would halve VPU traffic instead, but Mosaic
-    # has no non-32-bit rotate: "tpu.dynamic_rotate ... i16".)
-    m = jnp.where(new_run, idx, -1)
+    # run_start[i] = max_{j<=i} (new_run[j] ? j : -1) by shift-and-max
+    # doubling.  The first 7 steps (shifts < 128) run MASK-FREE on a
+    # 128-column left-padded copy: a circular roll only wraps row-end
+    # values into the pad region, so the per-step iota-compare+select of
+    # the edge fill disappears (2 vector ops/step instead of 4 —
+    # measured ~15% whole-kernel win; a hierarchical carry on 128x
+    # smaller arrays was tried instead and LOST ~30%: Mosaic relayouts
+    # of the tiny cross-window arrays cost more than the 5 full-width
+    # steps they save).  Steps >= 128 wrap past the pad and keep the
+    # masked form.  (int16 scans would halve VPU traffic, but Mosaic has
+    # no non-32-bit rotate: "tpu.dynamic_rotate ... i16".)
+    lane = len(c.shape) - 1
+    mp = jnp.concatenate(
+        [jnp.full((BL, 128), -1, jnp.int32), jnp.where(new_run, idx, -1)], axis=1
+    )
     k = 1
     while k < min(128, S_pad):
+        mp = jnp.maximum(mp, pltpu.roll(mp, k, axis=lane))
+        k *= 2
+    m = mp[:, 128:]
+    while k < S_pad:
         m = jnp.maximum(m, _shift_right(m, k, -1))
         k *= 2
-    if S_pad > 128:
-        nwin = S_pad // 128  # MAX_WIDTH guard keeps S_pad a multiple of 128
-        m3 = m.reshape(BL, nwin, 128)
-        # window summaries: position 127 of each window already holds the
-        # aligned-window max after the 7 sliding steps
-        summ = m3[:, :, 127]
-        # exclusive prefix-max across windows (log2(nwin) tiny-array steps)
-        carry = _shift_right(summ, 1, -1)
-        k = 1
-        while k < nwin:
-            carry = jnp.maximum(carry, _shift_right(carry, k, -1))
-            k *= 2
-        m = jnp.maximum(m3, carry[:, :, None]).reshape(BL, S_pad)
     run_start = m
 
     # rem = (idx - run_start) % cap with cap in {127, 31, 1}.  A
@@ -140,12 +136,19 @@ def _decode_kernel(n_ref, flag_ref, codes_ref, decoded_ref):
     # columns past the final flag fill to the sentinel (v=0xFF); they
     # are outside the valid mask everywhere downstream.
     big = jnp.int32(0x7FFFFFFF)
-    m = jnp.where(present, (idx << 8) | f, big)  # flags are bytes: 8 payload bits
+    # mask-free reverse min-scan on a 128-column RIGHT-padded copy (the
+    # mirror of the encode scan's left pad): rolls wrap row-start values
+    # into the pad only, so the per-step edge select disappears
+    mp = jnp.concatenate(
+        [jnp.where(present, (idx << 8) | f, big), jnp.full((BL, 128), big, jnp.int32)],
+        axis=1,
+    )
+    lane = len(f.shape) - 1
     k = 1
     while k < min(128, S_pad):
-        m = jnp.minimum(m, _shift_left(m, k, big))
+        mp = jnp.minimum(mp, pltpu.roll(mp, S_pad + 128 - k, axis=lane))
         k *= 2
-    v = m & 0xFF
+    v = mp[:, :S_pad] & 0xFF
 
     is00 = (v & 0x80) == 0
     isesc = (v & 0xE0) == 0xE0
