@@ -138,6 +138,65 @@ def test_two_process_cooperative_decompress(tmp_path):
     assert out_path.read_bytes() == vcf, "stitched decode != original VCF"
 
 
+_WORKER_Q = _WORKER.replace(
+    "from vcfc_tpu.parallel.distributed import compress_multihost",
+    "from vcfc_tpu.parallel.distributed import query_multihost",
+).replace(
+    "print(json.dumps(compress_multihost(in_path, out_path)))",
+    "print(json.dumps(query_multihost(in_path, os.environ['VCFC_Q_REGION'], out_path)))",
+)
+
+
+def test_two_process_cooperative_query(tmp_path):
+    """2-process cooperative full-scan query: striped scan + allgathered
+    hit blobs must equal the single-process full-scan stdout."""
+    from vcfc_tpu.query.coordinate import parse_coordinate_string
+    from vcfc_tpu.query.engine import query_full_scan
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vcf = make_vcf(677, 150, 300, sv_every=13)
+    vcfc = compress_bytes(vcf)
+    in_path = tmp_path / "in.vcfc"
+    out_path = tmp_path / "hits.txt"
+    in_path.write_bytes(vcfc)
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER_Q)
+    region = "1:1000-40000"
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["VCFC_Q_REGION"] = region
+    errs = [open(tmp_path / f"w{pid}.err", "wb") for pid in (0, 1)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), repo, port, str(pid), str(in_path), str(out_path)],
+            stdout=subprocess.PIPE,
+            stderr=errs[pid],
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=280)
+            assert p.returncode == 0, (tmp_path / f"w{pid}.err").read_text()[-2000:]
+            outs.append(json.loads(out.splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in errs:
+            f.close()
+
+    assert {o["process"] for o in outs} == {0, 1}
+    assert sum(o["lines"] for o in outs) == 300
+    want = b"".join(query_full_scan(vcfc, parse_coordinate_string(region)))
+    assert want, "test region must produce hits"
+    assert out_path.read_bytes() == want, "stitched hits != single-process scan"
+    assert all(o["total_hit_bytes"] == len(want) for o in outs)
+
+
 _WORKER_Z = _WORKER.replace(
     "from vcfc_tpu.parallel.distributed import compress_multihost",
     "from vcfc_tpu.parallel.distributed import compress_multihost_vcfz",

@@ -2,6 +2,7 @@
 
   compress:   python -m vcfc_tpu.parallel <in.vcf>  <out.vcfc|.vcfz>
   decompress: python -m vcfc_tpu.parallel <in.vcfc> <out.vcf>
+  query:      python -m vcfc_tpu.parallel <in.vcfc> <out.txt> --query <ref>:<s>-<e>
 
 Launch once per host/process with coordinator env vars (or flags):
   VCFC_COORDINATOR=host:port  VCFC_NUM_PROCESSES=N  VCFC_PROCESS_ID=i
@@ -20,6 +21,7 @@ from .distributed import (
     compress_multihost_vcfz,
     decompress_multihost,
     initialize,
+    query_multihost,
 )
 
 
@@ -43,6 +45,11 @@ def main(argv=None) -> int:
         ),
     )
     p.add_argument(
+        "--query",
+        default=None,
+        help="cooperative full-scan query region over a .vcfc input",
+    )
+    p.add_argument(
         "--vcfz-version",
         type=int,
         default=None,
@@ -54,7 +61,9 @@ def main(argv=None) -> int:
         p.error("--vcfz-version only applies to .vcfz outputs")
 
     initialize(args.coordinator, args.num_processes, args.process_id)
-    if args.output.endswith(".vcfz"):
+    if args.query is not None:
+        stats = query_multihost(args.input, args.query, args.output)
+    elif args.output.endswith(".vcfz"):
         stats = compress_multihost_vcfz(
             args.input, args.output, version=args.vcfz_version or 3
         )

@@ -121,6 +121,74 @@ def compress_multihost(input_path: str, output_path: str) -> dict:
     }
 
 
+def _vcfc_line_offsets(raw: bytes):
+    """Verbatim header blob + per-line byte offsets of a .vcfc stream
+    (4-byte length-header hops)."""
+    from ..format.headers import decode_line_headers
+    from ..format.vcf import parse_metadata_headers
+
+    header = parse_metadata_headers(raw)
+    header_blob = raw[: header.data_offset]
+    offsets = []
+    off = header.data_offset
+    n = len(raw)
+    while off < n:
+        line_length, _ = decode_line_headers(raw, off)
+        offsets.append(off)
+        off = off + 4 + line_length
+    return header_blob, offsets
+
+
+def _stripe_bytes(raw: bytes, offsets: list[int], lo: int, hi: int) -> bytes:
+    from ..format.headers import decode_line_headers
+
+    start = offsets[lo]
+    end = offsets[hi - 1] + 4 + decode_line_headers(raw, offsets[hi - 1])[0]
+    return raw[start:end]
+
+
+def query_multihost(input_path: str, region: str, output_path: str | None = None) -> dict:
+    """Cooperative full-scan query over one .vcfc across all processes:
+    each process scans + decodes hits on a contiguous line stripe (lines
+    are independent; stripe-local full scan has identical semantics since
+    the full-scan query is a pure per-line predicate, main.cpp:3777-3929),
+    the per-stripe outputs allgather in process order, and every process
+    holds the full result; process 0 writes ``output_path``.
+
+    Stdout is byte-equal to the single-process full-scan query
+    (asserted in tests/test_distributed.py)."""
+    from ..query.coordinate import parse_coordinate_string
+    from ..query.engine import query_full_scan
+
+    pid, procs = jax.process_index(), jax.process_count()
+    with open(input_path, "rb") as f:
+        raw = f.read()
+
+    header_blob, offsets = _vcfc_line_offsets(raw)
+    L = len(offsets)
+    lo, hi = _stripe(L, procs, pid)
+    query = parse_coordinate_string(region)
+
+    if hi > lo:
+        stripe_vcfc = header_blob + _stripe_bytes(raw, offsets, lo, hi)
+        my_out = b"".join(query_full_scan(stripe_vcfc, query))
+    else:
+        my_out = b""
+
+    blobs = _allgather_blobs(my_out)
+    full = b"".join(blobs)
+    if output_path and pid == 0:
+        with open(output_path, "wb") as f:
+            f.write(full)
+    return {
+        "process": pid,
+        "processes": procs,
+        "lines": hi - lo,
+        "stripe_hit_bytes": len(my_out),
+        "total_hit_bytes": len(full),
+    }
+
+
 def decompress_multihost(input_path: str, output_path: str) -> dict:
     """Cooperatively decompress one .vcfc across all processes — the decode
     twin of ``compress_multihost`` (VERDICT r1 #2; sequential spec:
@@ -139,32 +207,19 @@ def decompress_multihost(input_path: str, output_path: str) -> dict:
     whole file (asserted in tests/test_distributed.py).
     """
     from .. import engine
-    from ..format.headers import decode_line_headers
-    from ..format.vcf import parse_metadata_headers
 
     pid, procs = jax.process_index(), jax.process_count()
     with open(input_path, "rb") as f:
         raw = f.read()
 
-    header = parse_metadata_headers(raw)
     # .vcfc stores meta/header lines verbatim, so the compressed header
     # section IS the decompressed header text
-    header_blob = raw[: header.data_offset]
-
-    offsets = []
-    off = header.data_offset
-    n = len(raw)
-    while off < n:
-        line_length, _ = decode_line_headers(raw, off)
-        offsets.append(off)
-        off = off + 4 + line_length
+    header_blob, offsets = _vcfc_line_offsets(raw)
     L = len(offsets)
     lo, hi = _stripe(L, procs, pid)
 
     if hi > lo:
-        start = offsets[lo]
-        end = offsets[hi - 1] + 4 + decode_line_headers(raw, offsets[hi - 1])[0]
-        stripe_vcfc = header_blob + raw[start:end]
+        stripe_vcfc = header_blob + _stripe_bytes(raw, offsets, lo, hi)
         my_text = engine.decompress(stripe_vcfc)[len(header_blob) :]
     else:
         my_text = b""
