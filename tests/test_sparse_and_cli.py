@@ -50,6 +50,47 @@ class TestFullScanQuery:
         assert b"".join(query_full_scan(sv_vcfc, q)) == b""
 
 
+class TestBulkHitDecode:
+    def test_bulk_batches_match_oracle_with_escapes(self):
+        """Batched hit decode (query/bulk.py) must be byte-identical to
+        per-line oracle decode across flush boundaries, including escape
+        and oracle-fallback lines inside a large batch."""
+        from test_fuzz import make_vcf
+
+        from vcfc_tpu.format import compress_bytes
+        from vcfc_tpu.format.lines import decode_data_line
+        from vcfc_tpu.format.vcf import parse_metadata_headers
+        from vcfc_tpu.index.scan import scan_lines
+        from vcfc_tpu.query import bulk
+        from vcfc_tpu.query.coordinate import CoordinateQuery
+        from vcfc_tpu.query.engine import query_full_scan
+
+        # make_vcf puts half the variants on chrom "1": 2,600 -> 1,300
+        # hits, crossing the BULK_CHUNK=1024 flush boundary
+        vcf = make_vcf(808, 60, 2600, sv_every=7)
+        vcfc = compress_bytes(vcf)
+        header = parse_metadata_headers(vcfc)
+        q = CoordinateQuery.ref_only("1")
+        got = b"".join(query_full_scan(vcfc, q))
+        want = b"".join(
+            decode_data_line(vcfc, rec.offset, header.schema.sample_count)[0]
+            for rec in scan_lines(vcfc, header=header)
+            if rec.chrom == b"1"
+        )
+        assert want.count(b"\n") > bulk.BULK_CHUNK  # crosses a flush
+        assert got == want
+
+    def test_small_batches_use_per_line_path(self, small_vcfc):
+        from vcfc_tpu.format.vcf import parse_metadata_headers
+        from vcfc_tpu.index.scan import scan_lines
+        from vcfc_tpu.query.bulk import decode_hit_lines
+
+        header = parse_metadata_headers(small_vcfc)
+        recs = list(scan_lines(small_vcfc, header=header))[:3]
+        lines = decode_hit_lines(small_vcfc, header, recs)
+        assert len(lines) == 3 and all(l.endswith(b"\n") for l in lines)
+
+
 class TestGapAnalysis:
     def test_sizes_consistent(self, small_vcf, small_vcfc):
         rows = list(gap_analysis(small_vcfc))

@@ -73,13 +73,16 @@ def query_binned_index(vcfc: bytes, vcfci: bytes, query: CoordinateQuery):
         entry = find_start_entry(entries, query)
     if entry is None:
         return
-    sample_count = header.schema.sample_count
     # Disjoint seeking→iteration phase split (reference main.cpp:3276-3345):
     # `decompress_seeking` covers the scan from the bin start until the
     # first line at-or-past the query; `decompress_iteration` covers the
     # decode phase after.  A scan that never reaches the query emits
     # seeking only — the exact state machine of the TIMING contract the
     # harness graphs (command.py:135-158, evaluation_main.py:649-670).
+    # Hits decode in batches through the native pipeline (query/bulk.py).
+    from ..query.bulk import HitBuffer
+
+    buf = HitBuffer(vcfc, header)
     probing = timing_enabled()
     t0 = time.perf_counter_ns() if probing else 0
     seeking = True
@@ -93,10 +96,10 @@ def query_binned_index(vcfc: bytes, vcfci: bytes, query: CoordinateQuery):
                 record("decompress_seeking", now - t0)
                 t0, seeking = now, False
             if cmp == 0:
-                line, _ = decode_data_line(vcfc, rec.offset, sample_count)
-                yield line
+                yield from buf.add(rec)
             elif cmp < 0:
                 break
+        yield from buf.flush()
     finally:
         if probing:
             record(

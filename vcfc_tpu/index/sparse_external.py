@@ -78,7 +78,11 @@ def query_sparse_external_index(
                 break
 
     # seeking→iteration phase split as in the binned query (reference
-    # main.cpp:1191-1276 uses the same state machine)
+    # main.cpp:1191-1276 uses the same state machine); hits decode in
+    # batches through the native pipeline (query/bulk.py)
+    from ..query.bulk import HitBuffer
+
+    buf = HitBuffer(vcfc, header)
     probing = timing_enabled()
     t0 = time.perf_counter_ns() if probing else 0
     seeking = True
@@ -93,10 +97,10 @@ def query_sparse_external_index(
                 record("decompress_seeking", now - t0)
                 t0, seeking = now, False
             if cmp == 0:
-                line, _ = decode_data_line(vcfc, rec.offset, sample_count)
-                yield line
+                yield from buf.add(rec)
             else:
                 break
+        yield from buf.flush()
     finally:
         if probing:
             record(

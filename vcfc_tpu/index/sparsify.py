@@ -172,28 +172,41 @@ def query_sparse_file(path: str, query: CoordinateQuery, config: SparseConfig | 
                     continue
                 break
 
-        # linear traversal over next-distance hops
+        # linear traversal over next-distance hops; the match predicate
+        # reads CHROM/POS from the uncompressed required-columns region,
+        # so hits buffer as raw blobs and decode in batches through the
+        # native pipeline (query/bulk.py)
+        from ..query.bulk import BULK_CHUNK, decode_hit_blobs
+
+        header_blob = raw_head[: header.data_offset]
+        pending: list[bytes] = []
         while True:
             f.seek(pos)
             prefix = f.read(16)
             if len(prefix) < 16:
-                return
+                break
             (dist_prev,) = _BE.unpack(prefix[:8])
             (dist_next,) = _BE.unpack(prefix[8:])
             if dist_prev == 0 and dist_next == 0:
                 raise ValueError("No previous or next distance values")
-            got = read_line_at(pos + 16)
-            if got is None:
-                return
-            line, _ = got
-            chrom, pos_str = line.split(b"\t", 2)[:2]
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            line_length, req_len = decode_line_headers(hdr)
+            f.seek(pos + 16)
+            buf = f.read(4 + line_length)
+            chrom, pos_str = buf[8 : 8 + req_len].split(b"\t", 2)[:2]
             vpos = int(pos_str)
             if chrom.decode() == query.reference_name and vpos <= query.end_position:
-                yield line
+                pending.append(buf)
+                if len(pending) >= BULK_CHUNK:
+                    yield from decode_hit_blobs(header_blob, header, pending)
+                    pending = []
                 if dist_next == 0:
-                    return  # end of reference chain
+                    break  # end of reference chain
                 if vpos >= query.end_position:
-                    return
+                    break
                 pos += dist_next
             else:
-                return
+                break
+        yield from decode_hit_blobs(header_blob, header, pending)

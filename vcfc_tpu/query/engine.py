@@ -16,13 +16,16 @@ from .coordinate import CoordinateQuery
 
 
 def query_full_scan(vcfc: bytes, query: CoordinateQuery):
-    """Yield decompressed lines whose (CHROM, POS) match the query."""
+    """Yield decompressed lines whose (CHROM, POS) match the query.
+    Hits decode in batches through the native pipeline (query/bulk.py)."""
+    from .bulk import HitBuffer
+
     header = parse_metadata_headers(vcfc)
-    sample_count = header.schema.sample_count
+    buf = HitBuffer(vcfc, header)
     for rec in scan_lines(vcfc, header=header):
         if query.matches(rec.chrom.decode(), rec.pos):
-            line, _ = decode_data_line(vcfc, rec.offset, sample_count)
-            yield line
+            yield from buf.add(rec)
+    yield from buf.flush()
 
 
 def gap_analysis(vcfc: bytes):
