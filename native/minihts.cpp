@@ -160,28 +160,31 @@ struct BgzfReader {
     if (h[0] != 0x1f || h[1] != 0x8b) die("not a bgzf stream");
     uint16_t xlen;
     memcpy(&xlen, h + 10, 2);
-    // find BC subfield
+    // the extra-field walk reads untrusted lengths: bound it by the file
+    if (coffset + 12 + size_t(xlen) > m.size) die("truncated bgzf extra field");
     size_t bsize = 0;
     size_t xoff = 12;
-    size_t xend = 12 + xlen;
+    size_t xend = 12 + size_t(xlen);
     while (xoff + 4 <= xend) {
       uint8_t si1 = h[xoff], si2 = h[xoff + 1];
       uint16_t slen;
       memcpy(&slen, h + xoff + 2, 2);
-      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+      if (si1 == 'B' && si2 == 'C' && slen == 2 && xoff + 6 <= xend) {
         uint16_t bs;
         memcpy(&bs, h + xoff + 4, 2);
         bsize = size_t(bs) + 1;
         break;
       }
-      xoff += 4 + slen;
+      xoff += 4 + size_t(slen);
     }
     if (!bsize) die("bgzf block missing BC subfield");
+    if (bsize < 12 + size_t(xlen) + 8) die("corrupt bgzf block size");
     if (coffset + bsize > m.size) die("truncated bgzf block");
     size_t cdata_off = 12 + xlen;
     size_t cdata_len = bsize - cdata_off - 8;
     uint32_t isize;
     memcpy(&isize, h + bsize - 4, 4);
+    if (isize > 0x10000) die("bgzf block claims > 64KB uncompressed");
     out->resize(isize);
     if (isize) {
       z_stream zs{};
@@ -499,13 +502,16 @@ TbiIndex tbi_read(const std::string& path) {
   if (u.size() < 36 || memcmp(u.data(), "TBI\1", 4) != 0)
     die("not a .tbi index");
   size_t off = 4;
+  // every read bounds-checks: the index is untrusted on-disk input
   auto rd_i32 = [&]() {
+    if (off + 4 > u.size()) die("truncated .tbi index");
     int32_t v;
     memcpy(&v, u.data() + off, 4);
     off += 4;
     return v;
   };
   auto rd_u64 = [&]() {
+    if (off + 8 > u.size()) die("truncated .tbi index");
     uint64_t v;
     memcpy(&v, u.data() + off, 8);
     off += 8;
@@ -513,20 +519,24 @@ TbiIndex tbi_read(const std::string& path) {
   };
   TbiIndex idx;
   int32_t n_ref = rd_i32();
+  if (n_ref < 0) die("corrupt .tbi: negative n_ref");
   for (int k = 0; k < 6; k++) rd_i32();  // format..skip
   int32_t l_nm = rd_i32();
+  if (l_nm < 0 || off + size_t(l_nm) > u.size()) die("truncated .tbi names");
   size_t nm_end = off + size_t(l_nm);
   while (off < nm_end) {
-    const char* s = u.data() + off;
-    idx.names.emplace_back(s);
-    off += idx.names.back().size() + 1;
+    size_t len = strnlen(u.data() + off, nm_end - off);
+    idx.names.emplace_back(u.data() + off, len);
+    off += len + 1;
   }
   idx.refs.resize(size_t(n_ref));
   for (auto& ref : idx.refs) {
     int32_t n_bin = rd_i32();
+    if (n_bin < 0) die("corrupt .tbi: negative n_bin");
     for (int b = 0; b < n_bin; b++) {
       uint32_t bin = uint32_t(rd_i32());
       int32_t n_chunk = rd_i32();
+      if (n_chunk < 0) die("corrupt .tbi: negative n_chunk");
       auto& chunks = ref.bins[bin];
       for (int c = 0; c < n_chunk; c++) {
         uint64_t beg = rd_u64(), end = rd_u64();
@@ -534,6 +544,8 @@ TbiIndex tbi_read(const std::string& path) {
       }
     }
     int32_t n_intv = rd_i32();
+    if (n_intv < 0 || size_t(n_intv) * 8 > u.size())
+      die("corrupt .tbi: bad linear index size");
     ref.linear.resize(size_t(n_intv));
     for (auto& v : ref.linear) v = rd_u64();
   }
@@ -683,9 +695,9 @@ int dispatch(const std::string& tool, int argc, char** argv) {
 int main(int argc, char** argv) {
   const char* base = strrchr(argv[0], '/');
   std::string tool = base ? base + 1 : argv[0];
-  if (tool == "minihts") {
-    if (argc < 2) die("usage: minihts <bgzip|tabix|bcftools> ...");
-    return dispatch(argv[1], argc - 1, argv + 1);
-  }
-  return dispatch(tool, argc, argv);
+  if (tool == "bgzip" || tool == "tabix" || tool == "bcftools")
+    return dispatch(tool, argc, argv);
+  // any other argv[0] (minihts, minihts_asan, ...): multiplexer mode
+  if (argc < 2) die("usage: minihts <bgzip|tabix|bcftools> ...");
+  return dispatch(argv[1], argc - 1, argv + 1);
 }

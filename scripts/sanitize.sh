@@ -43,6 +43,62 @@ run_legs() {
   "$bin" query-z "$work/f.vcfz" "1:10500-11500" > /dev/null
 }
 
+run_minihts_legs() {
+  local bin="$1"
+  local mh="$work/mh"
+  mkdir -p "$mh"
+  "$bin" bgzip -c "$work/f.vcf" > "$mh/f.vcf.gz"
+  "$bin" tabix -p vcf "$mh/f.vcf.gz"
+  "$bin" tabix "$mh/f.vcf.gz" "1:10500-11500" > /dev/null
+  "$bin" bcftools view -O b -o "$mh/f.bcf" "$work/f.vcf"
+  "$bin" bcftools index "$mh/f.bcf"
+  "$bin" bcftools view -H "$mh/f.bcf" "1:10500-11500" > /dev/null
+  "$bin" bcftools view -H "$mh/f.bcf" > /dev/null
+  # crafted/corrupt inputs must die() cleanly (exit 1), never overflow:
+  # truncated index tails, random-garbage indexes, a truncated BCF
+  head -c 40 "$mh/f.vcf.gz.tbi" > "$mh/trunc.gz.tbi" || true
+  cp "$mh/f.vcf.gz" "$mh/trunc.gz"
+  if "$bin" tabix "$mh/trunc.gz" "1:1-2" >/dev/null 2>&1; then
+    echo "FAIL: truncated .tbi accepted"; return 1
+  fi
+  python - "$mh" <<'PYEOF'
+import os, sys, random
+mh = sys.argv[1]
+random.seed(7)
+for name, src in [("garb.gz.tbi", "f.vcf.gz.tbi"), ("garb.bcf.csi", "f.bcf.csi"), ("garb.bcf", "f.bcf")]:
+    data = bytearray(open(os.path.join(mh, src), "rb").read())
+    for _ in range(64):
+        data[random.randrange(len(data))] = random.randrange(256)
+    open(os.path.join(mh, name), "wb").write(bytes(data))
+# pair the garbage artifacts with intact data files
+open(os.path.join(mh, "garb.gz"), "wb").write(open(os.path.join(mh, "f.vcf.gz"), "rb").read())
+PYEOF
+  # garbage runs may legitimately succeed (flips can land in dead bytes)
+  # but must never crash with a sanitizer report (ASAN exits 1 with
+  # "ERROR:" on stderr; die() prints "minihts:")
+  for probe in "tabix $mh/garb.gz 1:1-99999" \
+               "bcftools view -H $mh/garb.bcf 1:1-99999" \
+               "bcftools view -H $mh/garb.bcf"; do
+    if ! "$bin" $probe >/dev/null 2>"$mh/err"; then
+      if grep -q "AddressSanitizer\|runtime error" "$mh/err"; then
+        echo "FAIL: sanitizer report on crafted input: $probe"
+        cat "$mh/err"
+        return 1
+      fi
+    fi
+  done
+  cp "$mh/garb.bcf.csi" "$mh/f2.bcf.csi"; cp "$mh/f.bcf" "$mh/f2.bcf"
+  if ! "$bin" bcftools view -H "$mh/f2.bcf" "1:1-99999" >/dev/null 2>"$mh/err"; then
+    if grep -q "AddressSanitizer\|runtime error" "$mh/err"; then
+      echo "FAIL: sanitizer report on garbage .csi"; cat "$mh/err"; return 1
+    fi
+  fi
+}
+
+echo "== minihts ASAN+UBSAN (bgzip/tabix/bcf + crafted inputs)"
+make -C "$here/native" minihts_asan >/dev/null
+ASAN_OPTIONS=detect_leaks=0 run_minihts_legs "$here/native/minihts_asan"
+
 echo "== ASAN+UBSAN (single worker)"
 ASAN_OPTIONS=detect_leaks=0 run_legs "$here/native/vcfcq_asan"
 echo "== ASAN+UBSAN (VCFC_WORKERS=8)"
