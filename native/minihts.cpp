@@ -310,6 +310,8 @@ struct RefIndex {
   uint64_t off_first = ~0ull, off_last = 0;
 
   void add(int64_t beg, int64_t end, uint64_t voff_beg, uint64_t voff_end) {
+    if (end > (int64_t(1) << 29) || beg < 0)
+      die("record coordinate beyond the binning scheme's 2^29 range");
     uint32_t bin = uint32_t(reg2bin(beg, end));
     auto& chunks = bins[bin];
     // merge with the previous chunk of this bin when contiguous
@@ -434,8 +436,10 @@ int cmd_bgzip(int argc, char** argv) {
   BgzfWriter w(out);
   w.write(m.data, m.size);
   w.close();
-  if (!to_stdout) fclose(out);
-  fflush(out);
+  if (to_stdout)
+    fflush(out);
+  else
+    fclose(out);
   return 0;
 }
 
@@ -590,6 +594,14 @@ int cmd_tabix_build(const char* gz_path) {
 // candidate chunks for a region: binned chunks, pruned by the linear
 // index floor, sorted and merged (htslib hts_itr_query equivalent)
 std::vector<Chunk> query_chunks(const RefIndex& ref, int64_t beg, int64_t end) {
+  // the 5-level binning scheme addresses [0, 2^29): clamp before the
+  // level loops — an unclamped end (ref-only regions use INT64_MAX)
+  // would attempt ~end>>14 writes into the fixed bin list (htslib
+  // likewise rejects coordinates beyond the scheme's range)
+  const int64_t kMaxCoord = int64_t(1) << 29;
+  if (beg >= kMaxCoord) return {};
+  if (end > kMaxCoord) end = kMaxCoord;
+  if (end <= beg) return {};
   uint16_t bins[37449];
   int n = reg2bins(beg, end, bins);
   uint64_t min_off = 0;

@@ -1270,7 +1270,9 @@ void vcfz_block_req(const Vcfz& z, size_t b, uint64_t lo, uint64_t hi_eff,
 // path uses both to make a point query pay sub-block work instead of a
 // full 256-line materialization (VERDICT r1 #7).
 void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
-                          uint64_t limit, std::vector<std::string>* out_lines) {
+                          uint64_t limit, std::vector<std::string>* out_lines,
+                          const uint8_t* pre_req = nullptr,
+                          uint64_t pre_req_base = 0) {
   const VcfzBlock& blk = z.blocks[b];
   uint64_t lo = uint64_t(b) * z.block_lines;
   uint64_t hi = std::min(lo + z.block_lines, z.n_lines);
@@ -1336,11 +1338,14 @@ void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
     }
   }
 
-  // v3: required-column bytes are order-0 coded per block
+  // v3: required-column bytes are order-0 coded per block; the query
+  // path hands us its pass-1 decode (a superset range) so the
+  // sequential Huffman work isn't paid twice
   std::string req_decoded;
-  const uint8_t* req_ptr = nullptr;
-  uint64_t req_base = 0;
-  vcfz_block_req(z, b, lo, hi, &req_decoded, &req_ptr, &req_base);
+  const uint8_t* req_ptr = pre_req;
+  uint64_t req_base = pre_req_base;
+  if (req_ptr == nullptr)
+    vcfz_block_req(z, b, lo, hi, &req_decoded, &req_ptr, &req_base);
   size_t spos = 0;
   for (uint64_t i = lo; i < hi; i++) {
     uint32_t n = rd_u32(reinterpret_cast<const uint8_t*>(z.nsym + i));
@@ -1864,9 +1869,11 @@ int do_query_z(const char* path, const std::string& region) {
     }
     if (!any) continue;
     // pass 2 — materialize only the matched lines, decoding symbols (and
-    // resolving v4 rows) only up to the last hit
+    // resolving v4 rows) only up to the last hit; pass 1's req decode is
+    // reused (v1/v2 raw regions pass through identically)
     lines.clear();
-    vcfz_block_lines_sel(z, b, want.data(), last_match_rel + 1, &lines);
+    vcfz_block_lines_sel(z, b, want.data(), last_match_rel + 1, &lines,
+                         req_ptr, req_base);
     for (const std::string& lb : lines)
       decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
                        z.n_samples, &out);

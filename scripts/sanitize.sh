@@ -76,22 +76,22 @@ PYEOF
   # garbage runs may legitimately succeed (flips can land in dead bytes)
   # but must never crash with a sanitizer report (ASAN exits 1 with
   # "ERROR:" on stderr; die() prints "minihts:")
+  # stderr is inspected REGARDLESS of exit code (the asan build also uses
+  # -fno-sanitize-recover, so any finding aborts — double coverage)
   for probe in "tabix $mh/garb.gz 1:1-99999" \
                "bcftools view -H $mh/garb.bcf 1:1-99999" \
                "bcftools view -H $mh/garb.bcf"; do
-    if ! "$bin" $probe >/dev/null 2>"$mh/err"; then
-      if grep -q "AddressSanitizer\|runtime error" "$mh/err"; then
-        echo "FAIL: sanitizer report on crafted input: $probe"
-        cat "$mh/err"
-        return 1
-      fi
+    "$bin" $probe >/dev/null 2>"$mh/err" || true
+    if grep -q "AddressSanitizer\|runtime error" "$mh/err"; then
+      echo "FAIL: sanitizer report on crafted input: $probe"
+      cat "$mh/err"
+      return 1
     fi
   done
   cp "$mh/garb.bcf.csi" "$mh/f2.bcf.csi"; cp "$mh/f.bcf" "$mh/f2.bcf"
-  if ! "$bin" bcftools view -H "$mh/f2.bcf" "1:1-99999" >/dev/null 2>"$mh/err"; then
-    if grep -q "AddressSanitizer\|runtime error" "$mh/err"; then
-      echo "FAIL: sanitizer report on garbage .csi"; cat "$mh/err"; return 1
-    fi
+  "$bin" bcftools view -H "$mh/f2.bcf" "1:1-99999" >/dev/null 2>"$mh/err" || true
+  if grep -q "AddressSanitizer\|runtime error" "$mh/err"; then
+    echo "FAIL: sanitizer report on garbage .csi"; cat "$mh/err"; return 1
   fi
 }
 

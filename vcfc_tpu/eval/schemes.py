@@ -25,6 +25,29 @@ from ..utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, BinnedIndexConfig, Spar
 from .config import Dataset, flush_page_cache
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _try_build_htsbin() -> None:
+    """One-shot build attempt (cached): a machine where the build cannot
+    succeed must fail once, not re-run a 180 s make per tool lookup."""
+    import subprocess as sp
+
+    native_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    )
+    try:
+        sp.run(
+            ["make", "-C", native_dir, "htsbin"],
+            capture_output=True,
+            timeout=180,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
 def _tool(name: str) -> str | None:
     """External tool lookup: PATH first (real htslib wins when present),
     then the in-tree minihts fallback (native/htsbin — a from-spec BGZF/
@@ -38,18 +61,7 @@ def _tool(name: str) -> str | None:
     )
     path = os.path.abspath(os.path.join(htsbin, name))
     if not os.path.exists(path):
-        import subprocess as sp
-
-        native_dir = os.path.dirname(os.path.dirname(path))
-        try:
-            sp.run(
-                ["make", "-C", native_dir, "htsbin"],
-                capture_output=True,
-                timeout=180,
-                check=False,
-            )
-        except Exception:
-            return None
+        _try_build_htsbin()
     return path if os.path.exists(path) else None
 
 

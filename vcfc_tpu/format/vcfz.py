@@ -765,7 +765,11 @@ class VcfzReader:
         return self._ctx_tables_cache
 
     def block_lines_vcfc(
-        self, b: int, want: np.ndarray | None = None, limit: int | None = None
+        self,
+        b: int,
+        want: np.ndarray | None = None,
+        limit: int | None = None,
+        req: tuple[bytes, int] | None = None,
     ) -> list[bytes]:
         """Reconstruct .vcfc line bytes of block b (vectorized: one numpy
         pass over the block's symbols; Python loops only over escapes and
@@ -829,7 +833,11 @@ class VcfzReader:
             if covered_after[k] < S:
                 body[o + len(e)] = 9  # '\t'
 
-        req_bytes, req_base = self._block_req_bytes(b, lo, hi)
+        # the query path hands in its pass-1 req decode (a superset
+        # range) so the sequential Huffman work isn't paid twice
+        req_bytes, req_base = (
+            req if req is not None else self._block_req_bytes(b, lo, hi)
+        )
 
         out = []
         spos = 0
@@ -971,7 +979,9 @@ def query_vcfz(vcfz: bytes, query: CoordinateQuery):
                 past = True
                 break
         if last >= 0:
-            for line_bytes in reader.block_lines_vcfc(b, want=want, limit=last + 1):
+            for line_bytes in reader.block_lines_vcfc(
+                b, want=want, limit=last + 1, req=(req_bytes, req_base)
+            ):
                 line, _ = decode_data_line(line_bytes, 0, S)
                 yield line
         if past:
