@@ -203,6 +203,39 @@ class TestCli:
         assert r.returncode == 0, r.stderr
         assert out_d.read_bytes() == vcf_in.read_bytes()
 
+    def test_sharded_env_knob_roundtrip(self, tmp_path):
+        """VCFC_SHARDED=1 routes CLI compress/decompress through the
+        mesh-sharded steps (8 virtual devices here), byte-identical."""
+        from test_fuzz import make_vcf
+
+        from vcfc_tpu.format import compress_bytes
+
+        vcf = make_vcf(913, 130, 120, sv_every=9)
+        vcf_in = tmp_path / "in.vcf"
+        vcf_in.write_bytes(vcf)
+        out_c = tmp_path / "x.vcfc"
+        out_d = tmp_path / "x.vcf"
+        env = {
+            **os.environ,
+            # VCFC_FORCE_CPU, not JAX_PLATFORMS: this machine's
+            # sitecustomize overrides the env var (CLAUDE.md)
+            "VCFC_FORCE_CPU": "1",
+            "VCFC_SHARDED": "1",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        }
+        r = subprocess.run(
+            [sys.executable, "-m", "vcfc_tpu.cli", "compress", str(vcf_in), str(out_c)],
+            capture_output=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert out_c.read_bytes() == compress_bytes(vcf)
+        r = subprocess.run(
+            [sys.executable, "-m", "vcfc_tpu.cli", "decompress", str(out_c), str(out_d)],
+            capture_output=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert out_d.read_bytes() == vcf
+
     def test_binned_index_cycle(self, tmp_path, data_dir):
         vcfc = tmp_path / "sv.vcfc"
         vcfc.write_bytes((data_dir / "sv.vcfc").read_bytes())

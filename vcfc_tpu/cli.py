@@ -95,7 +95,18 @@ def main(argv: list[str] | None = None) -> int:
         from . import engine
 
         data = _read(input_filename)
-        result = engine.compress(data) if action == "compress" else engine.decompress(data)
+        if os.environ.get("VCFC_SHARDED", "") not in ("", "0"):
+            # mesh-sharded codec steps over all visible devices
+            # (pjit/shard_map; byte-identical to the single-device path)
+            result = (
+                engine.compress_sharded(data)
+                if action == "compress"
+                else engine.decompress_sharded(data)
+            )
+        else:
+            result = (
+                engine.compress(data) if action == "compress" else engine.decompress(data)
+            )
         _write(output_filename, result)
         return 0
 
