@@ -174,6 +174,77 @@ extern "C" void vcfc_unpack(const uint8_t* raw, const int64_t* line_off,
   });
 }
 
+// Packed variant of vcfc_unpack for the device-unpack decode route
+// (ops/rle.py::unpack_packed_flags expands packed->positional on the
+// MXU): emits each line's flag BYTES left-aligned into a (L, M) row
+// instead of materializing the O(L*W) positional plane — host work and
+// host->device traffic scale with the compressed size, not the cohort
+// width.  Status/escape semantics identical to vcfc_unpack.
+extern "C" void vcfc_scan_packed(const uint8_t* raw, const int64_t* line_off,
+                                 const int32_t* line_len, const int32_t* req_len,
+                                 int64_t L, int64_t S, int64_t M, uint8_t* packed,
+                                 int32_t* nflags, int32_t* esc_count,
+                                 uint8_t* status) {
+  parallel_for(L, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* body = raw + line_off[i] + 8 + req_len[i];
+      const uint8_t* end =
+          body + (static_cast<int64_t>(line_len[i]) - 4 - req_len[i] - 1);
+      uint8_t* row = packed + i * M;
+      const uint8_t* p = body;
+      int64_t pos = 0;
+      int32_t nf = 0;
+      int32_t escs = 0;
+      uint8_t st = 0;
+      while (p < end) {
+        uint8_t f = *p++;
+        if (nf >= M) {
+          st = 1;
+          break;
+        }
+        if ((f & 0xE0) == 0xE0) {
+          int64_t n_cols = f & 0x1F;
+          if (n_cols != 1) {
+            st = 2;  // reference never emits this; oracle handles it
+            break;
+          }
+          if (pos >= S) {
+            st = 1;
+            break;
+          }
+          row[nf++] = f;
+          while (p < end && *p != '\t') ++p;
+          bool last_sample = (pos == S - 1);
+          if (p < end && *p == '\t') {
+            if (last_sample) {
+              st = 1;
+              break;
+            }
+            ++p;
+          } else if (!last_sample) {
+            st = 1;
+            break;
+          }
+          ++escs;
+          ++pos;
+        } else {
+          int64_t rl = flag_run_len(f);
+          if (rl == 0 || pos + rl > S) {
+            st = 1;
+            break;
+          }
+          pos += rl;
+          row[nf++] = f;
+        }
+      }
+      if (st == 0 && (pos != S || p != end)) st = 1;
+      status[i] = st;
+      nflags[i] = nf;
+      esc_count[i] = escs;
+    }
+  });
+}
+
 extern "C" void vcfc_collect_escapes(const uint8_t* raw, const int64_t* line_off,
                                      const int32_t* line_len,
                                      const int32_t* req_len,

@@ -76,6 +76,25 @@ class TestRleKernels:
         assert np.flatnonzero(flagpos[0]).tolist() == [126, 253, 299]
         assert flagpos[0, 126] == 127 and flagpos[0, 299] == 46
 
+    def test_device_unpack_decode_route(self, monkeypatch):
+        """VCFC_UNPACK=device: host extracts packed flag bytes, device
+        does the MXU unpack fused with the run-fill — lossless and
+        byte-identical to the standard route on mixed corpora (escapes,
+        run caps, SVs)."""
+        from test_fuzz import make_vcf
+
+        from vcfc_tpu.format import compress_bytes
+        from vcfc_tpu.host import native
+
+        if not native.available():
+            pytest.skip("native runtime unavailable")
+        monkeypatch.setenv("VCFC_UNPACK", "device")
+        for seed, S, V in [(21, 150, 400), (22, 2504, 120), (23, 31, 900)]:
+            vcf = make_vcf(seed, S, V, sv_every=9)
+            vcfc = compress_bytes(vcf)
+            got = engine.decompress(vcfc, force_device=True)
+            assert got == vcf, f"seed {seed} device-unpack decode diverged"
+
     def test_unpack_inverts_compaction_production_shape(self):
         """Device unpack == inverse of flag compaction at a production
         shape (2,504-sample cohort width), differentially against the

@@ -106,6 +106,52 @@ def parse_vcfc_native(raw: bytes, width: int | None = None) -> NativeParsedVcfc:
     )
 
 
+def parse_vcfc_packed_native(raw: bytes) -> NativeParsedVcfc:
+    """Like parse_vcfc_native, but ``flags`` holds PACKED (left-aligned)
+    flag bytes and ``nflags`` their counts — the device-unpack decode
+    route (ops/rle.py::unpack_rle_decode): the host never materializes
+    the O(L*W) positional plane, so host work and host->device traffic
+    scale with the compressed size instead of the cohort width."""
+    header = parse_metadata_headers(raw)
+    S = header.schema.sample_count
+    raw_np = np.frombuffer(raw, np.uint8)
+    max_lines = max((len(raw) - header.data_offset) // 10 + 2, 16)
+    line_off, line_len, req_len = native.scan_vcfc(raw_np, header.data_offset, max_lines)
+    L = len(line_off)
+    if L == 0:
+        return NativeParsedVcfc(
+            header, raw, line_off, line_len, req_len,
+            np.zeros((0, 128), np.uint8), np.zeros(0, np.int32), np.zeros(0, bool),
+        )
+    # per-line flag-byte upper bound: the whole sample region (escape
+    # text inflates it, but escape-heavy lines are rare); cap at S since
+    # every flag covers >= 1 sample
+    max_body = int((line_len.astype(np.int64) - 4 - req_len - 1).max())
+    M = min(max(max_body, 1), max(S, 1))
+    M = (M + 127) // 128 * 128
+    packed, nflags, esc_count, status = native.scan_packed(
+        raw_np, line_off, line_len, req_len, S, M
+    )
+    bad = status == 1
+    if bad.any():
+        i = int(np.flatnonzero(bad)[0])
+        from ..format.lines import VcfValidationError
+
+        raise VcfValidationError(f"malformed compressed line at offset {int(line_off[i])}")
+    oracle_line = status != 0
+    esc_count = np.where(oracle_line, 0, esc_count).astype(np.int32)
+    esc_base = np.zeros(L, np.int64)
+    if L > 1:
+        np.cumsum(esc_count[:-1], out=esc_base[1:], dtype=np.int64)
+    esc_sample, esc_off, esc_len = native.collect_escapes(
+        raw_np, line_off, line_len, req_len, esc_count, esc_base, S
+    )
+    return NativeParsedVcfc(
+        header, raw, line_off, line_len, req_len, packed, nflags, oracle_line,
+        esc_count, esc_base, esc_sample, esc_off, esc_len,
+    )
+
+
 def assemble_vcf_native(
     parsed: NativeParsedVcfc,
     codes: np.ndarray,  # (L, CW) decoded genotype codes, CW >= S

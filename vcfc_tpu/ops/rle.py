@@ -187,6 +187,16 @@ def render_text(codes) -> "jax.Array":
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
+def unpack_rle_decode(flags: jax.Array, nflags: jax.Array, n_samples, *, out_width: int):
+    """Fused device decode from FILE flag bytes: MXU packed->positional
+    unpack + run-fill in one jit (the VCFC_UNPACK=device engine route —
+    host work and H2D traffic scale with the compressed size)."""
+    return rle_decode(
+        unpack_packed_flags(flags, nflags, out_width=out_width), n_samples
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_width",))
 def unpack_packed_flags(flags: jax.Array, nflags: jax.Array, *, out_width: int):
     """Packed (left-aligned) flag bytes -> positional flags, on device —
     the device-side inverse of flag compaction, so device decode can start
