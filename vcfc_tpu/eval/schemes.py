@@ -22,7 +22,7 @@ from ..index.sparse_external import (
 from ..index.sparsify import query_sparse_file, sparsify_file
 from ..query.coordinate import CoordinateQuery
 from ..utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, BinnedIndexConfig, SparseConfig
-from .config import Dataset, flush_page_cache
+from .config import Dataset
 
 
 import functools

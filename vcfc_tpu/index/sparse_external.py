@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 import time
 
-from ..format.lines import decode_data_line
 from ..format.vcf import parse_metadata_headers
 from ..query.coordinate import CoordinateQuery
 from ..utils.config import SPARSE_EXTERNAL_INDEX_CONFIG, SparseConfig

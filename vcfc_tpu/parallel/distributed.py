@@ -61,7 +61,6 @@ def compress_multihost(input_path: str, output_path: str) -> dict:
     Returns stats (lines, bytes, offset) for this process's stripe.
     """
     from .. import engine
-    from ..format.vcf import compress_bytes
     from ..host.parse import parse_vcf_bytes
     from ..ops.histogram import code_histogram
 
