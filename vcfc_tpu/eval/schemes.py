@@ -2,8 +2,9 @@
 
 Five schemes mirror the reference harness (evaluation_main.py,
 command.py): three VCFC index strategies plus tabix over bgzip and BCF.
-Ours run in-process; the external tabix/bcftools schemes shell out and
-are skipped automatically when the tools aren't installed.
+Ours run in-process or via the native CLI; the external tabix/bcftools
+schemes shell out to PATH htslib when installed and otherwise to the
+in-tree from-spec minihts implementation (native/htsbin).
 """
 
 from __future__ import annotations
