@@ -156,6 +156,19 @@ class TestSparsify:
         with pytest.raises(NotImplementedError, match="no filter"):
             list(query_sparse_file(path, CoordinateQuery(), TEST_SPARSE))
 
+    def test_truncated_sparse_ends_cleanly(self, tmp_path, small_vcfc):
+        """A sparse file truncated mid-line must end the range iteration
+        cleanly (the pre-bulk behavior), not crash on a short read."""
+        path = str(tmp_path / "small.sparse")
+        sparsify_file(small_vcfc, path, TEST_SPARSE)
+        size = os.path.getsize(path)
+        with open(path, "r+b") as f:
+            f.truncate(size - 40)  # chop into the final line
+        out = b"".join(
+            query_sparse_file(path, CoordinateQuery.range("1", 10000, 99999), TEST_SPARSE)
+        )
+        assert out.endswith(b"\n") or out == b""  # clean, decoded prefix only
+
     def test_file_is_sparse(self, tmp_path, small_vcfc):
         path = str(tmp_path / "small.sparse")
         sparsify_file(small_vcfc, path, TEST_SPARSE)

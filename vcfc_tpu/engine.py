@@ -137,16 +137,22 @@ def compress_sharded(vcf: bytes, mesh=None) -> bytes:
         mesh = make_data_mesh(len(jax.devices()))
     n_dev = mesh.devices.size
     S_pad = max(_round_up(S, 128), 128)
-    L_pad = _round_up(L, n_dev)
-    codes = np.zeros((L_pad, S_pad), np.uint8)
-    codes[:L, :S] = parsed.codes
-    sharded = jax.device_put(
-        jnp.asarray(codes), NamedSharding(mesh, P(DATA_AXIS, None))
-    )
+    # chunked like the single-device path: one fixed-shape compile, and
+    # device memory bounded by the batch cap instead of the whole file
+    chunk = max(_round_up(_adaptive_line_batch(_LINE_BATCH, S_pad), n_dev), n_dev)
     step = _sharded_step_for(mesh)
-    flagpos, nseg, _hist, _offsets = step(sharded, jnp.int32(S))
-    flagpos = np.asarray(flagpos)[:L]
-    nseg = np.asarray(nseg)[:L]
+    flagpos = np.zeros((L, S_pad), np.uint8)
+    nseg = np.zeros(L, np.int32)
+    for lo in range(0, L, chunk):
+        hi = min(lo + chunk, L)
+        codes = np.zeros((chunk, S_pad), np.uint8)
+        codes[: hi - lo, :S] = parsed.codes[lo:hi]
+        sharded = jax.device_put(
+            jnp.asarray(codes), NamedSharding(mesh, P(DATA_AXIS, None))
+        )
+        f, k, _hist, _offsets = step(sharded, jnp.int32(S))
+        flagpos[lo:hi] = np.asarray(f)[: hi - lo]
+        nseg[lo:hi] = np.asarray(k)[: hi - lo]
 
     if native.available():
         from .host.fast import assemble_vcfc_native
@@ -196,16 +202,21 @@ def decompress_sharded(vcfc: bytes, mesh=None) -> bytes:
     n_dev = mesh.devices.size
     W = parsed.flags.shape[1]
     S_pad = max(_round_up(max(S, W), 128), 128)
-    L_pad = _round_up(L, n_dev)
-    flags = np.zeros((L_pad, S_pad), np.uint8)
-    flags[:L, :W] = parsed.flags
-    sharded = jax.device_put(
-        jnp.asarray(flags), NamedSharding(mesh, P(DATA_AXIS, None))
-    )
+    # chunked like compress_sharded: bounded device memory, one compile
+    chunk = max(_round_up(_adaptive_line_batch(_LINE_BATCH, S_pad), n_dev), n_dev)
     step = _sharded_decode_step_for(mesh)
-    codes, decoded = step(sharded, jnp.int32(S))
-    codes = np.asarray(codes)[:L]
-    decoded = np.asarray(decoded)[:L]
+    codes = np.zeros((L, S_pad), np.uint8)
+    decoded = np.zeros(L, np.int32)
+    for lo in range(0, L, chunk):
+        hi = min(lo + chunk, L)
+        flags = np.zeros((chunk, S_pad), np.uint8)
+        flags[: hi - lo, :W] = parsed.flags[lo:hi]
+        sharded = jax.device_put(
+            jnp.asarray(flags), NamedSharding(mesh, P(DATA_AXIS, None))
+        )
+        c, d = step(sharded, jnp.int32(S))
+        codes[lo:hi] = np.asarray(c)[: hi - lo]
+        decoded[lo:hi] = np.asarray(d)[: hi - lo]
 
     if use_native:
         from .host.fast import assemble_vcf_native
@@ -224,19 +235,37 @@ def _decompress_device_unpack(
     unpack fused with the run-fill (ops/rle.py::unpack_rle_decode) —
     no O(L*W) positional plane on the host, H2D traffic ~8x smaller on
     typical cohorts.  Returns None to fall back (no native / tiny input)."""
+    from .format.vcf import parse_metadata_headers
     from .host.fast import assemble_vcf_native, parse_vcfc_packed_native
     from .ops.rle import unpack_rle_decode
 
-    parsed = parse_vcfc_packed_native(vcfc)
-    L = parsed.n_lines
-    S = parsed.header.schema.sample_count
+    # cheap pre-gate (header + native scan) BEFORE the packed extraction:
+    # a declining call must not pay the full parse twice
+    header = parse_metadata_headers(vcfc)
+    S = header.schema.sample_count
+    raw_np = np.frombuffer(vcfc, np.uint8)
+    max_lines = max((len(vcfc) - header.data_offset) // 10 + 2, 16)
+    line_off, line_len, req_len = native.scan_vcfc(
+        raw_np, header.data_offset, max_lines
+    )
+    L = len(line_off)
     if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
         return None
+    parsed = parse_vcfc_packed_native(vcfc, scan=(header, line_off, line_len, req_len))
     import jax.numpy as jnp
 
     M = parsed.flags.shape[1]
     S_pad = max(_round_up(S, 128), 128)
-    line_batch = _adaptive_line_batch(line_batch, S_pad)
+    # the MXU unpack's indicator operands cost ~M*(S_pad/128 + 128)*2
+    # bytes of bf16 PER LINE — unlike the dense kernels, memory scales
+    # with the flag density M, so cap the batch by that too; het- or
+    # escape-dense inputs where even a 256-line batch exceeds the budget
+    # fall back to the host-unpack route
+    per_line = M * (S_pad // 128 + 128) * 2
+    cap = (256 << 20) // max(per_line, 1) // 256 * 256
+    if cap < 256:
+        return None
+    line_batch = min(_adaptive_line_batch(line_batch, S_pad), cap)
     codes = np.zeros((L, S_pad), np.uint8)
     decoded = np.zeros(L, np.int32)
     futures = []

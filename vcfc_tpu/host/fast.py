@@ -106,17 +106,25 @@ def parse_vcfc_native(raw: bytes, width: int | None = None) -> NativeParsedVcfc:
     )
 
 
-def parse_vcfc_packed_native(raw: bytes) -> NativeParsedVcfc:
+def parse_vcfc_packed_native(raw: bytes, scan=None) -> NativeParsedVcfc:
     """Like parse_vcfc_native, but ``flags`` holds PACKED (left-aligned)
     flag bytes and ``nflags`` their counts — the device-unpack decode
     route (ops/rle.py::unpack_rle_decode): the host never materializes
     the O(L*W) positional plane, so host work and host->device traffic
-    scale with the compressed size instead of the cohort width."""
-    header = parse_metadata_headers(raw)
+    scale with the compressed size instead of the cohort width.
+    ``scan`` may carry a precomputed (header, line_off, line_len,
+    req_len) so gating callers don't pay the stream scan twice."""
+    if scan is None:
+        header = parse_metadata_headers(raw)
+        raw_np = np.frombuffer(raw, np.uint8)
+        max_lines = max((len(raw) - header.data_offset) // 10 + 2, 16)
+        line_off, line_len, req_len = native.scan_vcfc(
+            raw_np, header.data_offset, max_lines
+        )
+    else:
+        header, line_off, line_len, req_len = scan
+        raw_np = np.frombuffer(raw, np.uint8)
     S = header.schema.sample_count
-    raw_np = np.frombuffer(raw, np.uint8)
-    max_lines = max((len(raw) - header.data_offset) // 10 + 2, 16)
-    line_off, line_len, req_len = native.scan_vcfc(raw_np, header.data_offset, max_lines)
     L = len(line_off)
     if L == 0:
         return NativeParsedVcfc(

@@ -195,7 +195,12 @@ def query_sparse_file(path: str, query: CoordinateQuery, config: SparseConfig | 
             line_length, req_len = decode_line_headers(hdr)
             f.seek(pos + 16)
             buf = f.read(4 + line_length)
-            chrom, pos_str = buf[8 : 8 + req_len].split(b"\t", 2)[:2]
+            if len(buf) < 4 + line_length or len(buf) < 8 + req_len:
+                break  # truncated file: clean end of results (as before)
+            cols = buf[8 : 8 + req_len].split(b"\t", 2)
+            if len(cols) < 2:
+                break
+            chrom, pos_str = cols[:2]
             vpos = int(pos_str)
             if chrom.decode() == query.reference_name and vpos <= query.end_position:
                 pending.append(buf)

@@ -122,12 +122,19 @@ def compress_multihost(input_path: str, output_path: str) -> dict:
 
 def _vcfc_line_offsets(raw: bytes):
     """Verbatim header blob + per-line byte offsets of a .vcfc stream
-    (4-byte length-header hops)."""
-    from ..format.headers import decode_line_headers
+    (native C++ scan when available; Python length-header hops otherwise)."""
     from ..format.vcf import parse_metadata_headers
+    from ..host import native
 
     header = parse_metadata_headers(raw)
     header_blob = raw[: header.data_offset]
+    if native.available():
+        raw_np = np.frombuffer(raw, np.uint8)
+        max_lines = max((len(raw) - header.data_offset) // 10 + 2, 16)
+        line_off, _, _ = native.scan_vcfc(raw_np, header.data_offset, max_lines)
+        return header_blob, line_off.tolist()
+    from ..format.headers import decode_line_headers
+
     offsets = []
     off = header.data_offset
     n = len(raw)
@@ -151,11 +158,13 @@ def query_multihost(input_path: str, region: str, output_path: str | None = None
     each process scans + decodes hits on a contiguous line stripe (lines
     are independent; stripe-local full scan has identical semantics since
     the full-scan query is a pure per-line predicate, main.cpp:3777-3929),
-    the per-stripe outputs allgather in process order, and every process
-    holds the full result; process 0 writes ``output_path``.
+    per-stripe hit byte counts allgather (a tiny int vector) into
+    deterministic exclusive offsets, and each process pwrite()s its hits
+    at its offset — the same stitching as decompress_multihost, avoiding
+    an O(processes²) replication of the full hit text.
 
-    Stdout is byte-equal to the single-process full-scan query
-    (asserted in tests/test_distributed.py)."""
+    The stitched file is byte-equal to the single-process full-scan
+    query (asserted in tests/test_distributed.py)."""
     from ..query.coordinate import parse_coordinate_string
     from ..query.engine import query_full_scan
 
@@ -174,17 +183,24 @@ def query_multihost(input_path: str, region: str, output_path: str | None = None
     else:
         my_out = b""
 
-    blobs = _allgather_blobs(my_out)
-    full = b"".join(blobs)
-    if output_path and pid == 0:
-        with open(output_path, "wb") as f:
-            f.write(full)
+    sizes = _allgather_sizes(len(my_out))
+    my_offset = int(sizes[:pid].sum())
+    total = int(sizes.sum())
+    if output_path:
+        fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
+        try:
+            os.ftruncate(fd, total)
+            if my_out:
+                os.pwrite(fd, my_out, my_offset)
+        finally:
+            os.close(fd)
     return {
         "process": pid,
         "processes": procs,
         "lines": hi - lo,
         "stripe_hit_bytes": len(my_out),
-        "total_hit_bytes": len(full),
+        "offset": my_offset,
+        "total_hit_bytes": total,
     }
 
 

@@ -33,8 +33,10 @@ def decode_hit_blobs(
     if not native.available() or len(blobs) < BULK_MIN:
         return [decode_data_line(b, 0, S)[0] for b in blobs]
     from ..host.fast import assemble_vcf_native, parse_vcfc_native
+    from ..utils.timing import suspended
 
-    parsed = parse_vcfc_native(header_blob + b"".join(blobs))
+    with suspended():  # internal re-parse must not inflate TIMING labels
+        parsed = parse_vcfc_native(header_blob + b"".join(blobs))
     codes = native.expand_codes(parsed.flags, S)
     decoded = np.full(parsed.n_lines, S, np.int32)  # unpack validated shape
     text = assemble_vcf_native(parsed, codes, decoded)[len(header_blob) :]
@@ -58,16 +60,19 @@ def decode_hit_lines(vcfc: bytes, header: VcfcHeader, recs: list) -> list[bytes]
 
 class HitBuffer:
     """Accumulate matched records, flush decoded lines in batches while
-    preserving yield order."""
+    preserving yield order.  The FIRST flush triggers at BULK_MIN so a
+    streaming consumer (CLI piped to head, next() on the generator) sees
+    its first line quickly; later flushes use the full BULK_CHUNK."""
 
     def __init__(self, vcfc: bytes, header: VcfcHeader):
         self.vcfc = vcfc
         self.header = header
         self.pending: list = []
+        self._threshold = BULK_MIN
 
     def add(self, rec) -> list[bytes]:
         self.pending.append(rec)
-        if len(self.pending) >= BULK_CHUNK:
+        if len(self.pending) >= self._threshold:
             return self.flush()
         return []
 
@@ -76,4 +81,5 @@ class HitBuffer:
             return []
         lines = decode_hit_lines(self.vcfc, self.header, self.pending)
         self.pending = []
+        self._threshold = BULK_CHUNK
         return lines

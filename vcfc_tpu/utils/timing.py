@@ -45,6 +45,20 @@ def totals() -> dict[str, int]:
     return dict(_ACCUM)
 
 
+@contextlib.contextmanager
+def suspended():
+    """Temporarily disable probes: internal machinery (e.g. the bulk hit
+    decoder re-parsing a stitched mini-.vcfc header) must not inflate the
+    reference-taxonomy labels, which mean once-per-query phases."""
+    global _ENABLED
+    was = _ENABLED
+    _ENABLED = False
+    try:
+        yield
+    finally:
+        _ENABLED = was
+
+
 def record(label: str, ns: int) -> None:
     """Manually account ``ns`` nanoseconds to ``label`` — for phase state
     machines (e.g. the reference's seeking→iteration transition in the
