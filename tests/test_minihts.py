@@ -153,6 +153,36 @@ class TestBcf:
         assert got == want
 
 
+class TestRandomizedRegions:
+    def test_many_random_regions_agree(self, corpus):
+        """tabix and bcftools must agree with the interval scan on a
+        randomized region sweep (boundary-heavy: empty, point, clamped,
+        whole-chromosome, beyond-range)."""
+        import random
+
+        d, vcf = corpus
+        rng = random.Random(99)
+        regions = [("1", 1, 1), ("X", 1, 1 << 28)]
+        for _ in range(40):
+            ref = rng.choice(["1", "X", "7"])
+            beg = rng.randrange(1, 60000)
+            end = beg + rng.choice([0, 1, 10, 500, 5000, 100000])
+            regions.append((ref, beg, end))
+        for ref, beg, end in regions:
+            want = _expect(vcf, ref, beg, end)
+            got_t = subprocess.run(
+                [os.path.join(HTSBIN, "tabix"), str(d / "c.vcf.gz"), f"{ref}:{beg}-{end}"],
+                capture_output=True, check=True,
+            ).stdout
+            assert got_t == want, f"tabix {ref}:{beg}-{end}"
+            got_b = subprocess.run(
+                [os.path.join(HTSBIN, "bcftools"), "view", "-H", str(d / "c.bcf"),
+                 f"{ref}:{beg}-{end}"],
+                capture_output=True, check=True,
+            ).stdout
+            assert got_b == want, f"bcf {ref}:{beg}-{end}"
+
+
 class TestSchemesIntegration:
     def test_tool_resolves(self):
         from vcfc_tpu.eval.schemes import _tool
