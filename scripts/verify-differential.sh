@@ -111,6 +111,11 @@ done
 "${P[@]}" decompress-z p4.vcfz z4p.rt; check cmp -s z4p.rt f.vcf
 "$V" query-z p4.vcfz "21:1000-99999" > b4; check cmp -s a b4
 
+# --- device-unpack decode route: the MXU packed->positional path must
+# reproduce the VCF byte-for-byte on the fresh corpus too
+VCFC_UNPACK=device "${P[@]}" decompress p.vcfc pu.rt
+check cmp -s pu.rt f.vcf
+
 # --- TIMING phase taxonomy differential (VERDICT r1 #8): the reference's
 # main_timing build and both our CLIs must emit TIMING labels that the
 # eval harness maps into the SAME phase-category sets (the cross-language
