@@ -99,8 +99,48 @@ echo "== minihts ASAN+UBSAN (bgzip/tabix/bcf + crafted inputs)"
 make -C "$here/native" minihts_asan >/dev/null
 ASAN_OPTIONS=detect_leaks=0 run_minihts_legs "$here/native/minihts_asan"
 
+run_vcfcq_corrupt_probes() {
+  # bit-flipped .vcfc/.vcfci/.vcfz inputs: every verb that parses
+  # untrusted files must die() or succeed — never crash with a
+  # sanitizer report (the r1 advisor found exactly this class in the
+  # codebook tables; keep it covered empirically)
+  local bin="$1"
+  local cw="$work/corrupt"
+  mkdir -p "$cw"
+  python - "$work" "$cw" "$seed" <<'PYEOF'
+import random, shutil, sys
+work, cw, seed = sys.argv[1], sys.argv[2], int(sys.argv[3])
+random.seed(seed + 1)
+for src, dst in [("f.vcfc", "c.vcfc"), ("f.vcfc.vcfci", "c.vcfc.vcfci"), ("f.vcfz", "c.vcfz")]:
+    data = bytearray(open(f"{work}/{src}", "rb").read())
+    for _ in range(48):
+        data[random.randrange(len(data))] = random.randrange(256)
+    open(f"{cw}/{dst}", "wb").write(bytes(data))
+# pair the garbage index with an intact vcfc and vice versa
+shutil.copy(f"{work}/f.vcfc", f"{cw}/g.vcfc")
+shutil.copy(f"{cw}/c.vcfc.vcfci", f"{cw}/g.vcfc.vcfci")
+PYEOF
+  for probe in "decompress $cw/c.vcfc /dev/null" \
+               "query $cw/c.vcfc 1:10000-99999" \
+               "query-binned-index $cw/c.vcfc 1:10000-99999" \
+               "query-binned-index $cw/g.vcfc 1:10000-99999" \
+               "create-binned-index 50 $cw/c.vcfc" \
+               "gap-analysis $cw/c.vcfc" \
+               "decompress-z $cw/c.vcfz /dev/null" \
+               "query-z $cw/c.vcfz 1:10000-99999"; do
+    (cd "$cw" && "$bin" $probe >/dev/null 2>"$cw/err") || true
+    if grep -q "AddressSanitizer\|runtime error\|ThreadSanitizer" "$cw/err"; then
+      echo "FAIL: sanitizer report on corrupt input: vcfcq $probe"
+      cat "$cw/err"
+      return 1
+    fi
+  done
+}
+
 echo "== ASAN+UBSAN (single worker)"
 ASAN_OPTIONS=detect_leaks=0 run_legs "$here/native/vcfcq_asan"
+echo "== vcfcq ASAN+UBSAN corrupt-input probes"
+ASAN_OPTIONS=detect_leaks=0 run_vcfcq_corrupt_probes "$here/native/vcfcq_asan"
 echo "== ASAN+UBSAN (VCFC_WORKERS=8)"
 ASAN_OPTIONS=detect_leaks=0 VCFC_WORKERS=8 run_legs "$here/native/vcfcq_asan"
 echo "== TSAN (VCFC_WORKERS=8)"
