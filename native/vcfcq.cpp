@@ -1219,6 +1219,10 @@ struct BitReader {
 // is sequential, so a sub-block read stops after the lines it needs).
 void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
                       std::vector<int32_t>* syms) {
+  // codes are >= 1 bit/symbol: a corrupt symbol count must not drive an
+  // unbounded allocation
+  if (n_take > blk.payload_len * 8)
+    die("corrupt .vcfz: symbol count exceeds payload capacity");
   syms->resize(n_take);
   BitReader br{z.payload_base + blk.payload_off, blk.payload_len};
   int ctx = z.version == 1 ? 0 : kCtxInit;
@@ -1439,7 +1443,10 @@ void huffman_lengths(const std::vector<int64_t>& freqs, uint8_t* lengths) {
   }
   std::vector<double> f(n);
   for (size_t i = 0; i < n; i++) f[i] = double(freqs[present[i]]);
-  for (int attempt = 0; attempt < 32; attempt++) {
+  // 64 rounds (not 32): halving reaches all-ones only after ~log2(max
+  // count) rounds and counts can exceed 2^32 on multi-GB streams —
+  // mirrors ops/huffman.py exactly (byte contract)
+  for (int attempt = 0; attempt < 64; attempt++) {
     // min-heap of (weight, id) with lexicographic order = Python heapq
     typedef std::pair<double, int64_t> Node;
     std::vector<Node> heap;
@@ -1692,6 +1699,8 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   out.append(reinterpret_cast<const char*>(vcfc), h.data_offset);
   put_u32(uint32_t(escapes.size()));
   for (auto& e : escapes) {
+    if (e.size() > 0xFFFF)
+      die("escape string exceeds the .vcfz 64 KB escape-length field");
     uint16_t el = uint16_t(e.size());
     out.append(reinterpret_cast<char*>(&el), 2);
     out.append(e);

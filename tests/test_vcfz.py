@@ -309,6 +309,66 @@ class TestVcfzV4:
         with pytest.raises(ValueError, match="Kraft"):
             Codebook.from_lengths(np.full(300, 8, np.uint8))
 
+    def test_corrupt_structure_fields_rejected(self):
+        """Alphabet size, block-table coverage, and symbol counts are
+        validated against what the header implies — a corrupt container
+        must raise, never silently truncate or over-allocate."""
+        import struct
+
+        import numpy as np
+
+        from vcfc_tpu.format.vcfz import MAGIC, VcfzReader, vcfz_from_vcfc
+
+        vcfc = self._correlated_vcfc(40, 60)
+        z = bytes(vcfz_from_vcfc(vcfc, version=3))
+        r = VcfzReader.parse(z)
+
+        def patched(off, fmt, value):
+            b = bytearray(z)
+            struct.pack_into(fmt, b, off, value)
+            return bytes(b)
+
+        # n_symbols field sits after magic+9, L/S (12), header blob (8+len),
+        # escape table
+        off = len(MAGIC) + 9 + 12 + 8 + len(r.header_blob) + 4
+        for e in r.escapes:
+            off += 2 + len(e)
+        with pytest.raises(ValueError, match="alphabet"):
+            VcfzReader.parse(patched(off, "<I", 10_000))
+        # block_lines field (after magic + version u32 + max_len u8)
+        with pytest.raises(ValueError, match="block_lines|cover"):
+            VcfzReader.parse(patched(len(MAGIC) + 5, "<I", 0))
+        # per-block symbol count beyond payload capacity
+        blk0 = dict(r.blocks[0])
+        r.blocks[0]["n_symbols"] = 8 * blk0["payload_len"] + 1
+        with pytest.raises(ValueError, match="payload capacity"):
+            r._decode_block_symbols(0)
+
+    def test_manifest_size_validated(self):
+        from vcfc_tpu.index.manifest import Manifest, build_manifest
+
+        vcfc = self._correlated_vcfc(20, 30)
+        m = build_manifest(vcfc)
+        with pytest.raises(ValueError, match="corrupt .vcfcm"):
+            Manifest(m[:-5])
+
+    def test_corrupt_length_header_pair_rejected(self):
+        """required_length >= line_length-4 must raise in the numpy
+        fallback parser (a negative frombuffer count means read-to-EOF)."""
+        from vcfc_tpu.format.headers import encode_length_header
+        from vcfc_tpu.format.lines import VcfValidationError
+        from vcfc_tpu.host.assemble import parse_vcfc_bytes
+
+        vcfc = bytearray(self._correlated_vcfc(10, 10))
+        from vcfc_tpu.format.vcf import parse_metadata_headers
+
+        h = parse_metadata_headers(bytes(vcfc))
+        off = h.data_offset
+        # make header #2 exceed header #1 - 5
+        vcfc[off + 4 : off + 8] = encode_length_header(10**6)
+        with pytest.raises(VcfValidationError, match="exceeds line length"):
+            parse_vcfc_bytes(bytes(vcfc))
+
     @pytest.mark.parametrize("seed", [0, 1, 2, 3])
     def test_v4_transform_inverse_property(self, seed):
         """Property: _v4_block_to_v3(_v4_transform_block(x)) == x for

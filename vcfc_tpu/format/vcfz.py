@@ -432,6 +432,13 @@ def serialize_prefix(
     out += struct.pack("<Q", len(header_blob)) + header_blob
     out += struct.pack("<I", len(esc_list))
     for e in esc_list:
+        if len(e) > 0xFFFF:
+            # fail up front with a format-level message instead of a raw
+            # struct.error mid-serialization (escape lengths ride as u16)
+            raise ValueError(
+                f"escape string of {len(e)} bytes exceeds the .vcfz 64 KB "
+                "escape-length field"
+            )
         out += struct.pack("<H", len(e)) + e
     # alphabet size from the symbol books themselves: 256 + n_escapes for
     # v1-v3, plus the S+1 vertical-match band for v4
@@ -661,6 +668,16 @@ class VcfzReader:
             off += elen
         (n_symbols,) = struct.unpack_from("<I", data, off)
         off += 4
+        # the alphabet size is fully determined by the header fields the
+        # writer emits (256 literals + escapes [+ v4's S+1 match band]);
+        # an untrusted container claiming anything else would drive
+        # oversized codebook/decode allocations or band-arithmetic
+        # index errors downstream
+        want_symbols = 256 + len(escapes) + (S + 1 if version == 4 else 0)
+        if n_symbols != want_symbols:
+            raise ValueError(
+                f"corrupt .vcfz: alphabet {n_symbols} != {want_symbols}"
+            )
         books = []
         n_books = 1 if version == 1 else (N_CTX_V4 if version == 4 else N_CTX)
         for _ in range(n_books):
@@ -705,6 +722,15 @@ class VcfzReader:
             )
             payload_off += plen
             req_payload_off += rplen
+        # block table must tile the line range: a short/empty table would
+        # silently decompress to truncated output (blocks are the only
+        # iteration structure to_vcfc/query have)
+        if block_lines == 0:
+            raise ValueError("corrupt .vcfz: zero block_lines")
+        if n_blocks != (L + block_lines - 1) // block_lines:
+            raise ValueError(
+                f"corrupt .vcfz: {n_blocks} blocks cannot cover {L} lines"
+            )
         req_starts = np.zeros(L, np.int64)
         np.cumsum(req_lens[:-1], out=req_starts[1:])
         return cls(
@@ -724,6 +750,11 @@ class VcfzReader:
         from ..host import native
 
         n = int(blk["n_symbols"]) if n_take is None else min(n_take, int(blk["n_symbols"]))
+        if n > 8 * len(payload):
+            # codes are >= 1 bit/symbol: a corrupt symbol count would
+            # otherwise drive an unbounded decode allocation (same guard
+            # as the req side, _block_req_bytes)
+            raise ValueError("corrupt .vcfz: symbol count exceeds payload capacity")
         if self.version == 1:
             if native.available():
                 sym_t, len_t = self._decode_tables()[0]

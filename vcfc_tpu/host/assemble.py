@@ -105,6 +105,17 @@ def parse_vcfc_bytes(raw: bytes, width: int | None = None) -> ParsedVcfc:
     n = len(raw)
     while offset < n:
         line_length, required_length = decode_line_headers(raw, offset)
+        if required_length > line_length - 5:
+            # a negative frombuffer count means "to EOF" in numpy — a
+            # corrupt header pair would otherwise swallow the rest of the
+            # stream as one line's body (the native path rejects the same
+            # input via unpack status=1)
+            from ..format.lines import VcfValidationError
+
+            raise VcfValidationError(
+                f"line at offset {offset}: required length {required_length} "
+                f"exceeds line length {line_length}"
+            )
         offsets.append(offset)
         lengths.append(line_length)
         req_lengths.append(required_length)

@@ -69,6 +69,14 @@ class Manifest:
         version, L = struct.unpack_from("<IQ", data, 4)
         if version != VERSION:
             raise ValueError(f"unsupported manifest version {version}")
+        # 25 bytes per line (u8 ref + u32 pos/end + u64 offset + u32
+        # length/cummax_end): a truncated or L-inflated file would
+        # otherwise yield silently short/misaligned arrays (np views
+        # clamp) and wrong query results
+        if len(data) != 16 + 25 * L:
+            raise ValueError(
+                f"corrupt .vcfcm: {len(data)} bytes for {L} lines"
+            )
         off = 16
         buf = np.frombuffer(data, np.uint8, offset=off)
 

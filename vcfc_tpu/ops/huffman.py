@@ -40,7 +40,11 @@ def code_lengths(freqs: np.ndarray) -> np.ndarray:
         return lengths
 
     f = freqs[present].astype(np.float64)
-    for _ in range(32):  # squash until the tree fits the cap
+    # 64 rounds, not 32: halving provably reaches all-ones (where the
+    # tree depth is ~log2(n) <= 15) only after ~log2(max count) rounds,
+    # and symbol counts can exceed 2^32 on multi-GB streams.  Mirrored
+    # bit-for-bit in vcfcq.cpp::huffman_lengths (byte contract).
+    for _ in range(64):  # squash until the tree fits the cap
         heap: list[tuple[float, int]] = [(float(w), i) for i, w in enumerate(f)]
         heapq.heapify(heap)
         parent = {}
