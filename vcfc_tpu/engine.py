@@ -229,12 +229,14 @@ def decompress_sharded(vcfc: bytes, mesh=None) -> bytes:
 
 def _decompress_device_unpack(
     vcfc: bytes, line_batch: int, force_device: bool = False
-) -> bytes | None:
+):
     """VCFC_UNPACK=device route: the host extracts PACKED flag bytes
     (O(compressed size)) and the device does the packed->positional MXU
     unpack fused with the run-fill (ops/rle.py::unpack_rle_decode) —
     no O(L*W) positional plane on the host, H2D traffic ~8x smaller on
-    typical cohorts.  Returns None to fall back (no native / tiny input)."""
+    typical cohorts.  Returns (bytes, None) on success; (None, scan)
+    to fall back (tiny input — the scan tuple lets the fallback parse
+    skip the header parse + stream scan it already paid)."""
     from .format.vcf import parse_metadata_headers
     from .host.fast import assemble_vcf_native, parse_vcfc_packed_native
     from .ops.rle import unpack_rle_decode
@@ -248,10 +250,11 @@ def _decompress_device_unpack(
     line_off, line_len, req_len = native.scan_vcfc(
         raw_np, header.data_offset, max_lines
     )
+    scan = (header, line_off, line_len, req_len)
     L = len(line_off)
     if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
-        return None
-    parsed = parse_vcfc_packed_native(vcfc, scan=(header, line_off, line_len, req_len))
+        return None, scan
+    parsed = parse_vcfc_packed_native(vcfc, scan=scan)
     import jax.numpy as jnp
 
     M = parsed.flags.shape[1]
@@ -264,7 +267,7 @@ def _decompress_device_unpack(
     per_line = M * (S_pad // 128 + 128) * 2
     cap = (256 << 20) // max(per_line, 1) // 256 * 256
     if cap < 256:
-        return None
+        return None, scan
     line_batch = min(_adaptive_line_batch(line_batch, S_pad), cap)
     codes = np.zeros((L, S_pad), np.uint8)
     decoded = np.zeros(L, np.int32)
@@ -281,21 +284,22 @@ def _decompress_device_unpack(
     for lo, hi, (c, d) in futures:
         codes[lo:hi] = np.asarray(c)[: hi - lo]
         decoded[lo:hi] = np.asarray(d)[: hi - lo]
-    return assemble_vcf_native(parsed, codes, decoded)
+    return assemble_vcf_native(parsed, codes, decoded), None
 
 
 def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path decompress: unpack stream -> RLE decode on device -> render."""
     line_batch = _round_up(max(line_batch, 1), 256)  # Pallas BLOCK_L granularity
     use_native = native.available()
+    scan = None
     if use_native and os.environ.get("VCFC_UNPACK") == "device":
-        out = _decompress_device_unpack(vcfc, line_batch, force_device)
+        out, scan = _decompress_device_unpack(vcfc, line_batch, force_device)
         if out is not None:
             return out
     if use_native:
         from .host.fast import parse_vcfc_native
 
-        parsed = parse_vcfc_native(vcfc)
+        parsed = parse_vcfc_native(vcfc, scan=scan)
     else:
         parsed = parse_vcfc_bytes(vcfc)
     L = parsed.n_lines

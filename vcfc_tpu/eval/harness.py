@@ -85,6 +85,10 @@ class Harness:
             "dataset": self.dataset.name,
             "kind": kind,
             "positions": len(positions),
+            # warm vs cold page cache is a protocol difference, not noise
+            # (the reference flushes before every run, command.py:12-18);
+            # recorded so artifacts are self-describing
+            "cache_mode": "cold" if cfg.flush_page_cache else "warm",
             "schemes": {},
         }
         for name in cfg.schemes:
@@ -106,6 +110,7 @@ class Harness:
                 )
             all_means = [q["mean_s"] for q in per_query]
             results["schemes"][scheme.name] = {
+                "backend": scheme.backend,
                 "queries": per_query,
                 "overall": _summary(all_means),
             }
@@ -177,7 +182,11 @@ class Harness:
 
     def all_indexing_times(self) -> str:
         cfg = self.config
-        out: dict = {"dataset": self.dataset.name, "schemes": {}}
+        out: dict = {
+            "dataset": self.dataset.name,
+            "cache_mode": "cold" if cfg.flush_page_cache else "warm",
+            "schemes": {},
+        }
         for name in cfg.schemes:
             def build():
                 # force_rebuild: cached artifacts would make runs 2..N no-ops
@@ -192,7 +201,11 @@ class Harness:
                 if scheme.index_path and os.path.exists(scheme.index_path)
                 else None
             )
-            out["schemes"][name] = {**_summary(times), "index_bytes": size}
+            out["schemes"][name] = {
+                "backend": scheme.backend,
+                **_summary(times),
+                "index_bytes": size,
+            }
         return self._write("all-indexing-times", out)
 
 

@@ -49,21 +49,25 @@ def _try_build_htsbin() -> None:
         pass
 
 
-def _tool(name: str) -> str | None:
+def _tool(name: str) -> tuple[str, str] | None:
     """External tool lookup: PATH first (real htslib wins when present),
     then the in-tree minihts fallback (native/htsbin — a from-spec BGZF/
     tabix/BCF implementation, built on demand) so the reference's
-    headline tabix/BCF comparison runs even on hermetic machines."""
+    headline tabix/BCF comparison runs even on hermetic machines.
+
+    Returns (path, backend) where backend is "htslib" (a real PATH
+    install) or "minihts-standin" — recorded in the scheme and the eval
+    JSON so stand-in timings are never mistaken for real-htslib ones."""
     found = shutil.which(name)
     if found:
-        return found
+        return found, "htslib"
     htsbin = os.path.join(
         os.path.dirname(__file__), "..", "..", "native", "htsbin"
     )
     path = os.path.abspath(os.path.join(htsbin, name))
     if not os.path.exists(path):
         _try_build_htsbin()
-    return path if os.path.exists(path) else None
+    return (path, "minihts-standin") if os.path.exists(path) else None
 
 
 @dataclass
@@ -72,6 +76,9 @@ class PreparedScheme:
     query_single_fn: object  # (ref, pos) -> bytes
     query_range_fn: object  # (ref, start, end) -> bytes
     index_path: str | None = None
+    # which binary actually answered: "vcfc" for in-tree schemes,
+    # "htslib" / "minihts-standin" for the external tabix/bcftools rows
+    backend: str = "vcfc"
 
 
 class SchemeFactory:
@@ -234,9 +241,11 @@ class SchemeFactory:
     # -- external schemes (tabix / bcftools) ------------------------------
 
     def tabix_bgzip(self, force_rebuild: bool = False) -> PreparedScheme | None:
-        bgzip, tabix = _tool("bgzip"), _tool("tabix")
-        if not (bgzip and tabix):
+        bgzip_r, tabix_r = _tool("bgzip"), _tool("tabix")
+        if not (bgzip_r and tabix_r):
             return None
+        bgzip, _ = bgzip_r
+        tabix, backend = tabix_r
         gz = os.path.join(self.workdir, self.dataset.name + ".vcf.gz")
         if not os.path.exists(gz):
             with open(gz, "wb") as f:
@@ -261,12 +270,13 @@ class SchemeFactory:
                 [tabix, gz, f"{ref}:{start}-{end}"], capture_output=True, check=True
             ).stdout
 
-        return PreparedScheme("tabix-bgzip", single, range_, gz + ".tbi")
+        return PreparedScheme("tabix-bgzip", single, range_, gz + ".tbi", backend)
 
     def tabix_bcf(self, force_rebuild: bool = False) -> PreparedScheme | None:
-        bcftools = _tool("bcftools")
-        if not bcftools:
+        bcftools_r = _tool("bcftools")
+        if not bcftools_r:
             return None
+        bcftools, backend = bcftools_r
         bcf = os.path.join(self.workdir, self.dataset.name + ".bcf")
         if not os.path.exists(bcf):
             subprocess.run(
@@ -293,7 +303,7 @@ class SchemeFactory:
                 check=True,
             ).stdout
 
-        return PreparedScheme("tabix-bcf", single, range_, bcf + ".csi")
+        return PreparedScheme("tabix-bcf", single, range_, bcf + ".csi", backend)
 
     def build(
         self, name: str, force_rebuild: bool = False, **kw

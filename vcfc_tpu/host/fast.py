@@ -69,12 +69,23 @@ class NativeParsedVcfc(ParsedVcfc):
     esc_len: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
 
 
-def parse_vcfc_native(raw: bytes, width: int | None = None) -> NativeParsedVcfc:
-    header = parse_metadata_headers(raw)
+def parse_vcfc_native(
+    raw: bytes, width: int | None = None, scan=None
+) -> NativeParsedVcfc:
+    """``scan`` may carry a precomputed (header, line_off, line_len,
+    req_len) tuple so gating callers (engine._decompress_device_unpack's
+    declining pre-gate) don't pay the header parse + stream scan twice."""
+    if scan is None:
+        header = parse_metadata_headers(raw)
+        raw_np = np.frombuffer(raw, np.uint8)
+        max_lines = max((len(raw) - header.data_offset) // 10 + 2, 16)
+        line_off, line_len, req_len = native.scan_vcfc(
+            raw_np, header.data_offset, max_lines
+        )
+    else:
+        header, line_off, line_len, req_len = scan
+        raw_np = np.frombuffer(raw, np.uint8)
     S = header.schema.sample_count
-    raw_np = np.frombuffer(raw, np.uint8)
-    max_lines = max((len(raw) - header.data_offset) // 10 + 2, 16)
-    line_off, line_len, req_len = native.scan_vcfc(raw_np, header.data_offset, max_lines)
     L = len(line_off)
     W = width or max(S, 1)
     if L == 0:
