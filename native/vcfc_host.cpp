@@ -489,6 +489,55 @@ extern "C" void vcfc_render(const uint8_t* raw, const int64_t* line_off,
   });
 }
 
+// Text-plane variant of vcfc_render for the device-render route
+// (VCFC_PARSE=device): the device already synthesized the "a|b\t" sample
+// words (ops/pallas_rle.py::pallas_text_decode), so sample runs are
+// straight memcpys from the (L, TW)-byte text plane; escape columns
+// still splice their raw ASCII over the device's "?|?" placeholder.
+// Sizes and layout match vcfc_render exactly (vcfc_measure_render).
+extern "C" void vcfc_render_text(const uint8_t* raw, const int64_t* line_off,
+                                 const int32_t* req_len, const uint8_t* text,
+                                 const int32_t* esc_count,
+                                 const int64_t* esc_base,
+                                 const int32_t* esc_sample,
+                                 const int64_t* esc_off, const int32_t* esc_len,
+                                 const uint8_t* skip, const int64_t* out_off,
+                                 int64_t L, int64_t TW, int64_t S,
+                                 uint8_t* out) {
+  parallel_for(L, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (skip[i]) continue;  // caller splices these (oracle lines)
+      uint8_t* p = out + out_off[i];
+      int64_t req = req_len[i];
+      std::memcpy(p, raw + line_off[i] + 8, static_cast<size_t>(req));
+      p += req;
+      const uint8_t* trow = text + i * TW;
+      if (esc_count[i] == 0) {
+        // device words already end sample S-1 with '\n': one memcpy
+        std::memcpy(p, trow, static_cast<size_t>(4 * S));
+        p += 4 * S;
+        continue;
+      }
+      int64_t b = esc_base[i];
+      int64_t j = 0;  // sample cursor
+      for (int32_t k = 0; k < esc_count[i]; ++k) {
+        int64_t ej = esc_sample[b + k];
+        std::memcpy(p, trow + 4 * j, static_cast<size_t>(4 * (ej - j)));
+        p += 4 * (ej - j);
+        std::memcpy(p, raw + esc_off[b + k],
+                    static_cast<size_t>(esc_len[b + k]));
+        p += esc_len[b + k];
+        *p++ = (ej < S - 1) ? '\t' : '\n';
+        j = ej + 1;
+      }
+      if (j < S) {
+        std::memcpy(p, trow + 4 * j, static_cast<size_t>(4 * (S - j)));
+        p += 4 * (S - j);
+      }
+    }
+  });
+}
+
 // ---------------------------------------------------------------------------
 // Canonical Huffman decode for the .vcfz container: flat table lookup over
 // a MAX_CODE_LEN-bit window (table built host-side).  Sequential in the
@@ -692,6 +741,25 @@ extern "C" void vcfc_index_lines(const uint8_t* raw, int64_t n,
     });
   }
   for (auto& t : ts) t.join();
+}
+
+// Gather each regular line's genotype region (4*S-1 bytes at
+// sample_start[i]) into a fixed-stride text plane for the device
+// classify route (VCFC_PARSE=device): the plane viewed as int32 is one
+// little-endian "a|b\t" word per sample field.  Irregular lines stay
+// zero (the device classifies zeros as escapes; the caller's irregular
+// mask routes those rows to the oracle regardless).
+extern "C" void vcfc_gather_text(const uint8_t* body,
+                                 const int64_t* sample_start,
+                                 const uint8_t* irregular, int64_t L, int64_t S,
+                                 int64_t TW, uint8_t* text) {
+  parallel_for(L, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (irregular[i]) continue;
+      std::memcpy(text + i * TW, body + sample_start[i],
+                  static_cast<size_t>(4 * S - 1));
+    }
+  });
 }
 
 // ---------------------------------------------------------------------------

@@ -113,8 +113,16 @@ done
 
 # --- device-unpack decode route: the MXU packed->positional path must
 # reproduce the VCF byte-for-byte on the fresh corpus too
-VCFC_UNPACK=device "${P[@]}" decompress p.vcfc pu.rt
+VCFC_FORCE_DEVICE=1 VCFC_UNPACK=device "${P[@]}" decompress p.vcfc pu.rt
 check cmp -s pu.rt f.vcf
+
+# --- device-parse routes (VERDICT r2 #1): ASCII classify moves onto the
+# device for compress, decode+render for decompress — byte contracts hold
+# (FORCE_DEVICE: the corpus can fall below the engine's min-cells gate)
+VCFC_FORCE_DEVICE=1 VCFC_PARSE=device "${P[@]}" compress f.vcf pt.vcfc
+check cmp -s r.vcfc pt.vcfc
+VCFC_FORCE_DEVICE=1 VCFC_PARSE=device "${P[@]}" decompress p.vcfc pt.rt
+check cmp -s pt.rt f.vcf
 
 # --- TIMING phase taxonomy differential (VERDICT r1 #8): the reference's
 # main_timing build and both our CLIs must emit TIMING labels that the

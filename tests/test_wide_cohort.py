@@ -1,8 +1,8 @@
-"""Wide-cohort scaling (VERDICT r1 #5): sample widths far beyond the
-Pallas MAX_WIDTH=4096 must route through the XLA kernels (engine._kernels)
-with the adaptive line batch bounding device memory, and remain
-byte-identical to the oracle.  Biobank-scale widths strain a dense
-(L, S_pad) layout exactly here."""
+"""Wide-cohort scaling (VERDICT r1 #5 / r2 #5): biobank-scale sample
+widths must stay byte-identical to the oracle, with the adaptive line
+batch bounding device memory.  Since r3 the fused Pallas kernels cover
+widths to MAX_WIDTH=131072 (Mersenne remainders + adaptive tile
+heights); only wider cohorts route to XLA."""
 
 import numpy as np
 import pytest
@@ -26,9 +26,17 @@ class TestAdaptiveLineBatch:
     def test_extreme_width_floors_at_256(self):
         assert engine._adaptive_line_batch(2048, 1 << 20) == 256
 
-    def test_wide_routes_to_xla_kernels(self):
+    def test_width_routing_policy(self, monkeypatch):
+        """r3: fused kernels now cover wide cohorts (Mersenne remainders
+        + adaptive tile heights); only absurd widths route to XLA."""
+        from vcfc_tpu.ops.pallas_rle import MAX_WIDTH
         from vcfc_tpu.ops.rle import rle_decode, rle_encode
 
+        monkeypatch.setenv("VCFC_KERNEL", "pallas")
+        assert engine._use_pallas(16384)
+        assert engine._use_pallas(MAX_WIDTH)
+        assert not engine._use_pallas(MAX_WIDTH + 128)
+        monkeypatch.setenv("VCFC_KERNEL", "xla")
         assert engine._kernels(16384) == (rle_encode, rle_decode)
 
 

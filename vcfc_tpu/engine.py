@@ -34,6 +34,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _force_device(flag: bool) -> bool:
+    """CLI/test knob: VCFC_FORCE_DEVICE=1 disables the min-cells gate so
+    device routes are exercised even on tiny inputs (the verification
+    gauntlet must not silently fall back to the oracle)."""
+    return flag or os.environ.get("VCFC_FORCE_DEVICE", "") not in ("", "0")
+
+
 def _adaptive_line_batch(line_batch: int, s_pad: int) -> int:
     """Shrink the line batch for wide sample axes so a batch never exceeds
     ~_TARGET_BATCH_CELLS genotype cells (stays a multiple of the Pallas
@@ -42,29 +49,120 @@ def _adaptive_line_batch(line_batch: int, s_pad: int) -> int:
     return max(256, min(line_batch, cap))
 
 
-def _kernels(s_pad: int = 0):
-    """Select device kernels: fused Pallas on TPU (VCFC_KERNEL=pallas),
-    XLA elsewhere or on request (VCFC_KERNEL=xla).  Very wide sample axes
-    exceed a VMEM tile; XLA tiles those internally."""
+def _use_pallas(s_pad: int) -> bool:
+    """Fused Pallas kernels on TPU (VCFC_KERNEL=pallas forces them, =xla
+    forbids); widths beyond the fused kernels' VMEM budget (beyond any
+    real cohort — ops.pallas_rle.MAX_WIDTH = 131,072) route to XLA,
+    which tiles internally."""
+    from .ops.pallas_rle import MAX_WIDTH
+
     choice = os.environ.get("VCFC_KERNEL", "auto")
-    if choice == "xla" or s_pad > 4096:  # == ops.pallas_rle.MAX_WIDTH (guarded there)
-        return rle_encode, rle_decode
+    if choice == "xla" or s_pad > MAX_WIDTH:
+        return False
     if choice != "pallas":
         import jax
 
         try:
             if jax.devices()[0].platform != "tpu":
-                return rle_encode, rle_decode
+                return False
         except Exception:
-            return rle_encode, rle_decode
-    from .ops.pallas_rle import pallas_rle_decode, pallas_rle_encode
+            return False
+    return True
 
-    return pallas_rle_encode, pallas_rle_decode
+
+def _kernels(s_pad: int = 0):
+    """Select device RLE kernels for the padded sample width."""
+    if _use_pallas(s_pad):
+        from .ops.pallas_rle import pallas_rle_decode, pallas_rle_encode
+
+        return pallas_rle_encode, pallas_rle_decode
+    return rle_encode, rle_decode
+
+
+def _text_kernels(s_pad: int = 0):
+    """Select the fused text<->flags kernels (classify+encode /
+    decode+render) for the VCFC_PARSE=device routes."""
+    if _use_pallas(s_pad):
+        from .ops.pallas_rle import pallas_text_decode, pallas_text_encode
+
+        return pallas_text_encode, pallas_text_decode
+    from .ops.rle import text_rle_decode, text_rle_encode
+
+    return text_rle_encode, text_rle_decode
+
+
+def _compress_device_text(
+    vcf: bytes, line_batch: int, force_device: bool = False
+) -> bytes | None:
+    """VCFC_PARSE=device route: ASCII classification moves onto the chip
+    (fused classify+encode, ops/pallas_rle.py::pallas_text_encode) — the
+    host's per-byte classify pass disappears; what remains host-side is
+    line indexing, a strided text gather (memcpy-class), and escape
+    splicing during assembly.  Replaces the reference's per-sample scan
+    (compress.cpp:124-186).  Returns None to fall back (tiny input)."""
+    from .format.lines import VcfValidationError
+    from .format.vcf import parse_metadata_headers
+    from .host.fast import assemble_vcfc_native
+    from .host.parse import ParsedVcf
+
+    header = parse_metadata_headers(vcf)
+    S = header.schema.sample_count
+    raw_np = np.frombuffer(vcf, np.uint8)
+    line_start, line_end, sample_start = native.index_lines(
+        raw_np, header.data_offset
+    )
+    keep = line_end > line_start  # drop empty lines (compress.cpp:219-221)
+    line_start, line_end = line_start[keep], line_end[keep]
+    sample_start = sample_start[keep]
+    body = raw_np[header.data_offset :]
+    L = len(line_start)
+    if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
+        return None
+    if (sample_start < 0).any():
+        bad = int(np.flatnonzero(sample_start < 0)[0])
+        raise VcfValidationError(
+            f"data line {bad} has no FORMAT column (fewer than 9 tabs)"
+        )
+    irregular = (line_end - sample_start) != (4 * S - 1)
+    S_pad = max(_round_up(S, 128), 128)
+    line_batch = _adaptive_line_batch(line_batch, S_pad)
+    encode_fn, _ = _text_kernels(S_pad)
+    flagpos = np.zeros((L, S_pad), np.uint8)
+    nseg = np.zeros(L, np.int32)
+    seps = np.ones(L, np.int32)
+    futures = []
+    for lo in range(0, L, line_batch):
+        hi = min(lo + line_batch, L)
+        # padded per-batch views; pad rows marked irregular stay zero
+        ss = np.zeros(line_batch, np.int64)
+        ss[: hi - lo] = sample_start[lo:hi]
+        ir = np.ones(line_batch, np.uint8)
+        ir[: hi - lo] = irregular[lo:hi]
+        text = native.gather_text(body, ss, ir, S, S_pad)
+        futures.append((lo, hi, encode_fn(text.view(np.int32), S)))
+    for lo, hi, (f, k, r) in futures:
+        flagpos[lo:hi] = np.asarray(f)[: hi - lo]
+        nseg[lo:hi] = np.asarray(k)[: hi - lo]
+        seps[lo:hi] = np.asarray(r)[: hi - lo]
+    # rows whose separator bytes weren't tabs were mis-sliced: oracle path
+    irregular |= seps == 0
+    # codes are never read by the native assembly (it splices escape ASCII
+    # straight from the text); a (0, S) array just carries the width
+    parsed = ParsedVcf(
+        header, body, line_start, line_end, sample_start,
+        np.zeros((0, S), np.uint8), irregular,
+    )
+    return assemble_vcfc_native(parsed, flagpos, nseg)
 
 
 def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path compress: parse -> RLE encode on device -> assemble."""
+    force_device = _force_device(force_device)
     line_batch = _round_up(max(line_batch, 1), 256)  # Pallas BLOCK_L granularity
+    if native.available() and os.environ.get("VCFC_PARSE") == "device":
+        out = _compress_device_text(vcf, line_batch, force_device)
+        if out is not None:
+            return out
     parsed = parse_vcf_bytes(vcf)
     L, S = parsed.n_lines, parsed.n_samples
     if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
@@ -287,8 +385,44 @@ def _decompress_device_unpack(
     return assemble_vcf_native(parsed, codes, decoded), None
 
 
+def _decompress_device_text(parsed, line_batch: int, force_device: bool) -> bytes | None:
+    """VCFC_PARSE=device decode route: the fused decode+render kernel
+    (ops/pallas_rle.py::pallas_text_decode) emits "a|b\\t" ASCII words on
+    the chip; host assembly memcpys the text plane and splices escapes
+    (host/fast.py::assemble_vcf_from_text).  The host LUT-render pass
+    disappears; D2H ships 4 text bytes/sample instead of 1 code byte —
+    choose by transfer vs host-compute balance.  Returns None to fall
+    back (tiny input)."""
+    import jax.numpy as jnp  # noqa: F401  (device backend init)
+
+    from .host.fast import assemble_vcf_from_text
+
+    L = parsed.n_lines
+    S = parsed.header.schema.sample_count
+    if L == 0 or S == 0 or (L * S < _DEVICE_MIN_CELLS and not force_device):
+        return None
+    W = parsed.flags.shape[1]
+    S_pad = max(_round_up(max(S, W), 128), 128)
+    line_batch = _adaptive_line_batch(line_batch, S_pad)
+    _, decode_fn = _text_kernels(S_pad)
+    text = np.zeros((L, 4 * S_pad), np.uint8)
+    decoded = np.zeros(L, np.int32)
+    futures = []
+    for lo in range(0, L, line_batch):
+        hi = min(lo + line_batch, L)
+        batch = np.zeros((line_batch, S_pad), np.uint8)
+        batch[: hi - lo, :W] = parsed.flags[lo:hi]
+        futures.append((lo, hi, decode_fn(batch, S)))
+    for lo, hi, (t, _c, d) in futures:
+        # i32 words -> little-endian byte plane, zero-copy view
+        text[lo:hi] = np.asarray(t).view(np.uint8)[: hi - lo]
+        decoded[lo:hi] = np.asarray(d)[: hi - lo]
+    return assemble_vcf_from_text(parsed, text, decoded)
+
+
 def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = False) -> bytes:
     """Device-path decompress: unpack stream -> RLE decode on device -> render."""
+    force_device = _force_device(force_device)
     line_batch = _round_up(max(line_batch, 1), 256)  # Pallas BLOCK_L granularity
     use_native = native.available()
     scan = None
@@ -300,6 +434,10 @@ def decompress(vcfc: bytes, line_batch: int = _LINE_BATCH, force_device: bool = 
         from .host.fast import parse_vcfc_native
 
         parsed = parse_vcfc_native(vcfc, scan=scan)
+        if os.environ.get("VCFC_PARSE") == "device":
+            out = _decompress_device_text(parsed, line_batch, force_device)
+            if out is not None:
+                return out
     else:
         parsed = parse_vcfc_bytes(vcfc)
     L = parsed.n_lines

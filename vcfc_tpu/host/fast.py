@@ -171,6 +171,60 @@ def parse_vcfc_packed_native(raw: bytes, scan=None) -> NativeParsedVcfc:
     )
 
 
+def assemble_vcf_from_text(
+    parsed: NativeParsedVcfc,
+    text: np.ndarray,  # (L, TW) uint8 device-rendered "a|b\t" byte plane
+    decoded: np.ndarray,
+) -> bytes:
+    """Decode assembly from a device-rendered text plane (the
+    VCFC_PARSE=device route): identical output to assemble_vcf_native,
+    but sample runs are memcpys from ``text`` instead of LUT renders
+    from codes; escape columns splice their raw ASCII over the device's
+    "?|?" placeholder (native/vcfc_host.cpp::vcfc_render_text)."""
+    from ..format.lines import VcfValidationError
+
+    S = parsed.header.schema.sample_count
+    L = parsed.n_lines
+    header_blob = b"".join(parsed.header.meta_lines) + parsed.header.header_line
+    base = len(header_blob)
+
+    bad = (~parsed.oracle_line) & (decoded != S)
+    if bad.any():
+        i = int(np.flatnonzero(bad)[0])
+        raise VcfValidationError(
+            f"line {i}: decoded {int(decoded[i])} samples, expected {S}"
+        )
+
+    sizes = np.zeros(L, np.int64)
+    native.measure_render(
+        parsed.required_length, parsed.esc_count, parsed.esc_base,
+        parsed.esc_len, S, sizes,
+    )
+    oracle_lines: dict[int, bytes] = {}
+    for i in np.flatnonzero(parsed.oracle_line):
+        line, _ = decode_data_line(parsed.raw, int(parsed.line_offset[i]), S)
+        oracle_lines[int(i)] = line
+        sizes[i] = len(line)
+
+    out_off = np.zeros(L, np.int64)
+    if L > 1:
+        np.cumsum(sizes[:-1], out=out_off[1:])
+    out_off += base
+    total = base + int(sizes.sum())
+
+    out = np.empty(total, np.uint8)
+    out[:base] = np.frombuffer(header_blob, np.uint8)
+    native.render_text_plane(
+        np.frombuffer(parsed.raw, np.uint8), parsed.line_offset,
+        parsed.required_length, text, parsed.esc_count, parsed.esc_base,
+        parsed.esc_sample, parsed.esc_off, parsed.esc_len,
+        parsed.oracle_line.astype(np.uint8), out_off, S, out,
+    )
+    for i, line in oracle_lines.items():
+        out[out_off[i] : out_off[i] + len(line)] = np.frombuffer(line, np.uint8)
+    return out.tobytes()
+
+
 def assemble_vcf_native(
     parsed: NativeParsedVcfc,
     codes: np.ndarray,  # (L, CW) decoded genotype codes, CW >= S

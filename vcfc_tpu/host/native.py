@@ -146,6 +146,15 @@ def _load():
             lib.vcfc_classify.argtypes = [
                 _u8p, _i64p, _i64p, _i64, _i64, _u8p, _u8p,
             ]
+            lib.vcfc_render_text.restype = None
+            lib.vcfc_render_text.argtypes = [
+                _u8p, _i64p, _i32p, _u8p, _i32p, _i64p, _i32p, _i64p, _i32p,
+                _u8p, _i64p, _i64, _i64, _i64, _u8p,
+            ]
+            lib.vcfc_gather_text.restype = None
+            lib.vcfc_gather_text.argtypes = [
+                _u8p, _i64p, _u8p, _i64, _i64, _i64, _u8p,
+            ]
             lib.vcfc_rle_encode.restype = None
             lib.vcfc_rle_encode.argtypes = [_u8p, _i64, _i64, _i64, _u8p, _i32p]
             lib.vcfc_expand_codes.restype = None
@@ -289,6 +298,35 @@ def render(raw, line_off, req_len, codes, esc_count, esc_base, esc_sample,
         _ptr(esc_sample, _i32p), _ptr(esc_off, _i64p), _ptr(esc_len, _i32p),
         _ptr(skip, _u8p), _ptr(out_off, _i64p), L, CW, S, _ptr(out, _u8p),
     )
+
+
+def render_text_plane(raw, line_off, req_len, text, esc_count, esc_base,
+                      esc_sample, esc_off, esc_len, skip, out_off, S, out):
+    """Decode assembly from a device-rendered (L, TW)-byte text plane
+    (VCFC_PARSE=device): sample runs memcpy from the plane, escapes
+    splice their ASCII over the "?|?" placeholder."""
+    lib = _load()
+    L, TW = text.shape
+    lib.vcfc_render_text(
+        _ptr(raw, _u8p), _ptr(line_off, _i64p), _ptr(req_len, _i32p),
+        _ptr(text, _u8p), _ptr(esc_count, _i32p), _ptr(esc_base, _i64p),
+        _ptr(esc_sample, _i32p), _ptr(esc_off, _i64p), _ptr(esc_len, _i32p),
+        _ptr(skip, _u8p), _ptr(out_off, _i64p), L, TW, S, _ptr(out, _u8p),
+    )
+
+
+def gather_text(body, sample_start, irregular, S: int, s_pad: int) -> np.ndarray:
+    """Gather regular lines' genotype regions into a (L, 4*s_pad) uint8
+    plane (one "a|b\\t" int32 word per sample when viewed as int32) for
+    the device classify route."""
+    lib = _load()
+    L = len(sample_start)
+    text = np.zeros((L, 4 * s_pad), np.uint8)
+    lib.vcfc_gather_text(
+        _ptr(body, _u8p), _ptr(sample_start, _i64p), _ptr(irregular, _u8p),
+        L, S, 4 * s_pad, _ptr(text, _u8p),
+    )
+    return text
 
 
 def rle_encode_host(codes: np.ndarray, S: int):

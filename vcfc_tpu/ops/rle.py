@@ -173,6 +173,47 @@ def rle_decode(flagpos: jax.Array, n_samples: jax.Array):
     return code, decoded
 
 
+@jax.jit
+def text_rle_encode(text: jax.Array, n_samples):
+    """XLA twin of pallas_rle.pallas_text_encode: fused ASCII classify +
+    RLE encode.  ``text`` is (L, S_pad) int32 — one little-endian
+    "a|b\\t" word per 4-byte sample field.  Returns (flagpos, nseg,
+    seps_ok) with seps_ok == 0 marking rows whose separator bytes are
+    not tabs (mis-sliced irregular lines the caller routes to the
+    oracle).  Classification predicate matches the reference's four-GT
+    match (compress.cpp:126-170; everything else escapes :171-185)."""
+    L, S_pad = text.shape
+    b0 = text & 0xFF
+    b1 = (text >> 8) & 0xFF
+    b2 = (text >> 16) & 0xFF
+    sep = (text >> 24) & 0xFF
+    valid = (((b0 - 48) & ~1) == 0) & (b1 == 124) & (((b2 - 48) & ~1) == 0)
+    codes = jnp.where(valid, (b0 - 48) * 2 + (b2 - 48), CODE_ESCAPE).astype(jnp.uint8)
+    idx = jnp.arange(S_pad, dtype=jnp.int32)[None, :]
+    seps_ok = jnp.min(
+        jnp.where(idx < n_samples - 1, (sep == 9).astype(jnp.int32), 1), axis=1
+    )
+    flagpos, nseg = rle_encode(codes, n_samples)
+    return flagpos, nseg, seps_ok
+
+
+@jax.jit
+def text_rle_decode(flagpos: jax.Array, n_samples):
+    """XLA twin of pallas_rle.pallas_text_decode: fused RLE decode +
+    ASCII render.  Returns (text int32 "a|b\\t" words — "?|?" escape
+    placeholders, '\\n' terminating sample n-1 —, codes, decoded)."""
+    L, S_pad = flagpos.shape
+    code, decoded = rle_decode(flagpos, n_samples)
+    ci = code.astype(jnp.int32)
+    esc = ci == CODE_ESCAPE
+    b0 = jnp.where(esc, 63, 48 + (ci >> 1))
+    b2 = jnp.where(esc, 63, 48 + (ci & 1))
+    idx = jnp.arange(S_pad, dtype=jnp.int32)[None, :]
+    sep = jnp.where(idx == n_samples - 1, 10, 9)
+    text = b0 | (124 << 8) | (b2 << 16) | (sep << 24)
+    return text, code, decoded
+
+
 def render_text(codes) -> "jax.Array":
     """ASCII synthesis "a|b\t" per code (numpy fallback path; the native
     renderer generates text directly from codes)."""
