@@ -1,16 +1,26 @@
 """Benchmark entry point: prints ONE JSON line.
 
-Measures steady-state device RLE encode+decode throughput on a realistic
-1000-Genomes-like genotype distribution (81% 0|0; escape tail), in GB of
-genotype text (4 ASCII bytes per sample field) per second per chip.
+Headline metric: steady-state device RLE encode+decode throughput on a
+realistic 1000-Genomes-like genotype distribution (81% 0|0; escape
+tail), in GB of genotype text (4 ASCII bytes per sample field) per
+second per chip.  The ``extra`` field adds:
 
-Method: K chained encode+decode steps run inside ONE jitted
-``lax.fori_loop`` so the measurement is pure device time — on this
-machine the TPU is tunneled and (a) per-dispatch RPC round-trips cost
-~2.3 ms, (b) any device->host fetch permanently switches the client into
-synchronous dispatch, so host-side loops measure the tunnel, not the
-chip.  The K=1 dispatch cost is measured separately and subtracted.
-The lossless-roundtrip correctness gate runs AFTER timing (see (b)).
+  text_roundtrip_GBps   fused text->flags->text loop: ASCII classify +
+                        encode + decode + render ALL on device
+                        (VERDICT r2 #1; ops/pallas_rle.py text kernels)
+  wide_fused_GBps       fused kernels at S=16,384 and S=50,000
+                        (VERDICT r2 #5: Mersenne remainders + adaptive
+                        tiles lifted the old 4096 fused-width cap)
+  wide_xla_GBps         the XLA kernels at the same wide shapes, for
+                        fused-vs-XLA comparison
+
+Method: K chained steps run inside ONE jitted ``lax.fori_loop`` so the
+measurement is pure device time — on this machine the TPU is tunneled
+and (a) per-dispatch RPC round-trips cost ~2.3 ms, (b) any device->host
+fetch permanently switches the client into synchronous dispatch, so
+host-side loops measure the tunnel, not the chip.  The K=1 dispatch
+cost is measured separately and subtracted.  Lossless-roundtrip
+correctness gates run AFTER timing (see (b)).
 
 Baseline: the reference C++ binary (main_release, -O3) on this machine
 compresses+decompresses a 2504-sample x 5000-variant synthetic VCF at a
@@ -30,74 +40,177 @@ import numpy as np
 BASELINE_COMBINED_GBPS = 0.047
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _make_runner(jax, jnp, step):
+    """step: (carry, i) -> (carry, int32) inside a jitted fori_loop."""
 
-    from vcfc_tpu.engine import _kernels
-
-    rle_encode, rle_decode = _kernels(2560)
-
-    L, S = 8192, 2560  # ~21M genotype cells per step
-    rng = np.random.default_rng(0)
-    # 1000G-like distribution incl. escape tail
-    codes_np = rng.choice(
-        5, size=(L, S), p=[0.81, 0.072, 0.072, 0.0264, 0.0196]
-    ).astype(np.uint8)
-    codes = jax.device_put(codes_np)
-    n = jnp.int32(S)
-
-    def step(c):
-        flagpos, nseg = rle_encode(c, n)
-        dec_codes, decoded = rle_decode(flagpos, n)
-        return flagpos, nseg, dec_codes, decoded
-
-    def make_loop(iters):
+    def make(iters):
         @jax.jit
         def run(c):
-            def body(i, carry):
-                c_in, acc = carry
-                flagpos, nseg, dec_codes, decoded = step(c_in)
-                # thread the (unchanged) codes through the carry via an
-                # always-false mask XOR: a loop-INVARIANT body would let
-                # XLA hoist the whole step out of the loop and the
-                # subtraction would measure nothing.  The mask must be
-                # RUNTIME-opaque (nseg is never negative, but XLA cannot
-                # fold that); a provably-false compare like `u8 > 255`
-                # DOES get folded and the hoist comes back.
-                c_next = (c_in ^ (nseg[0] == jnp.int32(-0x7EAD)).astype(jnp.uint8)).astype(jnp.uint8)
-                acc = acc ^ (nseg[0] + decoded[0] + jnp.int32(dec_codes[0, 0]) + i)
-                return (c_next, acc)
+            def body(i, st):
+                c_in, acc = st
+                c_out, a = step(c_in, i)
+                return (c_out, acc ^ a ^ i)
 
             _, acc = jax.lax.fori_loop(0, iters, body, (c, jnp.int32(0)))
             return acc
 
         return run
 
-    def timed(fn, reps=3):
-        """Best-of-reps: the tunneled dispatch adds milliseconds of jitter
-        per call, which the K=1 subtraction would otherwise amplify."""
-        r = fn(codes)
-        jax.block_until_ready(r)  # warmup/compile
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(codes))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    return make
 
-    K = 51
-    dt_k = timed(make_loop(K))
-    dt_1 = timed(make_loop(1))
-    dt = (dt_k - dt_1) / (K - 1)  # per-step device time, dispatch excluded
 
-    # correctness gate AFTER timing: decode must invert encode, losslessly
-    out = step(codes)
-    assert (np.asarray(out[2]) == codes_np).all(), "roundtrip mismatch on device"
-    assert (np.asarray(out[3]) == S).all()
+def _timed(jax, fn, x, reps=3):
+    """Best-of-reps: the tunneled dispatch adds milliseconds of jitter
+    per call, which the K=1 subtraction would otherwise amplify."""
+    r = fn(x)
+    jax.block_until_ready(r)  # warmup/compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
-    gt_bytes = L * S * 4  # ASCII size of the genotype region
-    gbps = gt_bytes / dt / 1e9
+
+def _measure(jax, jnp, step, x, K=51):
+    mk = _make_runner(jax, jnp, step)
+    dt_k = _timed(jax, mk(K), x)
+    dt_1 = _timed(jax, mk(1), x)
+    return (dt_k - dt_1) / (K - 1)  # per-step device time, dispatch excluded
+
+
+def _opaque_mask(jnp, v):
+    """Runtime-opaque always-zero uint8: XLA cannot fold `v == sentinel`
+    (v is data), so XORing it into the carry defeats loop hoisting of an
+    otherwise loop-invariant body."""
+    return (v == jnp.int32(-0x7EAD)).astype(jnp.uint8)
+
+
+def _gt_codes(L, S, seed=0):
+    rng = np.random.default_rng(seed)
+    # 1000G-like distribution incl. escape tail
+    return rng.choice(
+        5, size=(L, S), p=[0.81, 0.072, 0.072, 0.0264, 0.0196]
+    ).astype(np.uint8)
+
+
+def _codes_loop_gbps(jax, jnp, encode_fn, decode_fn, L, S, codes_np, K=51):
+    codes = jax.device_put(codes_np)
+
+    def step(c_in, i):
+        flagpos, nseg = encode_fn(c_in, jnp.int32(S))
+        dec_codes, decoded = decode_fn(flagpos, jnp.int32(S))
+        # thread the (unchanged) codes through the carry via an
+        # always-false mask XOR: a loop-INVARIANT body would let XLA
+        # hoist the whole step out of the loop
+        c_next = (c_in ^ _opaque_mask(jnp, nseg[0])).astype(jnp.uint8)
+        acc = nseg[0] + decoded[0] + jnp.int32(dec_codes[0, 0])
+        return c_next, acc
+
+    dt = _measure(jax, jnp, step, codes, K)
+
+    # correctness gate AFTER timing: decode must invert encode (compare
+    # only the first S columns — padding decodes to the escape sentinel)
+    f, _ = encode_fn(codes, jnp.int32(S))
+    dec, n = decode_fn(f, jnp.int32(S))
+    assert (np.asarray(dec)[:, :S] == codes_np[:, :S]).all(), "roundtrip mismatch on device"
+    assert (np.asarray(n) == S).all()
+    return L * S * 4 / dt / 1e9
+
+
+def _text_words(codes_np, S):
+    """Render genotype codes to "a|b\\t" i32 words (host mirror of the
+    device render; escapes get the "?|?" placeholder)."""
+    c = codes_np.astype(np.int32)
+    esc = c == 4
+    b0 = np.where(esc, 63, 48 + (c >> 1))
+    b2 = np.where(esc, 63, 48 + (c & 1))
+    sep = np.full_like(c, 9)
+    sep[:, S - 1] = 10
+    return (b0 | (124 << 8) | (b2 << 16) | (sep << 24)).astype(np.int32)
+
+
+def _text_loop_gbps(jax, jnp, enc, dec, L, S, codes_np, K=51):
+    text_np = _text_words(codes_np, S)
+    text = jax.device_put(text_np)
+
+    def step(t_in, i):
+        flagpos, nseg, reg = enc(t_in, jnp.int32(S))
+        t_out, _codes, decoded = dec(flagpos, jnp.int32(S))
+        # t_out is genuinely data-dependent on t_in (and a fixed point of
+        # the roundtrip): no opaque-mask threading needed
+        return t_out, nseg[0] + decoded[0] + reg[0]
+
+    dt = _measure(jax, jnp, step, text, K)
+
+    f, _, reg = enc(text, jnp.int32(S))
+    t2, dec_codes, n = dec(f, jnp.int32(S))
+    assert (np.asarray(t2) == text_np).all(), "text roundtrip mismatch on device"
+    assert (np.asarray(dec_codes) == codes_np).all()
+    assert (np.asarray(n) == S).all() and (np.asarray(reg) == 1).all()
+    return L * S * 4 / dt / 1e9
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vcfc_tpu.engine import _kernels
+    from vcfc_tpu.ops.pallas_rle import (
+        pallas_rle_decode,
+        pallas_rle_encode,
+        pallas_text_decode,
+        pallas_text_encode,
+    )
+    from vcfc_tpu.ops.rle import rle_decode, rle_encode
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    # Force the tunneled client into SYNCHRONOUS dispatch mode up front:
+    # in async mode block_until_ready returns in ~25 us WITHOUT waiting
+    # for the device (measured; CLAUDE.md), so every timing below would
+    # be garbage.  Any device->host fetch flips the mode permanently.
+    np.asarray(jnp.zeros((), jnp.int32) + 1)
+
+    # --- headline: codes encode+decode at the 1000G shape
+    L, S = 8192, 2560  # ~21M genotype cells per step
+    codes_np = _gt_codes(L, S)
+    enc, dec = _kernels(S)
+    gbps = _codes_loop_gbps(jax, jnp, enc, dec, L, S, codes_np)
+
+    extra: dict = {}
+
+    # --- fused text roundtrip: ASCII in, ASCII out, all on device
+    if on_tpu:
+        t_enc, t_dec = pallas_text_encode, pallas_text_decode
+    else:
+        from vcfc_tpu.ops.rle import text_rle_decode, text_rle_encode
+
+        t_enc, t_dec = text_rle_encode, text_rle_decode
+    extra["text_roundtrip_GBps"] = round(
+        _text_loop_gbps(jax, jnp, t_enc, t_dec, L, S, codes_np), 3
+    )
+
+    # --- wide cohorts: fused vs XLA (VERDICT r2 #5)
+    wide_fused: dict = {}
+    wide_xla: dict = {}
+    for Lw, Sw in ((2048, 16384), (640, 50000)):
+        cw = _gt_codes(Lw, ((Sw + 127) // 128) * 128, seed=Sw)
+        cw[:, Sw:] = 0
+        if on_tpu:
+            wide_fused[f"S={Sw}"] = round(
+                _codes_loop_gbps(
+                    jax, jnp, pallas_rle_encode, pallas_rle_decode, Lw, Sw, cw, K=21
+                ),
+                3,
+            )
+        wide_xla[f"S={Sw}"] = round(
+            _codes_loop_gbps(jax, jnp, rle_encode, rle_decode, Lw, Sw, cw, K=21), 3
+        )
+    if wide_fused:
+        extra["wide_fused_GBps"] = wide_fused
+    extra["wide_xla_GBps"] = wide_xla
+
     print(
         json.dumps(
             {
@@ -105,6 +218,7 @@ def main() -> None:
                 "value": round(gbps, 3),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / BASELINE_COMBINED_GBPS, 1),
+                "extra": extra,
             }
         )
     )

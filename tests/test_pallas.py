@@ -121,9 +121,9 @@ class TestWideWidths:
 
     def test_block_l_adapts(self):
         assert _block_l(2560) == 256
-        assert _block_l(4096) == 256
-        assert _block_l(16384) == 64
-        assert _block_l(131072) == 8
+        assert _block_l(4096) == 128
+        assert _block_l(16384) == 32
+        assert _block_l(MAX_WIDTH) == 8
         assert _block_l(2560, shrink=2) == 128
 
     def test_width_guard(self):

@@ -35,15 +35,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..format.constants import CODE_ESCAPE
 
-# Working-array VMEM budget per tile: 256 rows x 4096 lanes x 4 B is the
-# widest configuration the 16 MB scoped-VMEM stack has been measured to
-# hold (512x2560 OOMs the compiler).  Tile height derives from it.
-_TILE_BUDGET = 1 << 22
+# Working-array VMEM budget per tile.  Measured on v5e: the compiler's
+# scoped-VMEM stack holds ~4.3 concurrent working arrays (64 rows x
+# 16384 lanes x 4 B = 4 MB/array OOMed at 17.43M vs the 16M limit), so
+# 3 MB per array keeps the estimated peak under ~13 MB with headroom.
+# The 256-row x 2560-lane headline shape is unchanged.
+_TILE_BUDGET = 3 << 20
 # Widest sample axis the fused kernels accept: at the 8-row floor the
 # working arrays hit the budget; engine._kernels routes wider cohorts
 # (beyond any real cohort) to the XLA kernels.  The Mersenne remainders
-# are exact to d < 2^21, beyond this bound.
-MAX_WIDTH = 1 << 17
+# are exact to d < 2^21, far beyond this bound.
+MAX_WIDTH = 1 << 16
 
 
 def _block_l(s_pad: int, shrink: int = 1) -> int:
