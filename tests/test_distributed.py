@@ -264,3 +264,190 @@ def test_single_process_vcfz_matches_writer(tmp_path, version):
     in_path.write_bytes(vcf)
     compress_multihost_vcfz(str(in_path), str(out_path), version=version)
     assert out_path.read_bytes() == vcfz_from_vcfc(engine.compress(vcf), version=version)
+
+
+_WORKER_DZ = _WORKER.replace(
+    "from vcfc_tpu.parallel.distributed import compress_multihost",
+    "from vcfc_tpu.parallel.distributed import decompress_multihost_vcfz",
+).replace(
+    "print(json.dumps(compress_multihost(in_path, out_path)))",
+    "print(json.dumps(decompress_multihost_vcfz(in_path, out_path)))",
+)
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_two_process_cooperative_vcfz_decode(tmp_path, version):
+    """2-process cooperative .vcfz DECODE (VERDICT r2 #3): block-aligned
+    stripes entropy-decode independently and the pwrite-stitched text
+    must equal the original VCF byte-for-byte — v3 and v4 (vertical
+    prediction resolves block-locally)."""
+    from vcfc_tpu import engine
+    from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vcf = make_vcf(711, 120, 700, sv_every=17)
+    vcfz = vcfz_from_vcfc(engine.compress(vcf), version=version)
+    in_path = tmp_path / "in.vcfz"
+    out_path = tmp_path / "out.vcf"
+    in_path.write_bytes(vcfz)
+    worker = tmp_path / "workerdz.py"
+    worker.write_text(_WORKER_DZ)
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    errs = [open(tmp_path / f"dz{pid}.err", "wb") for pid in (0, 1)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), repo, port, str(pid), str(in_path), str(out_path)],
+            stdout=subprocess.PIPE,
+            stderr=errs[pid],
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=280)
+            assert p.returncode == 0, (tmp_path / f"dz{pid}.err").read_text()[-2000:]
+            outs.append(json.loads(out.splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in errs:
+            f.close()
+
+    assert {o["process"] for o in outs} == {0, 1}
+    assert sum(o["lines"] for o in outs) == 700
+    assert all(o["blocks"] >= 1 for o in outs), "both stripes must decode blocks"
+    assert out_path.read_bytes() == vcf, "stitched .vcfz decode != original VCF"
+
+
+def test_single_process_vcfz_decode_matches(tmp_path):
+    from vcfc_tpu import engine
+    from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+    from vcfc_tpu.parallel.distributed import decompress_multihost_vcfz
+
+    vcf = make_vcf(712, 60, 300, sv_every=11)
+    in_path = tmp_path / "b.vcfz"
+    out_path = tmp_path / "b.vcf"
+    in_path.write_bytes(vcfz_from_vcfc(engine.compress(vcf), version=4))
+    decompress_multihost_vcfz(str(in_path), str(out_path))
+    assert out_path.read_bytes() == vcf
+
+
+def test_two_process_indexed_query(tmp_path):
+    """2-process manifest-pruned query (VERDICT r2 #3): candidates come
+    from the .vcfcm columns, the candidate list is striped, and the
+    stitched hits equal the single-process full scan byte-for-byte."""
+    from vcfc_tpu.index.manifest import build_manifest
+    from vcfc_tpu.query.coordinate import parse_coordinate_string
+    from vcfc_tpu.query.engine import query_full_scan
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vcf = make_vcf(721, 150, 300, sv_every=13)
+    vcfc = compress_bytes(vcf)
+    in_path = tmp_path / "in.vcfc"
+    out_path = tmp_path / "hits.txt"
+    in_path.write_bytes(vcfc)
+    (tmp_path / "in.vcfc.vcfcm").write_bytes(build_manifest(vcfc))
+    worker = tmp_path / "workeriq.py"
+    worker.write_text(_WORKER_Q)
+    region = "1:1000-40000"
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["VCFC_Q_REGION"] = region
+    errs = [open(tmp_path / f"iq{pid}.err", "wb") for pid in (0, 1)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), repo, port, str(pid), str(in_path), str(out_path)],
+            stdout=subprocess.PIPE,
+            stderr=errs[pid],
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=280)
+            assert p.returncode == 0, (tmp_path / f"iq{pid}.err").read_text()[-2000:]
+            outs.append(json.loads(out.splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in errs:
+            f.close()
+
+    assert all(o["indexed"] for o in outs), "manifest beside input must engage"
+    want = b"".join(query_full_scan(vcfc, parse_coordinate_string(region)))
+    assert want, "test region must produce hits"
+    assert out_path.read_bytes() == want, "indexed stitched hits != full scan"
+    # candidate striping: only candidate lines were decoded, split 2 ways
+    assert sum(o["lines"] for o in outs) < 300
+
+
+class TestIndexedQuerySingleProcess:
+    """Single-process equivalence + fallback coverage for the
+    manifest-pruned query_multihost path."""
+
+    def _roundtrip(self, tmp_path, vcf, region, with_manifest=True):
+        from vcfc_tpu.index.manifest import build_manifest
+        from vcfc_tpu.parallel.distributed import query_multihost
+
+        vcfc = compress_bytes(vcf)
+        in_path = tmp_path / "q.vcfc"
+        in_path.write_bytes(vcfc)
+        if with_manifest:
+            (tmp_path / "q.vcfc.vcfcm").write_bytes(build_manifest(vcfc))
+        out_path = tmp_path / "q.txt"
+        stats = query_multihost(str(in_path), region, str(out_path))
+        return vcfc, out_path.read_bytes(), stats
+
+    @pytest.mark.parametrize("region", ["1:1000-40000", "X", "X:2000-2000", "5"])
+    def test_matches_full_scan(self, tmp_path, region):
+        from vcfc_tpu.query.coordinate import parse_coordinate_string
+        from vcfc_tpu.query.engine import query_full_scan
+
+        vcf = make_vcf(722, 80, 240, sv_every=9)
+        vcfc, got, stats = self._roundtrip(tmp_path, vcf, region)
+        want = b"".join(query_full_scan(vcfc, parse_coordinate_string(region)))
+        assert got == want
+        assert stats["indexed"]
+
+    def test_unsorted_positions_stay_exact(self, tmp_path):
+        """The manifest route uses a dense mask, not bisects: inputs with
+        position regressions (unsorted POS) must stay byte-equal."""
+        from vcfc_tpu.query.coordinate import parse_coordinate_string
+        from vcfc_tpu.query.engine import query_full_scan
+
+        vcf = make_vcf(723, 60, 120)
+        lines = vcf.split(b"\n")
+        # swap two data lines so POS regresses within chrom 1
+        lines[3], lines[10] = lines[10], lines[3]
+        vcf = b"\n".join(lines)
+        vcfc, got, stats = self._roundtrip(tmp_path, vcf, "1:1000-40000")
+        want = b"".join(
+            query_full_scan(vcfc, parse_coordinate_string("1:1000-40000"))
+        )
+        assert got == want
+        assert stats["indexed"]
+
+    def test_unknown_ref_falls_back_to_scan(self, tmp_path):
+        """Ordinal 0 is ambiguous (every unknown name maps to it): the
+        manifest must NOT be trusted for such queries."""
+        vcf = make_vcf(724, 60, 120)
+        vcfc, got, stats = self._roundtrip(tmp_path, vcf, "chrUn:1-999999")
+        assert not stats["indexed"]
+        assert got == b""
+
+    def test_no_manifest_scans(self, tmp_path):
+        vcf = make_vcf(725, 60, 120)
+        _, got, stats = self._roundtrip(
+            tmp_path, vcf, "1:1000-40000", with_manifest=False
+        )
+        assert not stats["indexed"]
+        assert got

@@ -1,8 +1,10 @@
 """Multi-host driver.
 
   compress:   python -m vcfc_tpu.parallel <in.vcf>  <out.vcfc|.vcfz>
-  decompress: python -m vcfc_tpu.parallel <in.vcfc> <out.vcf>
+  decompress: python -m vcfc_tpu.parallel <in.vcfc|.vcfz> <out.vcf>
   query:      python -m vcfc_tpu.parallel <in.vcfc> <out.txt> --query <ref>:<s>-<e>
+              (a <in.vcfc>.vcfcm manifest beside the input prunes the
+               scan: only candidate lines are decoded)
 
 Launch once per host/process with coordinator env vars (or flags):
   VCFC_COORDINATOR=host:port  VCFC_NUM_PROCESSES=N  VCFC_PROCESS_ID=i
@@ -20,6 +22,7 @@ from .distributed import (
     compress_multihost,
     compress_multihost_vcfz,
     decompress_multihost,
+    decompress_multihost_vcfz,
     initialize,
     query_multihost,
 )
@@ -67,6 +70,8 @@ def main(argv=None) -> int:
         stats = compress_multihost_vcfz(
             args.input, args.output, version=args.vcfz_version or 3
         )
+    elif args.input.endswith(".vcfz"):
+        stats = decompress_multihost_vcfz(args.input, args.output)
     elif args.input.endswith(".vcfc"):
         stats = decompress_multihost(args.input, args.output)
     else:

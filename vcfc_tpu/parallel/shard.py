@@ -113,6 +113,55 @@ def make_sharded_decode_step(mesh):
     return jax.jit(sharded)
 
 
+def make_sharded_unpack_decode_step(mesh, out_width: int):
+    """Sharded MXU-unpack decode (VERDICT r2 #3): each device expands its
+    shard of PACKED file flag bytes to positional flags via the batched
+    indicator matmul (ops.rle.unpack_packed_flags — MXU, no scatter) and
+    run-fills codes, fused in one jit.  This is the multichip twin of the
+    VCFC_UNPACK=device engine route.
+
+    fn(flags (L, M) u8 packed, nflags (L,) i32, n_samples) ->
+    (codes (L, out_width) u8, decoded (L,) i32), flags sharded (data, None).
+    """
+    from ..ops.rle import unpack_rle_decode
+
+    def _shard_body(flags, nflags, n_samples):
+        return unpack_rle_decode(flags, nflags, n_samples, out_width=out_width)
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_text_step(mesh):
+    """Sharded fused-text roundtrip (r3): each device classifies its
+    shard of raw "a|b\\t" ASCII words, RLE-encodes, decodes, and renders
+    back to words — the VCFC_PARSE=device kernels under the mesh.
+
+    fn(text (L, S_pad) i32, n_samples) -> (text', flagpos, nseg, seps_ok).
+    """
+    from ..ops.rle import text_rle_decode, text_rle_encode
+
+    def _shard_body(text, n_samples):
+        flagpos, nseg, seps_ok = text_rle_encode(text, n_samples)
+        text2, _codes, _decoded = text_rle_decode(flagpos, n_samples)
+        return text2, flagpos, nseg, seps_ok
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_roundtrip_step(mesh):
     """Encode + decode on-device roundtrip step (used by multichip dry runs
     and correctness sweeps): returns decoded codes and a per-shard match
