@@ -1788,9 +1788,13 @@ int do_compress_z(const char* in_path, const char* out_path, int version) {
   // a .vcfc data line starts with a 0xC0 length header, ASCII never does)
   Header h = parse_meta(m.data, m.size);
   bool is_vcfc = h.data_offset < m.size && (m.data[h.data_offset] & 0xC0) == 0xC0;
+  // v4 point queries decode from the block start to the hit row, so the
+  // block height bounds the tail; 64 matches format/vcfz.py
+  // DEFAULT_BLOCK_LINES_V4 (writers must agree byte-for-byte)
+  const uint32_t block_lines = version == 4 ? 64 : 256;
   std::string z;
   if (is_vcfc) {
-    z = vcfz_write(m.data, m.size, 256, version);
+    z = vcfz_write(m.data, m.size, block_lines, version);
   } else {
     // compress to .vcfc in memory first (same pipeline as do_compress)
     std::string vcfc;
@@ -1810,7 +1814,7 @@ int do_compress_z(const char* in_path, const char* out_path, int version) {
       }
       off = end + 1;
     }
-    z = vcfz_write(reinterpret_cast<const uint8_t*>(vcfc.data()), vcfc.size(), 256,
+    z = vcfz_write(reinterpret_cast<const uint8_t*>(vcfc.data()), vcfc.size(), block_lines,
                    version);
   }
   if (!write_file(out_path, z)) die(std::string("cannot write ") + out_path);

@@ -213,6 +213,18 @@ class TestVcfzV4:
         vcfc = self._correlated_vcfc()
         assert decompress_vcfz(vcfz_from_vcfc(vcfc, version=4)) == decompress_bytes(vcfc)
 
+    def test_v4_default_block_height(self):
+        """v4's default block height is 64 (r2 #7: a point query decodes
+        from the block start to the hit row, so the block height bounds
+        the p99 tail); v3 keeps 256.  The native writer hard-codes the
+        same pair — byte equality with defaults is asserted in
+        test_native_cli / test_distributed."""
+        from vcfc_tpu.format.vcfz import VcfzReader, vcfz_from_vcfc
+
+        vcfc = self._correlated_vcfc(300, 400)
+        assert VcfzReader.parse(vcfz_from_vcfc(vcfc, version=4)).block_lines == 64
+        assert VcfzReader.parse(vcfz_from_vcfc(vcfc, version=3)).block_lines == 256
+
     def test_v4_block_boundaries_literal(self):
         # tiny blocks: every block's first line must decode standalone
         from vcfc_tpu.format.vcfz import VcfzReader, vcfz_from_vcfc

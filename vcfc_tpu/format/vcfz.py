@@ -78,7 +78,18 @@ MAGIC = b"VCFZ"
 # big on LD-correlated cohorts but costs ~18% on uncorrelated data).
 VERSION = 3
 DEFAULT_BLOCK_LINES = 256
+# v4 default: a point query decodes symbols (and resolves vertical rows)
+# from the block start to the hit row, so the block height bounds the
+# tail latency.  64 lines cuts the measured hit cost ~2.9x (11.2 -> 3.9
+# ms on the uncorrelated eval cohort) for +0.4% size there and -3.7%
+# ratio on the LD-correlated cohort (62.5x -> 60.2x) — the right trade
+# for a random-access container; v3 rows are independent and keep 256.
+DEFAULT_BLOCK_LINES_V4 = 64
 _ESC_FLAG = 0xE1
+
+
+def default_block_lines(version: int) -> int:
+    return DEFAULT_BLOCK_LINES_V4 if version == 4 else DEFAULT_BLOCK_LINES
 
 
 def _line_symbol_stream(raw, line_off, line_len, req_len, escape_dict):
@@ -486,7 +497,7 @@ def unpack_req(payload: bytes, n_bytes: int, book: Codebook,
 
 
 def vcfz_from_vcfc(
-    vcfc: bytes, block_lines: int = DEFAULT_BLOCK_LINES, version: int = VERSION
+    vcfc: bytes, block_lines: int | None = None, version: int = VERSION
 ) -> bytes:
     """Transcode .vcfc -> .vcfz (lossless).
 
@@ -500,6 +511,7 @@ def vcfz_from_vcfc(
     cost on uncorrelated data (see _v4_transform_block)."""
     if version not in (1, 2, 3, 4):
         raise ValueError(f"unsupported .vcfz version {version}")
+    block_lines = block_lines or default_block_lines(version)
     from ..index.scan import scan_lines
 
     header = parse_metadata_headers(vcfc)

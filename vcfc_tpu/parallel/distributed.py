@@ -440,8 +440,8 @@ def compress_multihost_vcfz(
     if version not in (3, 4):
         raise ValueError("multihost .vcfz transcode writes version 3 or 4")
     from ..format.vcfz import (
-        DEFAULT_BLOCK_LINES,
         _v4_transform_block,
+        default_block_lines,
         pack_req,
         serialize_prefix,
         symbol_streams,
@@ -462,7 +462,7 @@ def compress_multihost_vcfz(
     from .. import engine
     import struct
 
-    block_lines = block_lines or DEFAULT_BLOCK_LINES
+    block_lines = block_lines or default_block_lines(version)
     pid, procs = jax.process_index(), jax.process_count()
     with open(input_path, "rb") as f:
         raw = f.read()
