@@ -86,3 +86,11 @@ class TestDeviceParseDecompress:
         vcfc = engine.compress(vcf, force_device=True)
         assert vcfc == compress_bytes(vcf)
         assert engine.decompress(vcfc, force_device=True) == vcf
+
+    def test_wide_cohort_text_routes(self, device_parse):
+        """The text routes hold at wide sample axes too (adaptive line
+        batch + wide kernels)."""
+        vcf = make_vcf(216, 8192, 6, sv_every=5)
+        vcfc = engine.compress(vcf, force_device=True)
+        assert vcfc == compress_bytes(vcf)
+        assert engine.decompress(vcfc, force_device=True) == vcf
