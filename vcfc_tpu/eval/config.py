@@ -61,6 +61,7 @@ class HarnessConfig:
     schemes: tuple[str, ...] = (
         "vcfc-binned",
         "vcfc-binned-native",
+        "vcfc-manifest-native",
         "vcfc-sparse",
         "vcfc-sparse-external",
         "vcfz-v3",

@@ -202,6 +202,40 @@ class SchemeFactory:
 
         return PreparedScheme(f"vcfc-binned-native-{bin_size}", single, range_, index_path)
 
+    def vcfc_manifest_native(self, force_rebuild: bool = False) -> PreparedScheme | None:
+        """Point/range queries over the `.vcfcm` columnar manifest through
+        the native CLI, one process per query — the TPU-native index
+        design (explicit offset tables, one decode per matching line;
+        index/manifest.py) under the same per-process protocol as the
+        binned and tabix schemes.  Reads scale with the HIT count, not
+        the bin size — the cold-cache regime is where that shows."""
+        from ..host.native import cli_path
+
+        cli = cli_path()
+        if cli is None:
+            return None
+        mpath = self.vcfc_path + ".vcfcm"
+        if force_rebuild and os.path.exists(mpath):
+            os.unlink(mpath)
+        if not os.path.exists(mpath):
+            subprocess.run([cli, "create-manifest", self.vcfc_path], check=True)
+
+        def single(ref, pos):
+            return subprocess.run(
+                [cli, "query-manifest", self.vcfc_path, f"{ref}:{pos}-{pos}"],
+                capture_output=True,
+                check=True,
+            ).stdout
+
+        def range_(ref, start, end):
+            return subprocess.run(
+                [cli, "query-manifest", self.vcfc_path, f"{ref}:{start}-{end}"],
+                capture_output=True,
+                check=True,
+            ).stdout
+
+        return PreparedScheme("vcfc-manifest-native", single, range_, mpath)
+
     def vcfz(self, version: int = 3, force_rebuild: bool = False) -> PreparedScheme | None:
         """Range queries over the entropy-coded `.vcfz` container through
         the native CLI (`vcfcq query-z`), one process per query — measures
@@ -312,6 +346,8 @@ class SchemeFactory:
         builds measure real work (the binned schemes always rebuild)."""
         if name.startswith("vcfc-binned-native"):
             return self.vcfc_binned_native(**kw)
+        if name == "vcfc-manifest-native":
+            return self.vcfc_manifest_native(force_rebuild)
         if name.startswith("vcfz-v"):
             return self.vcfz(version=int(name.split("-v")[1]), force_rebuild=force_rebuild)
         if name == "vcfz":
