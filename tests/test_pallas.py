@@ -131,6 +131,23 @@ class TestWideWidths:
         with pytest.raises(ValueError, match="sample width"):
             pallas_rle_encode(codes, MAX_WIDTH, interpret=True)
 
+    def test_mersenne_folds_exhaustive(self):
+        """The digit-sum remainders must equal d % cap for EVERY d the
+        kernels can see (d < 2^21 covers any S_pad <= MAX_WIDTH) — a
+        single wrong remainder is a malformed flag byte.  numpy mirror
+        of pallas_rle._rem_mod_caps' wide branch."""
+        d = np.arange(1 << 21, dtype=np.int64)
+        x = (d >> 14) + ((d >> 7) & 127) + (d & 127)
+        x = (x >> 7) + (x & 127)
+        r127 = np.where(x >= 127, x - 127, x)
+        np.testing.assert_array_equal(r127, d % 127)
+        y = (d >> 15) + ((d >> 10) & 31) + ((d >> 5) & 31) + (d & 31)
+        y = (y >> 5) + (y & 31)
+        r31 = np.where(y >= 31, y - 31, y)
+        # the kernels bound d < S_pad <= 2^16 for the 31-cap path; the
+        # fold is in fact exact to 2^20 (digits cover bits 0..19)
+        np.testing.assert_array_equal(r31[: 1 << 20], d[: 1 << 20] % 31)
+
 
 def _words(fields, last_newline=True):
     """ASCII 3-byte sample fields -> little-endian i32 "a|b<sep>" words."""

@@ -200,15 +200,17 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = Fal
 _SHARDED_STEPS: dict = {}
 
 
-def _sharded_step_for(mesh):
-    """Memoize the jitted sharded step per mesh: a fresh shard_map closure
-    per call would miss the jit cache and retrace every invocation."""
-    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+def _sharded_step_for(mesh, s_pad: int):
+    """Memoize the jitted sharded step per (mesh, width): a fresh
+    shard_map closure per call would miss the jit cache and retrace
+    every invocation.  Width selects fused-vs-XLA kernels inside the
+    shard body (parallel/shard._kernels_for)."""
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, s_pad)
     step = _SHARDED_STEPS.get(key)
     if step is None:
         from .parallel.shard import make_sharded_encode_step
 
-        step = _SHARDED_STEPS[key] = make_sharded_encode_step(mesh)
+        step = _SHARDED_STEPS[key] = make_sharded_encode_step(mesh, s_pad)
     return step
 
 
@@ -236,9 +238,14 @@ def compress_sharded(vcf: bytes, mesh=None) -> bytes:
     n_dev = mesh.devices.size
     S_pad = max(_round_up(S, 128), 128)
     # chunked like the single-device path: one fixed-shape compile, and
-    # device memory bounded by the batch cap instead of the whole file
-    chunk = max(_round_up(_adaptive_line_batch(_LINE_BATCH, S_pad), n_dev), n_dev)
-    step = _sharded_step_for(mesh)
+    # device memory bounded by the batch cap instead of the whole file.
+    # 256*n_dev granularity: every shard's row count stays a multiple of
+    # the fused kernels' tile height (they run inside the shard body on
+    # TPU meshes — parallel/shard._kernels_for)
+    chunk = _round_up(
+        max(_adaptive_line_batch(_LINE_BATCH, S_pad), 1), 256 * n_dev
+    )
+    step = _sharded_step_for(mesh, S_pad)
     flagpos = np.zeros((L, S_pad), np.uint8)
     nseg = np.zeros(L, np.int32)
     for lo in range(0, L, chunk):
@@ -259,13 +266,13 @@ def compress_sharded(vcf: bytes, mesh=None) -> bytes:
     return assemble_vcfc(parsed, flagpos, nseg)
 
 
-def _sharded_decode_step_for(mesh):
-    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, "decode")
+def _sharded_decode_step_for(mesh, s_pad: int):
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, "decode", s_pad)
     step = _SHARDED_STEPS.get(key)
     if step is None:
         from .parallel.shard import make_sharded_decode_step
 
-        step = _SHARDED_STEPS[key] = make_sharded_decode_step(mesh)
+        step = _SHARDED_STEPS[key] = make_sharded_decode_step(mesh, s_pad)
     return step
 
 
@@ -300,9 +307,12 @@ def decompress_sharded(vcfc: bytes, mesh=None) -> bytes:
     n_dev = mesh.devices.size
     W = parsed.flags.shape[1]
     S_pad = max(_round_up(max(S, W), 128), 128)
-    # chunked like compress_sharded: bounded device memory, one compile
-    chunk = max(_round_up(_adaptive_line_batch(_LINE_BATCH, S_pad), n_dev), n_dev)
-    step = _sharded_decode_step_for(mesh)
+    # chunked like compress_sharded: bounded device memory, one compile,
+    # 256*n_dev granularity for the per-shard fused-kernel tiles
+    chunk = _round_up(
+        max(_adaptive_line_batch(_LINE_BATCH, S_pad), 1), 256 * n_dev
+    )
+    step = _sharded_decode_step_for(mesh, S_pad)
     codes = np.zeros((L, S_pad), np.uint8)
     decoded = np.zeros(L, np.int32)
     for lo in range(0, L, chunk):

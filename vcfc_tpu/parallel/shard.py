@@ -38,16 +38,32 @@ from ..ops.rle import rle_decode, rle_encode
 from .mesh import DATA_AXIS
 
 
-def make_sharded_encode_step(mesh):
+def _kernels_for(s_pad: int):
+    """Per-shard kernel selection: the fused Pallas kernels run INSIDE
+    shard_map on TPU meshes (pallas_call shards like any other op), the
+    XLA formulation elsewhere — same policy as the single-device engine
+    (engine._use_pallas; the fused path is ~5× XLA at the bench shape).
+    s_pad=0 (shape unknown at build time) keeps the portable XLA path."""
+    if s_pad:
+        from ..engine import _kernels
+
+        return _kernels(s_pad)
+    return rle_encode, rle_decode
+
+
+def make_sharded_encode_step(mesh, s_pad: int = 0):
     """Build a pjit-compiled sharded encode step.
 
     fn(codes, n_samples) -> (flagpos, nseg, global_hist, shard_offset)
     with codes sharded (data, None); shard_offset is the exclusive scan
     of per-shard flag counts (deterministic output placement).
+    ``s_pad``: pass the padded width to enable the fused kernels on TPU
+    (caller must make per-shard line counts a multiple of 256).
     """
+    enc, _dec = _kernels_for(s_pad)
 
     def _shard_body(codes, n_samples):
-        flagpos, nseg = rle_encode(codes, n_samples)
+        flagpos, nseg = enc(codes, n_samples)
         hist = masked_code_histogram(codes, n_samples)
         hist = jax.lax.psum(hist, DATA_AXIS)
         # deterministic cross-shard exclusive byte-offset scan
@@ -90,7 +106,7 @@ def make_sharded_codebook_step(mesh):
     return jax.jit(sharded)
 
 
-def make_sharded_decode_step(mesh):
+def make_sharded_decode_step(mesh, s_pad: int = 0):
     """Build a pjit-compiled sharded decode step — the decode twin of
     ``make_sharded_encode_step`` (VERDICT r1 #2; the reference's sequential
     spec is decompress2_fd, compress.cpp:1214-1257).
@@ -99,9 +115,10 @@ def make_sharded_decode_step(mesh):
     (data, None); every device run-fills its line shard locally (lines
     are independent), no collectives needed on the decode path itself.
     """
+    _enc, dec = _kernels_for(s_pad)
 
     def _shard_body(flagpos, n_samples):
-        return rle_decode(flagpos, n_samples)
+        return dec(flagpos, n_samples)
 
     sharded = shard_map(
         _shard_body,
