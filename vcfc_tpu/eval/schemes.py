@@ -96,8 +96,12 @@ class SchemeFactory:
 
             with open(dataset.vcf_path, "rb") as f:
                 vcf = f.read()
-            with open(self.vcfc_path, "wb") as f:
+            # atomic publish: a run killed mid-write must not leave a
+            # truncated .vcfc that later runs trust as cached
+            tmp = self.vcfc_path + ".tmp"
+            with open(tmp, "wb") as f:
                 f.write(engine.compress(vcf))
+            os.replace(tmp, self.vcfc_path)
         with open(self.vcfc_path, "rb") as f:
             self.vcfc = f.read()
 
