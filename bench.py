@@ -32,9 +32,18 @@ over that anchor.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persist XLA compiles across bench invocations (same knobs as cli.py);
+# the tunnel's remote compiles cost 20-50 s each when the link degrades
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/vcfc_tpu/jax")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
 
 # reference main_release combined encode+decode GB/s on this machine
 BASELINE_COMBINED_GBPS = 0.047

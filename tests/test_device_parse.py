@@ -87,6 +87,15 @@ class TestDeviceParseDecompress:
         assert vcfc == compress_bytes(vcf)
         assert engine.decompress(vcfc, force_device=True) == vcf
 
+    @pytest.mark.parametrize("samples", [126, 127, 128, 129, 255, 256, 257])
+    def test_boundary_widths(self, device_parse, samples):
+        """Run caps (127) and scan-doubling powers (128/256) are where
+        off-by-ones live; the text routes must hold across them."""
+        vcf = make_vcf(300 + samples, samples, 16)
+        vcfc = engine.compress(vcf, force_device=True)
+        assert vcfc == compress_bytes(vcf)
+        assert engine.decompress(vcfc, force_device=True) == vcf
+
     def test_wide_cohort_text_routes(self, device_parse):
         """The text routes hold at wide sample axes too (adaptive line
         batch + wide kernels)."""

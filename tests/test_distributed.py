@@ -337,6 +337,21 @@ def test_single_process_vcfz_decode_matches(tmp_path):
     assert out_path.read_bytes() == vcf
 
 
+def test_parallel_cli_routes_vcfz_decode(tmp_path):
+    """`python -m vcfc_tpu.parallel in.vcfz out.vcf` must dispatch the
+    cooperative .vcfz decoder (single-process degradation)."""
+    from vcfc_tpu import engine
+    from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+    from vcfc_tpu.parallel.__main__ import main
+
+    vcf = make_vcf(713, 40, 120)
+    in_path = tmp_path / "c.vcfz"
+    out_path = tmp_path / "c.vcf"
+    in_path.write_bytes(vcfz_from_vcfc(engine.compress(vcf), version=3))
+    assert main([str(in_path), str(out_path)]) == 0
+    assert out_path.read_bytes() == vcf
+
+
 def test_two_process_indexed_query(tmp_path):
     """2-process manifest-pruned query (VERDICT r2 #3): candidates come
     from the .vcfcm columns, the candidate list is striped, and the
