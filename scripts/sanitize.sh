@@ -137,6 +137,37 @@ PYEOF
   done
 }
 
+echo "== libvcfc_host ASAN+UBSAN (ctypes engine routes incl. text kernels)"
+make -C "$here/native" libvcfc_host_asan.so >/dev/null
+LD_PRELOAD="$(g++ -print-file-name=libasan.so) $(g++ -print-file-name=libubsan.so)" \
+ASAN_OPTIONS=detect_leaks=0 \
+VCFC_NATIVE_LIB="$here/native/libvcfc_host_asan.so" \
+VCFC_REPO="$here" \
+JAX_PLATFORMS=cpu VCFC_WORKERS=4 python - "$seed" <<'PYEOF'
+import os, sys
+sys.path.insert(0, os.environ["VCFC_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.join(sys.path[0], "tests"))
+from test_fuzz import make_vcf
+from vcfc_tpu import engine
+from vcfc_tpu.format import compress_bytes
+from vcfc_tpu.host import native
+assert native.available(), "sanitized host library failed to load"
+vcf = make_vcf(int(sys.argv[1]) % 1000 + 7, 300, 64, sv_every=7)
+want = compress_bytes(vcf)
+# all three decode/parse routes drive every .so entry point: scan,
+# unpack, scan_packed, collect_escapes, classify, index_lines,
+# measure/write, measure_render/render, gather_text, render_text
+for env in ({}, {"VCFC_PARSE": "device"}, {"VCFC_UNPACK": "device"}):
+    os.environ.update(env)
+    assert engine.compress(vcf, force_device=True) == want
+    assert engine.decompress(want, force_device=True) == vcf
+    for k in env:
+        os.environ.pop(k)
+print("host-library sanitizer legs clean")
+PYEOF
+
 echo "== ASAN+UBSAN (single worker)"
 ASAN_OPTIONS=detect_leaks=0 run_legs "$here/native/vcfcq_asan"
 echo "== vcfcq ASAN+UBSAN corrupt-input probes"
