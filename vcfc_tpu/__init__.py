@@ -19,7 +19,7 @@ Layout (see SURVEY.md §7):
   utils/     configs, reference-name ordinals, timing probes
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 import os as _os
 
