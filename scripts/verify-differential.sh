@@ -111,6 +111,17 @@ done
 "${P[@]}" decompress-z p4.vcfz z4p.rt; check cmp -s z4p.rt f.vcf
 "$V" query-z p4.vcfz "21:1000-99999" > b4; check cmp -s a b4
 
+# --- .vcfcm manifest (no reference analog): native and Python writers
+# byte-equal; query-manifest output equals the binned-index query (same
+# SV-aware overlap semantics) on hit, SV-overlap, and miss regions
+"$V" create-manifest v.vcfc
+"${P[@]}" create-manifest p.vcfc;      check cmp -s v.vcfc.vcfcm p.vcfc.vcfcm
+for region in "17:1000-99999" "21:1-999999999" "X:2000-2000" "5:1-99"; do
+  "$R" query-binned-index r.vcfc "$region" > a
+  "$V" query-manifest v.vcfc "$region" > b;    check cmp -s a b
+  "${P[@]}" query-manifest p.vcfc "$region" > c; check cmp -s a c
+done
+
 # --- device-unpack decode route: the MXU packed->positional path must
 # reproduce the VCF byte-for-byte on the fresh corpus too
 VCFC_FORCE_DEVICE=1 VCFC_UNPACK=device "${P[@]}" decompress p.vcfc pu.rt
