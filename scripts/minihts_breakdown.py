@@ -50,7 +50,7 @@ def _best(cmd, reps=7, stdout=subprocess.DEVNULL):
 
 
 def main() -> int:
-    workdir = sys.argv[1] if len(sys.argv) > 2 else "eval-work"
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "eval-work"
     out_path = (
         sys.argv[2] if len(sys.argv) > 2 else "docs/eval/minihts-breakdown.json"
     )

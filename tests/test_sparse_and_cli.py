@@ -80,6 +80,39 @@ class TestBulkHitDecode:
         assert want.count(b"\n") > bulk.BULK_CHUNK  # crosses a flush
         assert got == want
 
+    def test_bulk_rejects_short_runs(self):
+        """ADVICE r3: a .vcfc line whose flag runs don't cover the sample
+        grid must fail in the bulk (>= BULK_MIN) path too, not render
+        garbage silently — the per-line oracle path already raises."""
+        from test_fuzz import make_vcf
+
+        from vcfc_tpu.format.lines import VcfValidationError
+        from vcfc_tpu.format.vcf import parse_metadata_headers
+        from vcfc_tpu.format import compress_bytes
+        from vcfc_tpu.index.scan import scan_lines
+        from vcfc_tpu.query import bulk
+
+        samples = 60
+        vcf = make_vcf(515, samples, bulk.BULK_MIN + 12)
+        vcfc = bytearray(compress_bytes(vcf))
+        header = parse_metadata_headers(bytes(vcfc))
+        recs = list(scan_lines(bytes(vcfc), header=header))
+        # find a line whose first sample flag is a 0|0 run of >= 2 and
+        # shorten it by one: run sums now land at S-1
+        for rec in recs:
+            p = rec.offset + 8 + rec.required_length
+            if 2 <= vcfc[p] <= 0x7F:
+                vcfc[p] -= 1
+                break
+        else:
+            pytest.fail("no multi-sample 0|0 leading run in the fixture")
+        blobs = [
+            bytes(vcfc[r.offset : r.offset + 4 + r.line_length]) for r in recs
+        ]
+        assert len(blobs) >= bulk.BULK_MIN
+        with pytest.raises(VcfValidationError):
+            bulk.decode_hit_blobs(bytes(vcfc[: header.data_offset]), header, blobs)
+
     def test_small_batches_use_per_line_path(self, small_vcfc):
         from vcfc_tpu.format.vcf import parse_metadata_headers
         from vcfc_tpu.index.scan import scan_lines

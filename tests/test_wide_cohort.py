@@ -1,8 +1,9 @@
 """Wide-cohort scaling (VERDICT r1 #5 / r2 #5): biobank-scale sample
 widths must stay byte-identical to the oracle, with the adaptive line
 batch bounding device memory.  Since r3 the fused Pallas kernels cover
-widths to MAX_WIDTH=131072 (Mersenne remainders + adaptive tile
-heights); only wider cohorts route to XLA."""
+widths to MAX_WIDTH=65536 (Mersenne remainders + adaptive tile
+heights; the 2x-wider text kernels to 49152 — max_fused_width(2));
+only wider cohorts route to XLA."""
 
 import numpy as np
 import pytest
@@ -38,6 +39,20 @@ class TestAdaptiveLineBatch:
         assert not engine._use_pallas(MAX_WIDTH + 128)
         monkeypatch.setenv("VCFC_KERNEL", "xla")
         assert engine._kernels(16384) == (rle_encode, rle_decode)
+
+    def test_text_kernel_width_gate(self, monkeypatch):
+        """ADVICE r3: the text kernels' i32 tiles are 2x the u8 ones, so
+        their fused-width bound halves; beyond it the 8-row tile floor
+        would overrun the scoped-VMEM budget."""
+        from vcfc_tpu.ops.pallas_rle import _block_l, max_fused_width
+
+        assert max_fused_width(2) == 49152
+        monkeypatch.setenv("VCFC_KERNEL", "pallas")
+        assert engine._use_pallas(max_fused_width(2), shrink=2)
+        assert not engine._use_pallas(max_fused_width(2) + 128, shrink=2)
+        assert _block_l(max_fused_width(2), shrink=2) == 8
+        with pytest.raises(ValueError, match="VMEM budget"):
+            _block_l(max_fused_width(2) + 128, shrink=2)
 
 
 class TestWideCohorts:

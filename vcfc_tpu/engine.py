@@ -49,15 +49,16 @@ def _adaptive_line_batch(line_batch: int, s_pad: int) -> int:
     return max(256, min(line_batch, cap))
 
 
-def _use_pallas(s_pad: int) -> bool:
+def _use_pallas(s_pad: int, shrink: int = 1) -> bool:
     """Fused Pallas kernels on TPU (VCFC_KERNEL=pallas forces them, =xla
     forbids); widths beyond the fused kernels' VMEM budget (beyond any
-    real cohort — ops.pallas_rle.MAX_WIDTH = 131,072) route to XLA,
-    which tiles internally."""
-    from .ops.pallas_rle import MAX_WIDTH
+    real cohort — ops.pallas_rle.max_fused_width: 65,536 for the code
+    kernels, 49,152 for the 2x-wider text kernels) route to XLA, which
+    tiles internally."""
+    from .ops.pallas_rle import max_fused_width
 
     choice = os.environ.get("VCFC_KERNEL", "auto")
-    if choice == "xla" or s_pad > MAX_WIDTH:
+    if choice == "xla" or s_pad > max_fused_width(shrink):
         return False
     if choice != "pallas":
         import jax
@@ -81,8 +82,9 @@ def _kernels(s_pad: int = 0):
 
 def _text_kernels(s_pad: int = 0):
     """Select the fused text<->flags kernels (classify+encode /
-    decode+render) for the VCFC_PARSE=device routes."""
-    if _use_pallas(s_pad):
+    decode+render) for the VCFC_PARSE=device routes (shrink=2: their
+    i32 text tiles halve the width the VMEM budget covers)."""
+    if _use_pallas(s_pad, shrink=2):
         from .ops.pallas_rle import pallas_text_decode, pallas_text_encode
 
         return pallas_text_encode, pallas_text_decode

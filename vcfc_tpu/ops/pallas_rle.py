@@ -7,12 +7,13 @@ VMEM once, all scans run as log-step shift-and-select doubling on the
 VPU (pltpu.roll along the lane axis), and the result is written once.
 
 Width scaling: the tile height adapts to the sample width (a fixed
-~4 MB i32 working-array budget per tile — 256 rows at S_pad<=4096,
-down to 8 rows at S_pad=131072), and the run-cap remainders switch from
+~3 MB i32 working-array budget per tile — 256 rows at S_pad<=4096,
+down to 8 rows at S_pad=65536), and the run-cap remainders switch from
 magic-number multiply-shift (exact only to d<16,644) to Mersenne-prime
 digit-sum folds (127 = 2^7-1, 31 = 2^5-1: summing base-2^k digits is
 exact mod 2^k-1 for any d < 2^21), so the fused kernels cover cohorts
-to S_pad = 131,072 — wide cohorts no longer fall back to XLA.
+to S_pad = 65,536 (the text kernels to 49,152: their i32 text tile is
+2x wider, see max_fused_width) — wider cohorts fall back to XLA.
 
 The *_text_* kernels additionally fuse the host classify/render steps:
 encode consumes raw genotype-region ASCII (one int32 word per 4-byte
@@ -48,10 +49,24 @@ _TILE_BUDGET = 3 << 20
 MAX_WIDTH = 1 << 16
 
 
+def max_fused_width(shrink: int = 1) -> int:
+    """Widest S_pad the fused kernels accept for a kernel family whose
+    working arrays are ``shrink``x the budget: the 8-row tile floor must
+    still fit the VMEM budget (ADVICE r3: at shrink=2 the old MAX_WIDTH
+    let cap drop below 8 rows and overran the scoped-VMEM budget)."""
+    return min(MAX_WIDTH, _TILE_BUDGET // shrink // (4 * 8))
+
+
 def _block_l(s_pad: int, shrink: int = 1) -> int:
     """Tile height (power of two, 8..256) fitting the VMEM budget; the
     text kernels pass shrink=2 (their i32 text tile is 4x the u8 one)."""
     cap = _TILE_BUDGET // shrink // (4 * s_pad)
+    if cap < 8:
+        raise ValueError(
+            f"S_pad {s_pad} exceeds the fused-kernel VMEM budget at the "
+            f"8-row tile floor (max {max_fused_width(shrink)}) — route to "
+            "the XLA kernels (engine._kernels does)"
+        )
     bl = 8
     while bl * 2 <= min(cap, 256):
         bl *= 2
@@ -291,10 +306,11 @@ def _text_decode_kernel(n_ref, flag_ref, text_ref, codes_ref, decoded_ref):
 def _grid_call(kernel, x, n_samples, out_shapes, interpret, shrink=1):
     """out_shapes: list of (lanes, dtype) — lanes is S_pad or 1."""
     L, S_pad = x.shape
-    if S_pad > MAX_WIDTH:
+    if S_pad > max_fused_width(shrink):
         raise ValueError(
-            f"sample width {S_pad} > {MAX_WIDTH}: beyond the fused kernels' "
-            "VMEM budget — use the XLA kernels (engine._kernels does)"
+            f"sample width {S_pad} > {max_fused_width(shrink)}: beyond the "
+            "fused kernels' VMEM budget — use the XLA kernels "
+            "(engine._kernels does)"
         )
     block_l = _block_l(S_pad, shrink)
     if L % block_l:

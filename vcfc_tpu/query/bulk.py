@@ -38,7 +38,15 @@ def decode_hit_blobs(
     with suspended():  # internal re-parse must not inflate TIMING labels
         parsed = parse_vcfc_native(header_blob + b"".join(blobs))
     codes = native.expand_codes(parsed.flags, S)
-    decoded = np.full(parsed.n_lines, S, np.int32)  # unpack validated shape
+    # real per-line run-length sums, so assemble_vcf_native's
+    # ``decoded != S`` check still fires on flag runs that don't cover
+    # the sample grid (ADVICE r3: a constant S would mask corrupt input
+    # the <BULK_MIN per-line path rejects)
+    f = parsed.flags.astype(np.int32)
+    run_len = np.where(
+        (f & 0x80) == 0, f & 0x7F, np.where((f & 0xE0) == 0xE0, 1, f & 0x1F)
+    )
+    decoded = run_len.sum(axis=1, dtype=np.int64).astype(np.int32)
     text = assemble_vcf_native(parsed, codes, decoded)[len(header_blob) :]
     lines = [l + b"\n" for l in text.split(b"\n")[:-1]]
     if len(lines) != len(blobs):  # pragma: no cover - defensive
