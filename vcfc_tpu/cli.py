@@ -94,8 +94,23 @@ def main(argv: list[str] | None = None) -> int:
             raise RuntimeError("input and output file are the same")
         from . import engine
 
+        sharded = os.environ.get("VCFC_SHARDED", "") not in ("", "0")
+        stream_env = os.environ.get("VCFC_STREAM", "")
+        threshold = int(os.environ.get("VCFC_STREAM_THRESHOLD", str(1 << 30)))
+        use_stream = not sharded and (
+            stream_env not in ("", "0")
+            or (stream_env == "" and os.path.getsize(input_filename) > threshold)
+        )
+        if use_stream:
+            # bounded-memory chunked engine (>RAM inputs; byte-identical
+            # to the whole-buffer path — engine.compress_stream)
+            if action == "compress":
+                engine.compress_stream(input_filename, output_filename)
+            else:
+                engine.decompress_stream(input_filename, output_filename)
+            return 0
         data = _read(input_filename)
-        if os.environ.get("VCFC_SHARDED", "") not in ("", "0"):
+        if sharded:
             # mesh-sharded codec steps over all visible devices
             # (pjit/shard_map; byte-identical to the single-device path)
             result = (

@@ -199,6 +199,150 @@ def compress(vcf: bytes, line_batch: int = _LINE_BATCH, force_device: bool = Fal
     return assemble_vcfc(parsed, flagpos, nseg)
 
 
+# ---------------------------------------------------------------------------
+# Streaming file codec (VERDICT r3 #3).  compress()/decompress() buffer the
+# whole file; these twins run the same engine over bounded line-aligned
+# chunks so >RAM inputs work without the native CLI (whose streaming
+# bounded-buffer paths are vcfcq.cpp:681,805).  Every data line is
+# self-contained (compress.cpp:5), so chunk outputs concatenate exactly:
+# the streamed bytes are identical to the whole-buffer engine's.
+
+_STREAM_CHUNK = 64 << 20  # default chunk; VCFC_STREAM_CHUNK overrides
+
+
+def _stream_chunk(chunk_bytes: int | None) -> int:
+    if chunk_bytes:
+        return max(int(chunk_bytes), 1 << 12)
+    return max(int(os.environ.get("VCFC_STREAM_CHUNK", _STREAM_CHUNK)), 1 << 12)
+
+
+def _open_pair(src, dst):
+    """(src, dst) as binary file objects; paths are opened (and closed by
+    the caller via the returned closers)."""
+    closers = []
+    if isinstance(src, (str, bytes, os.PathLike)):
+        src = open(src, "rb")
+        closers.append(src)
+    if isinstance(dst, (str, bytes, os.PathLike)):
+        dst = open(dst, "wb")
+        closers.append(dst)
+    return src, dst, closers
+
+
+def _read_header_lines(f):
+    """Consume '#'-prefixed header lines from a stream; returns (header,
+    header_blob, carry) where carry holds the bytes readline() consumed
+    past the header (the start of the first data line — or, for .vcfc
+    input, an arbitrary binary prefix of it: it is never interpreted,
+    only prepended to the first chunk)."""
+    from .format.vcf import parse_metadata_headers
+
+    lines = []
+    carry = b""
+    while True:
+        line = f.readline()
+        if not line:
+            break
+        if line[:1] == b"#":
+            lines.append(line)
+        else:
+            carry = line
+            break
+    header_blob = b"".join(lines)
+    header = parse_metadata_headers(header_blob)  # validates + sample count
+    return header, header_blob, carry
+
+
+def compress_stream(src, dst, chunk_bytes: int | None = None) -> int:
+    """Chunked compress: VCF path/stream -> .vcfc path/stream with peak
+    memory bounded by the chunk size (plus the engine's own per-chunk
+    working set), byte-identical to ``compress`` of the whole file.
+    Returns the number of compressed bytes written."""
+    chunk = _stream_chunk(chunk_bytes)
+    fin, fout, closers = _open_pair(src, dst)
+    try:
+        _header, header_blob, carry = _read_header_lines(fin)
+        fout.write(header_blob)
+        written = len(header_blob)
+        hb = len(header_blob)
+        eof = False
+        while not eof or carry:
+            data = fin.read(chunk)
+            if not data:
+                eof = True
+            buf = carry + data
+            if not buf:
+                break
+            if eof:
+                piece, carry = buf, b""
+            else:
+                cut = buf.rfind(b"\n")
+                if cut < 0:  # a single line longer than the chunk: grow
+                    carry = buf
+                    continue
+                piece, carry = buf[: cut + 1], buf[cut + 1 :]
+            if not piece:
+                continue
+            out = compress(header_blob + piece)
+            fout.write(out[hb:])
+            written += len(out) - hb
+        return written
+    finally:
+        for f in closers:
+            f.close()
+
+
+def decompress_stream(src, dst, chunk_bytes: int | None = None) -> int:
+    """Chunked decompress: .vcfc path/stream -> VCF path/stream, the
+    decode twin of ``compress_stream`` (chunks split at compressed-line
+    boundaries by hopping the 4-byte length headers).  Byte-identical to
+    ``decompress`` of the whole file; returns bytes written."""
+    from .format.headers import decode_line_headers
+    from .format.lines import VcfValidationError
+
+    chunk = _stream_chunk(chunk_bytes)
+    fin, fout, closers = _open_pair(src, dst)
+    try:
+        _header, header_blob, carry = _read_header_lines(fin)
+        fout.write(header_blob)
+        written = len(header_blob)
+        hb = len(header_blob)
+        eof = False
+        while not eof or carry:
+            data = fin.read(chunk)
+            if not data:
+                eof = True
+            buf = carry + data
+            if not buf:
+                break
+            # complete compressed lines only (a line is 4 + line_length
+            # bytes and always holds both 4-byte headers, so 8 readable
+            # bytes at a line start suffice to size it)
+            pos, n = 0, len(buf)
+            while pos + 8 <= n:
+                line_length, _req = decode_line_headers(buf, pos)
+                if pos + 4 + line_length > n:
+                    break
+                pos += 4 + line_length
+            if pos == 0:
+                if eof:
+                    raise VcfValidationError(
+                        "truncated .vcfc stream: partial line at EOF"
+                    )
+                carry = buf  # line longer than the chunk: grow
+                continue
+            piece, carry = buf[:pos], buf[pos:]
+            text = decompress(header_blob + piece)
+            fout.write(text[hb:])
+            written += len(text) - hb
+        if carry:
+            raise VcfValidationError("truncated .vcfc stream: partial line at EOF")
+        return written
+    finally:
+        for f in closers:
+            f.close()
+
+
 _SHARDED_STEPS: dict = {}
 
 
