@@ -466,3 +466,266 @@ class TestIndexedQuerySingleProcess:
         )
         assert not stats["indexed"]
         assert got
+
+
+# ---------------------------------------------------------------------------
+# N-process matrix (VERDICT r3 #5): >= 4-process Gloo runs, uneven
+# stripes (n_lines % n_procs != 0), empty tail stripes, and the
+# byte-range RSS gate (VERDICT r3 #2).
+
+_WORKER_N = textwrap.dedent(
+    """
+    import os, sys, json, resource
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    repo, port, nprocs, pid, fn_name = sys.argv[1:6]
+    rest = [int(a) if a.isdigit() else a for a in sys.argv[6:]]
+    sys.path.insert(0, repo)
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=int(nprocs), process_id=int(pid)
+    )
+    import vcfc_tpu.parallel.distributed as D
+    stats = getattr(D, fn_name)(*rest)
+    stats["ru_maxrss_kb"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(json.dumps(stats))
+    """
+)
+
+
+def _run_cluster(tmp_path, n_procs, fn_name, args, env_extra=None, tag="n",
+                 timeout=420):
+    """Launch n_procs Gloo workers all calling distributed.<fn_name>(*args);
+    returns their stats dicts sorted by process index."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / f"worker_{tag}.py"
+    worker.write_text(_WORKER_N)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update(env_extra or {})
+    errs = [open(tmp_path / f"{tag}{pid}.err", "wb") for pid in range(n_procs)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), repo, port, str(n_procs), str(pid),
+             fn_name, *map(str, args)],
+            stdout=subprocess.PIPE,
+            stderr=errs[pid],
+            env=env,
+        )
+        for pid in range(n_procs)
+    ]
+    outs = []
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=timeout)
+            assert p.returncode == 0, (tmp_path / f"{tag}{pid}.err").read_text()[-3000:]
+            outs.append(json.loads(out.splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in errs:
+            f.close()
+    return sorted(outs, key=lambda o: o["process"])
+
+
+def test_four_process_uneven_compress(tmp_path):
+    """302 lines over 4 processes -> stripes 76/76/76/74 (uneven tail);
+    stitched output must equal the single-process oracle byte-for-byte."""
+    vcf = make_vcf(801, 60, 302, sv_every=13)
+    in_path = tmp_path / "in.vcf"
+    out_path = tmp_path / "out.vcfc"
+    in_path.write_bytes(vcf)
+    outs = _run_cluster(tmp_path, 4, "compress_multihost", [in_path, out_path])
+    assert [o["lines"] for o in outs] == [76, 76, 76, 74]
+    offs = [o["offset"] for o in outs]
+    assert offs == sorted(offs) and offs[0] == 0
+    assert out_path.read_bytes() == compress_bytes(vcf)
+
+
+def test_four_process_uneven_decompress(tmp_path):
+    """4-process decode of a 302-line .vcfc (uneven stripes) must
+    reproduce the original VCF byte-for-byte."""
+    vcf = make_vcf(802, 60, 302, sv_every=13)
+    in_path = tmp_path / "in.vcfc"
+    out_path = tmp_path / "out.vcf"
+    in_path.write_bytes(compress_bytes(vcf))
+    outs = _run_cluster(tmp_path, 4, "decompress_multihost", [in_path, out_path])
+    assert [o["lines"] for o in outs] == [76, 76, 76, 74]
+    assert out_path.read_bytes() == vcf
+
+
+def test_four_process_empty_tail_stripes(tmp_path):
+    """5 data lines over 4 processes -> stripes 2/2/1/0: the tail
+    process owns NOTHING and must still participate in every collective
+    without deadlock or corrupting the stitched bytes."""
+    vcf = make_vcf(803, 40, 5)
+    in_path = tmp_path / "in.vcf"
+    mid_path = tmp_path / "mid.vcfc"
+    out_path = tmp_path / "out.vcf"
+    in_path.write_bytes(vcf)
+    outs = _run_cluster(tmp_path, 4, "compress_multihost", [in_path, mid_path],
+                        tag="ec")
+    assert [o["lines"] for o in outs] == [2, 2, 1, 0]
+    assert outs[3]["stripe_bytes"] == 0
+    assert mid_path.read_bytes() == compress_bytes(vcf)
+    outs = _run_cluster(tmp_path, 4, "decompress_multihost",
+                        [mid_path, out_path], tag="ed")
+    assert [o["lines"] for o in outs] == [2, 2, 1, 0]
+    assert out_path.read_bytes() == vcf
+
+
+def test_four_process_query_uneven(tmp_path):
+    """4-process cooperative full-scan query over uneven stripes equals
+    the single-process scan byte-for-byte."""
+    from vcfc_tpu.query.coordinate import parse_coordinate_string
+    from vcfc_tpu.query.engine import query_full_scan
+
+    vcf = make_vcf(804, 80, 203, sv_every=11)
+    vcfc = compress_bytes(vcf)
+    in_path = tmp_path / "in.vcfc"
+    out_path = tmp_path / "hits.txt"
+    in_path.write_bytes(vcfc)
+    region = "1:1000-40000"
+    outs = _run_cluster(tmp_path, 4, "query_multihost",
+                        [in_path, region, out_path], tag="q4")
+    assert sum(o["lines"] for o in outs) == 203
+    want = b"".join(query_full_scan(vcfc, parse_coordinate_string(region)))
+    assert want and out_path.read_bytes() == want
+
+
+def test_four_process_vcfz_roundtrip_v4(tmp_path):
+    """4-process v4 .vcfz transcode with block_lines=8 over 29 lines:
+    4 blocks -> block stripes 1/1/1/1, line stripes 8/8/8/5.  Encode must
+    equal the single-process writer; the cooperative decode must restore
+    the VCF."""
+    from vcfc_tpu import engine
+    from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+    vcf = make_vcf(805, 50, 29, sv_every=7)
+    in_path = tmp_path / "in.vcf"
+    z_path = tmp_path / "out.vcfz"
+    rt_path = tmp_path / "rt.vcf"
+    in_path.write_bytes(vcf)
+    outs = _run_cluster(tmp_path, 4, "compress_multihost_vcfz",
+                        [in_path, z_path, 8, 4], tag="z4")
+    assert [o["blocks"] for o in outs] == [1, 1, 1, 1]
+    assert [o["lines"] for o in outs] == [8, 8, 8, 5]
+    want = vcfz_from_vcfc(engine.compress(vcf), block_lines=8, version=4)
+    assert z_path.read_bytes() == want
+    outs = _run_cluster(tmp_path, 4, "decompress_multihost_vcfz",
+                        [z_path, rt_path], tag="dz4")
+    assert sum(o["lines"] for o in outs) == 29
+    assert rt_path.read_bytes() == vcf
+
+
+def test_four_process_vcfz_empty_block_stripes(tmp_path):
+    """1 block over 4 processes: three processes hold zero blocks yet
+    every collective (escape dict, codebooks, section sizes) must agree."""
+    from vcfc_tpu import engine
+    from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+    vcf = make_vcf(806, 30, 6)
+    in_path = tmp_path / "in.vcf"
+    z_path = tmp_path / "out.vcfz"
+    in_path.write_bytes(vcf)
+    outs = _run_cluster(tmp_path, 4, "compress_multihost_vcfz",
+                        [in_path, z_path, 64, 3], tag="ze")
+    assert [o["blocks"] for o in outs] == [1, 0, 0, 0]
+    assert z_path.read_bytes() == vcfz_from_vcfc(
+        engine.compress(vcf), block_lines=64, version=3
+    )
+
+
+_WORKER_RSS = textwrap.dedent(
+    """
+    import os, sys, json, resource
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    repo, port, nprocs, pid, warm_vcf, big_vcf, out_vcfc, rt_vcf = sys.argv[1:9]
+    sys.path.insert(0, repo)
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=int(nprocs), process_id=int(pid)
+    )
+    from vcfc_tpu.parallel.distributed import (
+        compress_multihost, decompress_multihost,
+    )
+    # warm cooperatively on a SMALL file of the same sample width so the
+    # baseline includes every fixed cost (XLA compiles, pools, Gloo)
+    compress_multihost(warm_vcf, out_vcfc + ".warm")
+    decompress_multihost(out_vcfc + ".warm", rt_vcf + ".warm")
+    base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    compress_multihost(big_vcf, out_vcfc)
+    decompress_multihost(out_vcfc, rt_vcf)
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(json.dumps({"process": int(pid), "base_kb": base, "peak_kb": peak}))
+    """
+)
+
+
+@pytest.mark.slow
+def test_multihost_rss_stripe_bounded(tmp_path):
+    """The VERDICT r3 #2 gate: cooperative compress+decompress of a
+    ~150 MB file must hold each process's RSS growth far below the file
+    size (the old whole-file paths cost >= input + parse planes ~2.5x
+    PER PROCESS); the byte-range paths are chunk/stripe-bounded."""
+    from test_stream import _big_vcf
+
+    from vcfc_tpu import engine
+
+    src = tmp_path / "big.vcf"
+    size = _big_vcf(str(src), lines=100000)
+    assert size > (120 << 20)
+    warm = tmp_path / "warm.vcf"
+    _big_vcf(str(warm), lines=4000, seed=1)
+    out = tmp_path / "big.vcfc"
+    rt = tmp_path / "big.back.vcf"
+    worker = tmp_path / "worker_rss.py"
+    worker.write_text(_WORKER_RSS)
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    errs = [open(tmp_path / f"rss{pid}.err", "wb") for pid in (0, 1)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), repo_path := os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))), port, "2",
+             str(pid), str(warm), str(src), str(out), str(rt)],
+            stdout=subprocess.PIPE,
+            stderr=errs[pid],
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for pid, p in enumerate(procs):
+            stdout, _ = p.communicate(timeout=1500)
+            assert p.returncode == 0, (tmp_path / f"rss{pid}.err").read_text()[-3000:]
+            outs.append(json.loads(stdout.splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in errs:
+            f.close()
+
+    for o in outs:
+        delta_mb = (o["peak_kb"] - o["base_kb"]) / 1024
+        assert delta_mb < (size / (1 << 20)) * 0.5, (
+            f"process {o['process']} RSS grew {delta_mb:.0f} MB on a "
+            f"{size / (1 << 20):.0f} MB input — not stripe-bounded"
+        )
+
+    # byte identity vs the single-process engine, and lossless roundtrip
+    want = engine.compress(src.read_bytes())
+    assert out.read_bytes() == want
+    with open(src, "rb") as a, open(rt, "rb") as b:
+        while True:
+            ca, cb = a.read(1 << 22), b.read(1 << 22)
+            assert ca == cb
+            if not ca:
+                break

@@ -45,6 +45,7 @@ Layout (little-endian):
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 
@@ -637,9 +638,108 @@ def vcfz_from_vcfc(
     return bytes(out)
 
 
+class _FileRegion:
+    """Read-only bytes-like view of a byte range of a file: slicing
+    preads only the requested span, so the byte-range reader
+    (``VcfzReader.parse_file``) keeps the payload/req regions on disk
+    instead of in every process's memory (VERDICT r3 #2)."""
+
+    __slots__ = ("_path", "_base", "_len")
+
+    def __init__(self, path: str, base: int, length: int):
+        self._path, self._base, self._len = path, base, length
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, key):
+        if not isinstance(key, slice):
+            if key < 0:
+                key += self._len
+            piece = self[key : key + 1]
+            if not piece:
+                raise IndexError("_FileRegion index out of range")
+            return piece[0]
+        start, stop, step = key.indices(self._len)
+        if step != 1:
+            raise ValueError("_FileRegion supports contiguous slices only")
+        out = bytearray()
+        off, n = self._base + start, max(stop - start, 0)
+        with open(self._path, "rb") as f:
+            fd = f.fileno()
+            while n > 0:
+                piece = os.pread(fd, n, off)
+                if not piece:
+                    break
+                out += piece
+                off += len(piece)
+                n -= len(piece)
+        return bytes(out)
+
+
+class _Cursor:
+    """Sequential field reader over bytes or a file, so the container
+    parse is written once and serves both the in-memory and the
+    byte-range (pread) readers."""
+
+    def __init__(self, data: bytes | None = None, path: str | None = None):
+        self._data, self._path, self.off = data, path, 0
+        if data is None:
+            self._f = open(path, "rb")
+            self.size = os.path.getsize(path)
+        else:
+            self.size = len(data)
+
+    def take(self, n: int) -> bytes:
+        if self._data is not None:
+            out = self._data[self.off : self.off + n]
+        else:
+            out = bytearray()
+            off, k = self.off, n
+            while k > 0:
+                piece = os.pread(self._f.fileno(), k, off)
+                if not piece:
+                    break
+                out += piece
+                off += len(piece)
+                k -= len(piece)
+            out = bytes(out)
+        if len(out) != n:
+            raise ValueError("truncated .vcfz container")
+        self.off += n
+        return out
+
+    def unpack(self, fmt: str) -> tuple:
+        return struct.unpack(fmt, self.take(struct.calcsize(fmt)))
+
+    def take_np(self, dtype, count: int) -> np.ndarray:
+        return np.frombuffer(self.take(count * np.dtype(dtype).itemsize), dtype)
+
+    def region(self, n: int):
+        """A bytes-like for the next n bytes: materialized for in-memory
+        input, a lazy pread view for file input."""
+        if self._data is not None:
+            return self.take(n)
+        r = _FileRegion(self._path, self.off, min(n, self.size - self.off))
+        if len(r) != n:
+            raise ValueError("truncated .vcfz container")
+        self.off += n
+        return r
+
+    def whole(self):
+        """Bytes-like over the ENTIRE input (for absolute-offset reads)."""
+        if self._data is not None:
+            return self._data
+        return _FileRegion(self._path, 0, self.size)
+
+    def close(self) -> None:
+        if self._data is None:
+            self._f.close()
+
+
 @dataclass
 class VcfzReader:
-    raw: bytes
+    raw: bytes  # whole container: bytes (parse) or lazy _FileRegion (parse_file)
     block_lines: int
     n_lines: int
     n_samples: int
@@ -657,29 +757,37 @@ class VcfzReader:
 
     @classmethod
     def parse(cls, data: bytes) -> "VcfzReader":
-        if data[:4] != MAGIC:
+        return cls._parse(_Cursor(data=data))
+
+    @classmethod
+    def parse_file(cls, path: str) -> "VcfzReader":
+        """Byte-range parse (VERDICT r3 #2): only the container prefix
+        (header, codebooks, per-line arrays, block table) is read into
+        memory; the req region and block payloads stay on disk behind
+        lazy pread views, so multihost readers never hold the whole
+        container."""
+        cur = _Cursor(path=path)
+        try:
+            return cls._parse(cur)
+        finally:
+            cur.close()
+
+    @classmethod
+    def _parse(cls, cur: "_Cursor") -> "VcfzReader":
+        if cur.take(4) != MAGIC:
             raise ValueError("not a .vcfz container")
-        off = 4
-        version, max_len, block_lines = struct.unpack_from("<IBI", data, off)
-        off += 9
+        version, max_len, block_lines = cur.unpack("<IBI")
         if version not in (1, 2, 3, 4) or max_len != MAX_CODE_LEN:
             raise ValueError("unsupported .vcfz version")
-        L, S = struct.unpack_from("<QI", data, off)
-        off += 12
-        (hlen,) = struct.unpack_from("<Q", data, off)
-        off += 8
-        header_blob = data[off : off + hlen]
-        off += hlen
-        (n_esc,) = struct.unpack_from("<I", data, off)
-        off += 4
+        L, S = cur.unpack("<QI")
+        (hlen,) = cur.unpack("<Q")
+        header_blob = cur.take(hlen)
+        (n_esc,) = cur.unpack("<I")
         escapes = []
         for _ in range(n_esc):
-            (elen,) = struct.unpack_from("<H", data, off)
-            off += 2
-            escapes.append(data[off : off + elen])
-            off += elen
-        (n_symbols,) = struct.unpack_from("<I", data, off)
-        off += 4
+            (elen,) = cur.unpack("<H")
+            escapes.append(cur.take(elen))
+        (n_symbols,) = cur.unpack("<I")
         # the alphabet size is fully determined by the header fields the
         # writer emits (256 literals + escapes [+ v4's S+1 match band]);
         # an untrusted container claiming anything else would drive
@@ -693,37 +801,23 @@ class VcfzReader:
         books = []
         n_books = 1 if version == 1 else (N_CTX_V4 if version == 4 else N_CTX)
         for _ in range(n_books):
-            lengths = np.frombuffer(data, np.uint8, n_symbols, off)
-            off += n_symbols
-            books.append(Codebook.from_lengths(lengths))
+            books.append(Codebook.from_lengths(cur.take_np(np.uint8, n_symbols)))
         req_book = None
         if version >= 3:
-            req_book = Codebook.from_lengths(np.frombuffer(data, np.uint8, 256, off))
-            off += 256
-        req_lens = np.frombuffer(data, np.uint32, L, off)
-        off += 4 * L
-        nsym = np.frombuffer(data, np.uint32, L, off)
-        off += 4 * L
-        (req_blob_len,) = struct.unpack_from("<Q", data, off)
-        off += 8
-        req_blob = data[off : off + req_blob_len]
-        off += req_blob_len
-        (n_blocks,) = struct.unpack_from("<I", data, off)
-        off += 4
+            req_book = Codebook.from_lengths(cur.take_np(np.uint8, 256))
+        req_lens = cur.take_np(np.uint32, L)
+        nsym = cur.take_np(np.uint32, L)
+        (req_blob_len,) = cur.unpack("<Q")
+        req_blob = cur.region(req_blob_len)
+        (n_blocks,) = cur.unpack("<I")
         blocks = []
         payload_off = 0
         req_payload_off = 0
         for _ in range(n_blocks):
             if version >= 3:
-                plen, nsyms, rplen, rf, pf, rl, plast, cme = struct.unpack_from(
-                    "<QQQBIBII", data, off
-                )
-                off += 8 + 8 + 8 + 1 + 4 + 1 + 4 + 4
+                plen, nsyms, rplen, rf, pf, rl, plast, cme = cur.unpack("<QQQBIBII")
             else:
-                plen, nsyms, rf, pf, rl, plast, cme = struct.unpack_from(
-                    "<QQBIBII", data, off
-                )
-                off += 8 + 8 + 1 + 4 + 1 + 4 + 4
+                plen, nsyms, rf, pf, rl, plast, cme = cur.unpack("<QQBIBII")
                 rplen = 0
             blocks.append(
                 dict(
@@ -746,9 +840,9 @@ class VcfzReader:
         req_starts = np.zeros(L, np.int64)
         np.cumsum(req_lens[:-1], out=req_starts[1:])
         return cls(
-            data, block_lines, L, S, header_blob, escapes, books, version,
+            cur.whole(), block_lines, L, S, header_blob, escapes, books, version,
             req_lens.astype(np.int64), nsym.astype(np.int64), req_starts,
-            req_blob, blocks, off, req_book,
+            req_blob, blocks, cur.off, req_book,
         )
 
     def _decode_block_symbols(self, b: int, n_take: int | None = None) -> np.ndarray:

@@ -3,8 +3,12 @@
 The reference is single-process (its only cross-node mechanics are SLURM
 job fan-out, run-all.sh:25).  Here, hosts cooperate on ONE file:
 
-  1. every process reads the input (or its byte range on a shared FS)
-     and takes a contiguous stripe of data lines;
+  1. every process preads ONLY its byte range of the shared-FS input
+     (VERDICT r3 #2: no whole-file reads — peak RSS is stripe-bounded,
+     and the codec paths spill through chunked streaming so it is
+     CHUNK-bounded), realigned to line boundaries by a two-pass
+     count-then-exchange protocol so stripes stay the same deterministic
+     line-count partition as ever (_stripe over the global line index);
   2. each encodes its stripe with the local device mesh (engine fast path);
   3. per-stripe compressed byte counts are all-gathered across processes
      on device (tiny int64 vector, rides DCN), giving every process a
@@ -22,6 +26,7 @@ same collective code paths under the virtual-device mesh).
 from __future__ import annotations
 
 import os
+import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +48,92 @@ def _stripe(n_lines: int, n_procs: int, pid: int) -> tuple[int, int]:
     return lo, min(lo + per, n_lines)
 
 
+# ---------------------------------------------------------------------------
+# Byte-range IO (VERDICT r3 #2).  Every path below reads only (a) tiny
+# metadata, (b) this process's stripe — via bounded-chunk streaming or
+# pread — never the whole input.
+
+_IO_CHUNK = 8 << 20
+
+
+def _read_file_header(path: str):
+    """(VcfcHeader, header_blob) from the '#' prefix of a VCF or .vcfc
+    file — a bounded read (the engine's streaming header reader)."""
+    from ..engine import _read_header_lines
+
+    with open(path, "rb") as f:
+        header, header_blob, _carry = _read_header_lines(f)
+    return header, header_blob
+
+
+def _merge_bounds(local: np.ndarray) -> np.ndarray:
+    """Element-wise max across processes: each boundary offset is
+    contributed by exactly one owner (zeros elsewhere), except constants
+    every process agrees on."""
+    if jax.process_count() == 1:
+        return local
+    return _allgather_array(local).max(axis=0)
+
+
+def _text_line_starts(path: str, data_offset: int, a: int, b: int) -> np.ndarray:
+    """Byte offsets of NON-EMPTY data-line starts in [a, b) of a text
+    file, by bounded-chunk scanning (numpy newline scan; empty lines are
+    dropped exactly as the parser drops them).  ``a`` must be >=
+    data_offset; the caller passes a == data_offset only on the first
+    stripe (its start candidate is handled here)."""
+    size = os.path.getsize(path)
+    b = min(b, size)
+    out = []
+    with open(path, "rb") as f:
+        fd = f.fileno()
+        if a == data_offset and a < size:
+            first = os.pread(fd, 1, a)
+            if first and first != b"\n":
+                out.append(a)
+        # scan p in [a-1, b-1): byte[p]=='\n' and byte[p+1]!='\n' => start p+1
+        p0 = max(a - 1, data_offset)
+        for c0 in range(p0, b - 1, _IO_CHUNK):
+            c1 = min(c0 + _IO_CHUNK, b - 1)
+            buf = np.frombuffer(os.pread(fd, c1 - c0 + 1, c0), np.uint8)
+            nl = np.flatnonzero((buf[:-1] == 10) & (buf[1:] != 10))
+            if len(nl):
+                out.append(c0 + nl.astype(np.int64) + 1)
+    if not out:
+        return np.zeros(0, np.int64)
+    parts = [np.atleast_1d(np.asarray(x, np.int64)) for x in out]
+    return np.concatenate(parts)
+
+
+def _aligned_text_stripes(path: str, data_offset: int, targets) -> tuple[np.ndarray, int]:
+    """Two-pass deterministic striping of a text file's data lines.
+
+    Pass 1: each process scans its NOMINAL byte range for non-empty line
+    starts (bounded chunks) and the counts allgather into the global line
+    count L.  ``targets`` maps L -> the (n_procs+1,) non-decreasing line
+    indices that bound each process's stripe (line-count or block-aligned
+    — caller's choice).  Pass 2 exchanges the boundary byte offsets (each
+    owned by exactly one process) so every process can pread exactly its
+    stripe.  Returns (bounds byte offsets, L)."""
+    pid, procs = jax.process_index(), jax.process_count()
+    size = os.path.getsize(path)
+    span = max(size - data_offset, 0)
+    a = data_offset + (span * pid) // procs
+    b = data_offset + (span * (pid + 1)) // procs
+    starts = _text_line_starts(path, data_offset, a, b)
+    counts = _allgather_sizes(len(starts))
+    base = int(counts[:pid].sum())
+    L = int(counts.sum())
+
+    tgt = np.asarray(targets(L), np.int64)
+    bounds = np.zeros(len(tgt), np.int64)
+    for q, t in enumerate(tgt.tolist()):
+        if t >= L:
+            bounds[q] = size  # constant: every process agrees
+        elif base <= t < base + len(starts):
+            bounds[q] = starts[t - base]
+    return _merge_bounds(bounds), L
+
+
 def _allgather_sizes(my_size: int) -> np.ndarray:
     """All processes learn every stripe's byte count, ordered by process
     index.  Uses a device all_gather over the global device set so the
@@ -55,102 +146,213 @@ def _allgather_sizes(my_size: int) -> np.ndarray:
     return gathered.reshape(-1)
 
 
+def _barrier() -> None:
+    """Block until every process reaches this point.  Multihost ops call
+    it after their pwrites so a returned call implies the stitched file
+    is COMPLETE on the shared FS — without it, a process chaining into a
+    read of the output could see a peer's still-zero-filled stripe
+    (caught by the RSS-gate test chaining compress -> decompress)."""
+    _allgather_sizes(0)
+
+
+def _iter_line_chunks(path: str, a: int, b: int, chunk: int = _IO_CHUNK):
+    """Yield newline-aligned text pieces covering [a, b) of a file
+    (``a`` and ``b`` must be line boundaries)."""
+    if b <= a:
+        return
+    with open(path, "rb") as f:
+        f.seek(a)
+        carry = b""
+        remain = b - a
+        while remain > 0:
+            data = f.read(min(chunk, remain))
+            if not data:
+                break
+            remain -= len(data)
+            buf = carry + data
+            if remain <= 0:
+                carry = b""
+                yield buf
+                break
+            cut = buf.rfind(b"\n")
+            if cut < 0:  # a line longer than the chunk: grow
+                carry = buf
+                continue
+            carry = buf[cut + 1 :]
+            yield buf[: cut + 1]
+        if carry:
+            yield carry
+
+
+def _iter_vcfc_chunks(path: str, a: int, b: int, chunk: int = _IO_CHUNK):
+    """Yield compressed-line-aligned pieces covering [a, b) of a .vcfc
+    file (``a``/``b`` must be line boundaries), hopping the 4-byte length
+    headers."""
+    from ..format.headers import decode_line_headers
+
+    if b <= a:
+        return
+    with open(path, "rb") as f:
+        f.seek(a)
+        carry = b""
+        remain = b - a
+        while remain > 0 or carry:
+            data = f.read(min(chunk, remain)) if remain > 0 else b""
+            remain -= len(data)
+            buf = carry + data
+            if not buf:
+                break
+            pos, n = 0, len(buf)
+            while pos + 8 <= n:
+                line_length, _ = decode_line_headers(buf, pos)
+                if pos + 4 + line_length > n:
+                    break
+                pos += 4 + line_length
+            if pos == 0:
+                if remain <= 0:
+                    raise ValueError("truncated .vcfc stripe")
+                carry = buf
+                continue
+            carry = buf[pos:]
+            yield buf[:pos]
+
+
+def _spill_to_output(spill, fd: int, offset: int, skip: int = 0) -> None:
+    """Copy a spill file's bytes (past ``skip``) to ``fd`` at ``offset``
+    in bounded chunks."""
+    spill.seek(skip)
+    while True:
+        piece = spill.read(_IO_CHUNK)
+        if not piece:
+            break
+        os.pwrite(fd, piece, offset)
+        offset += len(piece)
+
+
 def compress_multihost(input_path: str, output_path: str) -> dict:
     """Cooperatively compress one VCF across all processes.
 
-    Returns stats (lines, bytes, offset) for this process's stripe.
+    Each process preads only its line-aligned byte range (VERDICT r3 #2)
+    and encodes it in bounded chunks spilled to a temp file, so peak RSS
+    is chunk-bounded; the stripe partition over global line indices is
+    the same deterministic _stripe as ever, so output is byte-identical
+    to the whole-buffer path.  Returns stats for this process's stripe.
     """
     from .. import engine
     from ..host.parse import parse_vcf_bytes
     from ..ops.histogram import code_histogram
 
     pid, procs = jax.process_index(), jax.process_count()
-    with open(input_path, "rb") as f:
-        raw = f.read()
-
-    parsed = parse_vcf_bytes(raw)
-    header_blob = b"".join(parsed.header.meta_lines) + parsed.header.header_line
-    L = parsed.n_lines
-    lo, hi = _stripe(L, procs, pid)
-
-    # encode only my stripe: rebuild a stripe-local VCF slice and reuse the
-    # engine fast path (line-aligned, so bytes concatenate exactly)
-    if hi > lo:
-        start = int(parsed.line_start[lo])
-        end = int(parsed.line_end[hi - 1]) + 1  # include newline
-        stripe_vcf = header_blob + parsed.data[start:end].tobytes()
-        stripe_vcfc = engine.compress(stripe_vcf)
-        my_bytes = stripe_vcfc[len(header_blob) :]
-    else:
-        my_bytes = b""
-
-    # global genotype-code histogram: local device reduction, then an
-    # allgather-sum so every process reports the same GLOBAL counts
-    hist = (
-        np.asarray(code_histogram(parsed.codes[lo:hi])).astype(np.int64)
-        if hi > lo
-        else np.zeros(5, np.int64)
+    _header, header_blob = _read_file_header(input_path)
+    hb = len(header_blob)
+    bounds, L = _aligned_text_stripes(
+        input_path,
+        hb,
+        lambda L: [_stripe(L, procs, q)[0] for q in range(procs)] + [L],
     )
-    hist = _allgather_array(hist).sum(axis=0)
+    lo, hi = _stripe(L, procs, pid)
+    a, b = int(bounds[pid]), int(bounds[pid + 1])
 
-    sizes = _allgather_sizes(len(my_bytes))
-    my_offset = int(sizes[:pid].sum())
-    total = int(sizes.sum())
+    # chunked encode + per-chunk histogram, spilled to a temp file.  The
+    # encode transient is ~10x the text chunk (two parses + code grids +
+    # device buffers), so encode chunks ride at half the IO chunk.
+    hist = np.zeros(5, np.int64)
+    my_size = 0
+    with tempfile.TemporaryFile() as spill:
+        for piece in _iter_line_chunks(input_path, a, b, chunk=_IO_CHUNK // 2):
+            chunk_vcf = header_blob + piece
+            parsed = parse_vcf_bytes(chunk_vcf)
+            if parsed.n_lines:
+                hist += np.asarray(code_histogram(parsed.codes)).astype(np.int64)
+            out = engine.compress(chunk_vcf)
+            spill.write(out[hb:])
+            my_size += len(out) - hb
 
-    # deterministic stitched write: header by process 0, stripes by offset
-    flags = os.O_WRONLY | os.O_CREAT
-    fd = os.open(output_path, flags, 0o644)
-    try:
-        os.ftruncate(fd, len(header_blob) + total)
-        if pid == 0:
-            os.pwrite(fd, header_blob, 0)
-        if my_bytes:
-            os.pwrite(fd, my_bytes, len(header_blob) + my_offset)
-    finally:
-        os.close(fd)
+        # global genotype-code histogram: local device reduction, then an
+        # allgather-sum so every process reports the same GLOBAL counts
+        hist = _allgather_array(hist).sum(axis=0)
 
+        sizes = _allgather_sizes(my_size)
+        my_offset = int(sizes[:pid].sum())
+        total = int(sizes.sum())
+
+        # deterministic stitched write: header by process 0, stripes by
+        # offset, copied from the spill in bounded chunks
+        fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
+        try:
+            os.ftruncate(fd, hb + total)
+            if pid == 0:
+                os.pwrite(fd, header_blob, 0)
+            if my_size:
+                _spill_to_output(spill, fd, hb + my_offset)
+        finally:
+            os.close(fd)
+
+    _barrier()
     return {
         "process": pid,
         "processes": procs,
         "lines": hi - lo,
-        "stripe_bytes": len(my_bytes),
+        "stripe_bytes": my_size,
         "offset": my_offset,
-        "total_bytes": len(header_blob) + total,
+        "total_bytes": hb + total,
         "histogram": hist.tolist(),
     }
 
 
-def _vcfc_line_offsets(raw: bytes):
-    """Verbatim header blob + per-line byte offsets of a .vcfc stream
-    (native C++ scan when available; Python length-header hops otherwise)."""
-    from ..format.vcf import parse_metadata_headers
-    from ..host import native
-
-    header = parse_metadata_headers(raw)
-    header_blob = raw[: header.data_offset]
-    if native.available():
-        raw_np = np.frombuffer(raw, np.uint8)
-        max_lines = max((len(raw) - header.data_offset) // 10 + 2, 16)
-        line_off, _, _ = native.scan_vcfc(raw_np, header.data_offset, max_lines)
-        return header_blob, line_off.tolist()
+def _vcfc_stream_offsets(path: str):
+    """(header_blob, per-line byte offsets, per-line length-header
+    values) of a .vcfc FILE by bounded-chunk streaming header hops —
+    peak RSS is chunk + 16 B/line, never the file (VERDICT r3 #2).  A
+    `.vcfcm` manifest beside the file short-circuits the scan (its
+    offset/length columns are exactly these arrays)."""
     from ..format.headers import decode_line_headers
 
-    offsets = []
-    off = header.data_offset
-    n = len(raw)
-    while off < n:
-        line_length, _ = decode_line_headers(raw, off)
-        offsets.append(off)
-        off = off + 4 + line_length
-    return header_blob, offsets
+    _header, header_blob = _read_file_header(path)
+    mpath = path + ".vcfcm"
+    if os.path.exists(mpath):
+        from ..index.manifest import Manifest
+
+        with open(mpath, "rb") as f:
+            m = Manifest(f.read())
+        return header_blob, m.offset.astype(np.int64), m.length.astype(np.int64)
+
+    offsets: list[int] = []
+    lengths: list[int] = []
+    with open(path, "rb") as f:
+        f.seek(len(header_blob))
+        base = len(header_blob)
+        carry = b""
+        while True:
+            data = f.read(_IO_CHUNK)
+            eof = not data
+            buf = carry + data
+            pos, n = 0, len(buf)
+            while pos + 8 <= n:
+                line_length, _ = decode_line_headers(buf, pos)
+                if pos + 4 + line_length > n:
+                    break
+                offsets.append(base + pos)
+                lengths.append(line_length)
+                pos += 4 + line_length
+            carry = buf[pos:]
+            base += pos
+            if eof:
+                if carry:
+                    raise ValueError("truncated .vcfc: partial line at EOF")
+                break
+    return (
+        header_blob,
+        np.asarray(offsets, np.int64),
+        np.asarray(lengths, np.int64),
+    )
 
 
-def _stripe_bytes(raw: bytes, offsets: list[int], lo: int, hi: int) -> bytes:
-    from ..format.headers import decode_line_headers
-
-    start = offsets[lo]
-    end = offsets[hi - 1] + 4 + decode_line_headers(raw, offsets[hi - 1])[0]
-    return raw[start:end]
+def _vcfc_stripe_range(offsets, lengths, lo: int, hi: int) -> tuple[int, int]:
+    """Byte range [a, b) covering compressed lines [lo, hi)."""
+    if hi <= lo:
+        return 0, 0
+    return int(offsets[lo]), int(offsets[hi - 1] + 4 + lengths[hi - 1])
 
 
 def query_multihost(
@@ -186,25 +388,26 @@ def query_multihost(
     from ..utils.refmap import reference_to_int
 
     pid, procs = jax.process_index(), jax.process_count()
-    with open(input_path, "rb") as f:
-        raw = f.read()
     query = parse_coordinate_string(region)
 
     mpath = index_path or input_path + ".vcfcm"
     q_ref = reference_to_int(query.reference_name)
     indexed = os.path.exists(mpath) and (not query.reference_name or q_ref != 0)
     if indexed:
-        my_out, n_mine, n_cand = _query_stripe_indexed(raw, mpath, query, pid, procs)
+        my_out, n_mine, n_cand = _query_stripe_indexed(
+            input_path, mpath, query, pid, procs
+        )
         stripe_lines = n_mine
     else:
-        header_blob, offsets = _vcfc_line_offsets(raw)
+        header_blob, offsets, lengths = _vcfc_stream_offsets(input_path)
         L = len(offsets)
         lo, hi = _stripe(L, procs, pid)
-        if hi > lo:
-            stripe_vcfc = header_blob + _stripe_bytes(raw, offsets, lo, hi)
-            my_out = b"".join(query_full_scan(stripe_vcfc, query))
-        else:
-            my_out = b""
+        a, b = _vcfc_stripe_range(offsets, lengths, lo, hi)
+        pieces = [
+            b"".join(query_full_scan(header_blob + chunk, query))
+            for chunk in _iter_vcfc_chunks(input_path, a, b)
+        ]
+        my_out = b"".join(pieces)
         stripe_lines = hi - lo
 
     sizes = _allgather_sizes(len(my_out))
@@ -218,6 +421,7 @@ def query_multihost(
                 os.pwrite(fd, my_out, my_offset)
         finally:
             os.close(fd)
+        _barrier()
     return {
         "process": pid,
         "processes": procs,
@@ -229,16 +433,16 @@ def query_multihost(
     }
 
 
-def _query_stripe_indexed(raw, mpath, query, pid, procs):
+def _query_stripe_indexed(input_path, mpath, query, pid, procs):
     """Manifest-pruned candidate share for this process: exact full-scan
     predicate over the manifest columns, candidates striped in file
-    order, bulk-decoded through the native pipeline."""
-    from ..format.vcf import parse_metadata_headers
+    order, hit blobs pread per candidate (never the whole file),
+    bulk-decoded through the native pipeline."""
     from ..index.manifest import Manifest
     from ..query.bulk import decode_hit_blobs
     from ..utils.refmap import reference_to_int
 
-    header = parse_metadata_headers(raw)
+    header, header_blob = _read_file_header(input_path)
     with open(mpath, "rb") as f:
         manifest = Manifest(f.read())
     mask = np.ones(manifest.n_lines, bool)
@@ -251,11 +455,13 @@ def _query_stripe_indexed(raw, mpath, query, pid, procs):
     cand = np.flatnonzero(mask)
     lo, hi = _stripe(len(cand), procs, pid)
     mine = cand[lo:hi]
-    blobs = [
-        raw[int(manifest.offset[i]) : int(manifest.offset[i]) + 4 + int(manifest.length[i])]
-        for i in mine
-    ]
-    lines = decode_hit_blobs(raw[: header.data_offset], header, blobs)
+    with open(input_path, "rb") as f:
+        fd = f.fileno()
+        blobs = [
+            os.pread(fd, 4 + int(manifest.length[i]), int(manifest.offset[i]))
+            for i in mine
+        ]
+    lines = decode_hit_blobs(header_blob, header, blobs)
     return b"".join(lines), len(mine), len(cand)
 
 
@@ -264,10 +470,12 @@ def decompress_multihost(input_path: str, output_path: str) -> dict:
     twin of ``compress_multihost`` (VERDICT r1 #2; sequential spec:
     decompress2_fd, compress.cpp:1214-1257).
 
-      1. every process reads the compressed file and hops the 4-byte line
-         length headers to the data-line offsets;
-      2. each takes a contiguous line stripe and decodes it with the local
-         engine (device kernels or the native host executor);
+      1. every process finds the data-line offsets by a bounded-chunk
+         streaming hop over the 4-byte length headers (or the `.vcfcm`
+         manifest when present) — RSS stays chunk + 16 B/line;
+      2. each preads its contiguous line stripe in bounded chunks and
+         decodes them with the local engine (device kernels or the
+         native host executor), spilling text to a temp file;
       3. decompressed stripe byte counts are all-gathered -> deterministic
          exclusive output offsets, fixed by process index;
       4. each process pwrite()s its text at its offset; process 0 writes
@@ -279,42 +487,47 @@ def decompress_multihost(input_path: str, output_path: str) -> dict:
     from .. import engine
 
     pid, procs = jax.process_index(), jax.process_count()
-    with open(input_path, "rb") as f:
-        raw = f.read()
-
     # .vcfc stores meta/header lines verbatim, so the compressed header
     # section IS the decompressed header text
-    header_blob, offsets = _vcfc_line_offsets(raw)
+    header_blob, offsets, lengths = _vcfc_stream_offsets(input_path)
+    hb = len(header_blob)
     L = len(offsets)
     lo, hi = _stripe(L, procs, pid)
+    a, b = _vcfc_stripe_range(offsets, lengths, lo, hi)
 
-    if hi > lo:
-        stripe_vcfc = header_blob + _stripe_bytes(raw, offsets, lo, hi)
-        my_text = engine.decompress(stripe_vcfc)[len(header_blob) :]
-    else:
-        my_text = b""
+    # chunked decode of this process's byte range, spilled to a temp file
+    # (VERDICT r3 #2: peak RSS is chunk-bounded, never stripe or file).
+    # Compressed chunks expand 10-25x into text, so they ride at 1/8 the
+    # text chunk size to keep the decode transient bounded too.
+    my_size = 0
+    with tempfile.TemporaryFile() as spill:
+        for piece in _iter_vcfc_chunks(input_path, a, b, chunk=_IO_CHUNK // 8):
+            text = engine.decompress(header_blob + piece)
+            spill.write(text[hb:])
+            my_size += len(text) - hb
 
-    sizes = _allgather_sizes(len(my_text))
-    my_offset = int(sizes[:pid].sum())
-    total = int(sizes.sum())
+        sizes = _allgather_sizes(my_size)
+        my_offset = int(sizes[:pid].sum())
+        total = int(sizes.sum())
 
-    fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
-    try:
-        os.ftruncate(fd, len(header_blob) + total)
-        if pid == 0:
-            os.pwrite(fd, header_blob, 0)
-        if my_text:
-            os.pwrite(fd, my_text, len(header_blob) + my_offset)
-    finally:
-        os.close(fd)
+        fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
+        try:
+            os.ftruncate(fd, hb + total)
+            if pid == 0:
+                os.pwrite(fd, header_blob, 0)
+            if my_size:
+                _spill_to_output(spill, fd, hb + my_offset)
+        finally:
+            os.close(fd)
 
+    _barrier()
     return {
         "process": pid,
         "processes": procs,
         "lines": hi - lo,
-        "stripe_bytes": len(my_text),
+        "stripe_bytes": my_size,
         "offset": my_offset,
-        "total_bytes": len(header_blob) + total,
+        "total_bytes": hb + total,
     }
 
 
@@ -324,11 +537,12 @@ def decompress_multihost_vcfz(input_path: str, output_path: str) -> dict:
     (VERDICT r2 #3):
 
       1. every process parses the container prefix (codebooks, escape
-         dictionary, block table — tiny) from the shared file;
+         dictionary, block table — tiny) via the byte-range reader
+         (VcfzReader.parse_file): payloads stay on disk behind pread;
       2. each takes a contiguous BLOCK-aligned stripe, entropy-decodes
          its blocks' symbol+req payloads back to .vcfc line bytes
-         (VcfzReader.block_lines_vcfc), and runs the engine decode over
-         the stripe;
+         (VcfzReader.block_lines_vcfc) one block at a time, runs the
+         engine decode per block, and spills text to a temp file;
       3. per-stripe text byte counts allgather into deterministic
          exclusive offsets; each process pwrite()s its text at its
          offset; process 0 writes the verbatim header text.
@@ -341,45 +555,51 @@ def decompress_multihost_vcfz(input_path: str, output_path: str) -> dict:
     from ..format.vcfz import VcfzReader
 
     pid, procs = jax.process_index(), jax.process_count()
-    with open(input_path, "rb") as f:
-        raw = f.read()
-    reader = VcfzReader.parse(raw)
+    # byte-range parse: prefix + block table in memory, payloads pread
+    # per block (VERDICT r3 #2)
+    reader = VcfzReader.parse_file(input_path)
     header_blob = reader.header_blob
+    hb = len(header_blob)
     n_blocks = len(reader.blocks)
     blk_lo, blk_hi = _stripe(n_blocks, procs, pid)
-
     if blk_hi > blk_lo:
-        parts = [header_blob]
-        for b in range(blk_lo, blk_hi):
-            parts.extend(reader.block_lines_vcfc(b))
-        my_text = engine.decompress(b"".join(parts))[len(header_blob) :]
         my_lines = min(blk_hi * reader.block_lines, reader.n_lines) - blk_lo * reader.block_lines
     else:
-        my_text = b""
         my_lines = 0
 
-    sizes = _allgather_sizes(len(my_text))
-    my_offset = int(sizes[:pid].sum())
-    total = int(sizes.sum())
+    # per-block decode spilled to a temp file: RSS is block-bounded
+    my_size = 0
+    with tempfile.TemporaryFile() as spill:
+        for blk in range(blk_lo, blk_hi):
+            parts = [header_blob]
+            parts.extend(reader.block_lines_vcfc(blk))
+            text = engine.decompress(b"".join(parts))
+            spill.write(text[hb:])
+            my_size += len(text) - hb
 
-    fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
-    try:
-        os.ftruncate(fd, len(header_blob) + total)
-        if pid == 0:
-            os.pwrite(fd, header_blob, 0)
-        if my_text:
-            os.pwrite(fd, my_text, len(header_blob) + my_offset)
-    finally:
-        os.close(fd)
+        sizes = _allgather_sizes(my_size)
+        my_offset = int(sizes[:pid].sum())
+        total = int(sizes.sum())
 
+        fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
+        try:
+            os.ftruncate(fd, hb + total)
+            if pid == 0:
+                os.pwrite(fd, header_blob, 0)
+            if my_size:
+                _spill_to_output(spill, fd, hb + my_offset)
+        finally:
+            os.close(fd)
+
+    _barrier()
     return {
         "process": pid,
         "processes": procs,
         "blocks": blk_hi - blk_lo,
         "lines": my_lines,
-        "stripe_bytes": len(my_text),
+        "stripe_bytes": my_size,
         "offset": my_offset,
-        "total_bytes": len(header_blob) + total,
+        "total_bytes": hb + total,
     }
 
 
@@ -464,17 +684,22 @@ def compress_multihost_vcfz(
 
     block_lines = block_lines or default_block_lines(version)
     pid, procs = jax.process_index(), jax.process_count()
-    with open(input_path, "rb") as f:
-        raw = f.read()
 
-    from ..host.parse import parse_vcf_bytes
+    # byte-range stripes (VERDICT r3 #2): two-pass line alignment with
+    # BLOCK-aligned stripe starts, then each process preads only its
+    # stripe — peak RSS is stripe-bounded, never the file
+    vcf_header, header_blob = _read_file_header(input_path)
+    hb = len(header_blob)
+    S = vcf_header.schema.sample_count
 
-    parsed = parse_vcf_bytes(raw)
-    header_blob = b"".join(parsed.header.meta_lines) + parsed.header.header_line
-    L = parsed.n_lines
-    S = parsed.n_samples
+    def _targets(L):
+        blocks_total = (L + block_lines - 1) // block_lines
+        return [
+            min(_stripe(blocks_total, procs, q)[0] * block_lines, L)
+            for q in range(procs)
+        ] + [L]
 
-    # block-aligned stripes
+    bounds, L = _aligned_text_stripes(input_path, hb, _targets)
     blocks_total = (L + block_lines - 1) // block_lines
     blk_lo, blk_hi = _stripe(blocks_total, procs, pid)
     lo, hi = blk_lo * block_lines, min(blk_hi * block_lines, L)
@@ -483,9 +708,12 @@ def compress_multihost_vcfz(
 
     # stripe-local .vcfc + symbol streams + per-line metadata
     if my_lines:
-        start = int(parsed.line_start[lo])
-        end = int(parsed.line_end[hi - 1]) + 1
-        stripe_vcfc = engine.compress(header_blob + parsed.data[start:end].tobytes())
+        a, b = int(bounds[pid]), int(bounds[pid + 1])
+        with open(input_path, "rb") as f:
+            f.seek(a)
+            stripe_text = f.read(b - a)
+        stripe_vcfc = engine.compress(header_blob + stripe_text)
+        del stripe_text
         h = parse_metadata_headers(stripe_vcfc)
         recs = list(scan_lines(stripe_vcfc, header=h))
         syms, nsym, esc_local = symbol_streams(stripe_vcfc, recs)
@@ -639,6 +867,7 @@ def compress_multihost_vcfz(
     finally:
         os.close(fd)
 
+    _barrier()
     return {
         "process": pid,
         "processes": procs,
