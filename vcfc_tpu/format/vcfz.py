@@ -117,20 +117,22 @@ def _line_symbol_stream(raw, line_off, line_len, req_len, escape_dict):
     return symbols
 
 
-def _symbol_streams_native(vcfc: bytes):
+def _symbol_streams_native(vcfc: bytes, parsed=None):
     """Vectorized symbol-stream extraction via the native .vcfc parser.
 
     Returns (all_syms int32, nsym int32 per line, escape list) or None when
     the native library is unavailable (caller falls back to the per-line
     oracle walker).  ~20x faster than the Python walk on cohort files.
-    """
+    ``parsed`` may carry a pre-parsed NativeParsedVcfc (the device route
+    shares one parse between symbol extraction and the kernels)."""
     from ..host import native as native_mod
 
     if not native_mod.available():
         return None
     from ..host.fast import parse_vcfc_native
 
-    parsed = parse_vcfc_native(vcfc)
+    if parsed is None:
+        parsed = parse_vcfc_native(vcfc)
     if parsed.oracle_line.any():
         # structurally irregular lines (never produced by our encoder)
         # would break first-occurrence escape-id ordering if spliced;
@@ -497,8 +499,121 @@ def unpack_req(payload: bytes, n_bytes: int, book: Codebook,
     return unpack_symbols(payload, n_bytes, book).astype(np.uint8).tobytes()
 
 
+@dataclass
+class _Geometry:
+    """Per-line container geometry shared by the host and device writers
+    (one scan pass; every byte-emitting consumer reads the same arrays)."""
+
+    header_blob: bytes
+    S: int
+    L: int
+    recs: list
+    req_blob: bytes
+    req_lens: np.ndarray  # (L,) uint32
+    positions: np.ndarray  # (L,) uint32
+    refs: np.ndarray  # (L,) uint8
+    ends: np.ndarray  # (L,) uint32
+
+
+def _scan_geometry(vcfc: bytes) -> _Geometry:
+    from ..index.scan import scan_lines
+
+    header = parse_metadata_headers(vcfc)
+    header_blob = b"".join(header.meta_lines) + header.header_line
+    S = header.schema.sample_count
+
+    recs = list(scan_lines(vcfc))
+    L = len(recs)
+    req_blobs = []
+    req_lens = np.empty(L, np.uint32)
+    positions = np.empty(L, np.uint32)
+    refs = np.empty(L, np.uint8)
+    ends = np.empty(L, np.uint32)
+    for i, r in enumerate(recs):
+        req_blobs.append(vcfc[r.offset + 8 : r.offset + 8 + r.required_length])
+        req_lens[i] = r.required_length
+        positions[i] = r.pos
+        refs[i] = reference_to_int(r.chrom)
+        ends[i] = r.end_position()
+    return _Geometry(
+        header_blob, S, L, recs, b"".join(req_blobs), req_lens, positions,
+        refs, ends,
+    )
+
+
+def _assemble_container(
+    version: int,
+    block_lines: int,
+    geo: _Geometry,
+    esc_list: list[bytes],
+    books: list[Codebook],
+    req_book: Codebook | None,
+    nsym: np.ndarray,
+    block_ranges: list[tuple[int, int]],
+    payloads: list[bytes],
+    req_payloads: list[bytes],
+    n_block_syms: list[int],
+) -> bytes:
+    """Serialize the container from fully materialized per-block payloads
+    — the single byte-emitting tail behind the host and device writers."""
+    prefix_books = books + [req_book] if req_book is not None else books
+    out = bytearray()
+    out += serialize_prefix(
+        version, block_lines, geo.L, geo.S, geo.header_blob, esc_list,
+        prefix_books,
+    )
+    out += geo.req_lens.tobytes()
+    out += np.asarray(nsym, np.uint32).tobytes()
+
+    blocks = []
+    for bi, (lo, hi) in enumerate(block_ranges):
+        cummax_end = int(geo.ends[lo:hi].max())
+        if version >= 3:
+            blocks.append(
+                struct.pack(
+                    "<QQQBIBII",
+                    len(payloads[bi]),
+                    n_block_syms[bi],
+                    len(req_payloads[bi]),
+                    int(geo.refs[lo]),
+                    int(geo.positions[lo]),
+                    int(geo.refs[hi - 1]),
+                    int(geo.positions[hi - 1]),
+                    cummax_end,
+                )
+            )
+        else:
+            blocks.append(
+                struct.pack(
+                    "<QQBIBII",
+                    len(payloads[bi]),
+                    n_block_syms[bi],
+                    int(geo.refs[lo]),
+                    int(geo.positions[lo]),
+                    int(geo.refs[hi - 1]),
+                    int(geo.positions[hi - 1]),
+                    cummax_end,
+                )
+            )
+
+    if version >= 3:
+        req_region = b"".join(req_payloads)
+        out += struct.pack("<Q", len(req_region)) + req_region
+    else:
+        out += struct.pack("<Q", len(geo.req_blob)) + geo.req_blob
+    out += struct.pack("<I", len(blocks))
+    for b in blocks:
+        out += b
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
 def vcfz_from_vcfc(
-    vcfc: bytes, block_lines: int | None = None, version: int = VERSION
+    vcfc: bytes,
+    block_lines: int | None = None,
+    version: int = VERSION,
+    route: str | None = None,
 ) -> bytes:
     """Transcode .vcfc -> .vcfz (lossless).
 
@@ -509,32 +624,26 @@ def vcfz_from_vcfc(
     symbol codebook.  version 4 (opt-in) adds vertical prediction:
     per-block residuals against the previous variant line with
     MATCH-run symbols — a large win on LD-correlated cohorts, a small
-    cost on uncorrelated data (see _v4_transform_block)."""
+    cost on uncorrelated data (see _v4_transform_block).
+
+    ``route`` (default: the VCFZ_PACK env var) selects the entropy-coding
+    backend: "device" runs symbol emission and Huffman bit packing as TPU
+    kernels (ops/vcfz_device.py), byte-identical to the host writer;
+    structurally unsupported inputs fall back to the host path."""
     if version not in (1, 2, 3, 4):
         raise ValueError(f"unsupported .vcfz version {version}")
     block_lines = block_lines or default_block_lines(version)
-    from ..index.scan import scan_lines
+    if (route or os.environ.get("VCFZ_PACK")) == "device":
+        from .vcfz_device import vcfz_from_vcfc_device
 
-    header = parse_metadata_headers(vcfc)
-    header_blob = b"".join(header.meta_lines) + header.header_line
-    S = header.schema.sample_count
+        out = vcfz_from_vcfc_device(vcfc, block_lines, version)
+        if out is not None:
+            return out
 
-    recs = list(scan_lines(vcfc))
-    L = len(recs)
-    raw = vcfc
-    req_blobs = []
-    req_lens = np.empty(L, np.uint32)
-    positions = np.empty(L, np.uint32)
-    refs = np.empty(L, np.uint8)
-    ends = np.empty(L, np.uint32)
-    for i, r in enumerate(recs):
-        req_blobs.append(raw[r.offset + 8 : r.offset + 8 + r.required_length])
-        req_lens[i] = r.required_length
-        positions[i] = r.pos
-        refs[i] = reference_to_int(r.chrom)
-        ends[i] = r.end_position()
+    geo = _scan_geometry(vcfc)
+    S, L, req_lens = geo.S, geo.L, geo.req_lens
 
-    all_syms, nsym, esc_list = symbol_streams(vcfc, recs)
+    all_syms, nsym, esc_list = symbol_streams(vcfc, geo.recs)
     n_symbols = 256 + len(esc_list)
     sym_ends = np.cumsum(nsym)
 
@@ -545,7 +654,7 @@ def vcfz_from_vcfc(
     block_ranges = [
         (lo, min(lo + block_lines, L)) for lo in range(0, L, block_lines)
     ]
-    req_blob = b"".join(req_blobs)
+    req_blob = geo.req_blob
     classes = None
     if version == 4:
         # vertical-residual transform per block; MATCH runs live in the
@@ -572,19 +681,10 @@ def vcfz_from_vcfc(
         else:
             books = context_codebooks(per_block_syms, n_symbols)
     req_book = req_codebook(req_blob) if version >= 3 else None
-    prefix_books = books + [req_book] if req_book is not None else books
-
-    out = bytearray()
-    out += serialize_prefix(
-        version, block_lines, L, S, header_blob, esc_list, prefix_books
-    )
-    out += req_lens.tobytes()
-    out += nsym.tobytes()
 
     req_starts = np.zeros(L + 1, np.int64)
     np.cumsum(req_lens, out=req_starts[1:])
 
-    blocks = []
     payloads = []
     req_payloads = []
     for bi, (lo, hi) in enumerate(block_ranges):
@@ -593,49 +693,17 @@ def vcfz_from_vcfc(
             payload, _bits = pack_symbols(blk_syms, books[0])
         else:
             payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
-        cummax_end = int(ends[lo:hi].max())
-        if version >= 3:
-            rp = pack_req(req_blob[int(req_starts[lo]) : int(req_starts[hi])], req_book)
-            req_payloads.append(rp)
-            blocks.append(
-                struct.pack(
-                    "<QQQBIBII",
-                    len(payload),
-                    len(blk_syms),
-                    len(rp),
-                    int(refs[lo]),
-                    int(positions[lo]),
-                    int(refs[hi - 1]),
-                    int(positions[hi - 1]),
-                    cummax_end,
-                )
-            )
-        else:
-            blocks.append(
-                struct.pack(
-                    "<QQBIBII",
-                    len(payload),
-                    len(blk_syms),
-                    int(refs[lo]),
-                    int(positions[lo]),
-                    int(refs[hi - 1]),
-                    int(positions[hi - 1]),
-                    cummax_end,
-                )
-            )
         payloads.append(payload)
+        if version >= 3:
+            req_payloads.append(
+                pack_req(req_blob[int(req_starts[lo]) : int(req_starts[hi])], req_book)
+            )
 
-    if version >= 3:
-        req_region = b"".join(req_payloads)
-        out += struct.pack("<Q", len(req_region)) + req_region
-    else:
-        out += struct.pack("<Q", len(req_blob)) + req_blob
-    out += struct.pack("<I", len(blocks))
-    for b in blocks:
-        out += b
-    for p in payloads:
-        out += p
-    return bytes(out)
+    return _assemble_container(
+        version, block_lines, geo, esc_list, books, req_book, nsym,
+        block_ranges, payloads, req_payloads,
+        [len(s) for s in per_block_syms],
+    )
 
 
 class _FileRegion:

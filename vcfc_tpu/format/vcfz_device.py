@@ -1,0 +1,285 @@
+"""Device-route `.vcfz` writer (VERDICT r3 #1/#7).
+
+Moves the container's two host-bound hot loops onto the chip while
+keeping the output BYTE-IDENTICAL to the host writer (`vcfz.py`):
+
+  symbol emission   v1-v3: the positional flag bytes already ARE the
+                    symbol stream (escape flags swap to their dictionary
+                    symbol) — one elementwise kernel, so non-greedy
+                    streams transcode byte-exactly like the host walker.
+                    v4: the vertical-prediction transform + re-emission
+                    (host: Python row/run loops in
+                    vcfz._v4_transform_block) runs as the fused
+                    `ops.vcfz_device.sympos_v4` scan kernel.
+  Huffman bit pack  `ops.vcfz_device.pack_cells`: per-block
+                    (cumsum bit offsets -> word assembly by segmented
+                    scan) for both the symbol payloads and the v3/v4
+                    order-0 required-columns payloads.
+
+Architecture follows ops/rle.py's positional contract: dense O(cells)
+device work; the host performs only O(outputs) compactions (flatnonzero
+over the positional word plane) plus the tiny codebook builds.  The
+escape dictionary and per-(context, symbol) frequencies stay host-side
+— they are O(symbols), not O(cells), and anchor the byte contract to
+the same `context_codebooks` the host writer uses.
+
+Returns None (caller falls back to the host writer) for structurally
+unsupported inputs: no native library, zero lines/samples, or lines the
+native parser routes to the oracle (escape flags with count != 1 —
+never produced by any of our encoders or the reference's).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.huffman import (
+    CTX_INIT,
+    Codebook,
+    N_CTX_V4,
+    context_codebooks,
+    symbol_classes,
+)
+
+# cells per pack dispatch: pack_cells holds ~15 int32 working planes, so
+# 16M cells keeps the peak device footprint ~1 GB
+_MAX_CELLS = 16 * 1024 * 1024
+# symbol grids are kept device-resident between the emission and packing
+# passes up to this total; beyond it they are re-emitted in pass 2 so
+# device memory stays bounded regardless of input size
+_MAX_RESIDENT_BYTES = 2 * 1024 * 1024 * 1024
+
+
+def _lines_per_batch(block_lines: int, s_pad: int) -> int:
+    per = max(_MAX_CELLS // max(s_pad, 1), block_lines)
+    return (per // block_lines) * block_lines
+
+
+def _split_blocks(flat: np.ndarray, counts: list[int]) -> list[np.ndarray]:
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(flat[pos : pos + c])
+        pos += c
+    return out
+
+
+class _BatchFeed:
+    """Per-batch (flags, escape-id) planes, built lazily so the host
+    never materializes an O(L * S_pad) int32 escape plane.  Escape
+    occurrences arrive as (line, sample, id) triples sorted by line —
+    ids from the compacted v3 symbol stream (first-occurrence order, the
+    byte contract), positions from the native escape side channel, both
+    enumerated in (line, sample) order."""
+
+    def __init__(self, parsed, all_syms: np.ndarray, S_pad: int, lpb: int):
+        self.flags = parsed.flags
+        self.W = parsed.flags.shape[1]
+        self.S_pad = S_pad
+        self.lpb = lpb
+        self.L = parsed.n_lines
+        self.esc_lines = np.repeat(
+            np.arange(self.L, dtype=np.int64),
+            parsed.esc_count.astype(np.int64),
+        )
+        self.esc_samples = parsed.esc_sample
+        self.esc_ids = (all_syms[all_syms >= 256] - 256).astype(np.int32)
+
+    def batch(self, b0: int) -> tuple[np.ndarray, np.ndarray, int]:
+        b1 = min(b0 + self.lpb, self.L)
+        n = b1 - b0
+        fb = np.zeros((self.lpb, self.S_pad), np.uint8)
+        fb[:n, : self.W] = self.flags[b0:b1]
+        eb = np.zeros((self.lpb, self.S_pad), np.int32)
+        k0, k1 = np.searchsorted(self.esc_lines, [b0, b1])
+        if k1 > k0:
+            eb[
+                self.esc_lines[k0:k1] - b0, self.esc_samples[k0:k1]
+            ] = self.esc_ids[k0:k1]
+        return fb, eb, n
+
+
+def vcfz_from_vcfc_device(
+    vcfc: bytes, block_lines: int, version: int
+) -> bytes | None:
+    import jax.numpy as jnp
+
+    from ..host import native as native_mod
+
+    if not native_mod.available():
+        return None
+    from ..host.fast import parse_vcfc_native
+    from ..ops.vcfz_device import (
+        compact_payloads,
+        compact_symbols,
+        pack_cells,
+        pack_entries,
+        sympos_v3,
+        sympos_v4,
+    )
+    from .vcfz import (
+        _assemble_container,
+        _require_greedy,
+        _scan_geometry,
+        _symbol_streams_native,
+        req_codebook,
+    )
+
+    parsed = parse_vcfc_native(vcfc)
+    L = parsed.n_lines
+    S = parsed.header.schema.sample_count
+    if L == 0 or S == 0 or parsed.oracle_line.any():
+        return None
+    fast = _symbol_streams_native(vcfc, parsed)
+    if fast is None:  # pragma: no cover - native.available() checked above
+        return None
+    all_syms3, nsym3, esc_list = fast
+    nsym3 = nsym3.astype(np.int64)
+    if version == 4:
+        # same guard as the host writer: v4 re-emits greedy maximal runs,
+        # so non-canonical streams must be rejected, not canonicalized
+        _require_greedy(all_syms3, nsym3)
+
+    geo = _scan_geometry(vcfc)
+    W = parsed.flags.shape[1]
+    S_pad = (W + 127) // 128 * 128
+    block_ranges = [
+        (lo, min(lo + block_lines, L)) for lo in range(0, L, block_lines)
+    ]
+    n_blocks = len(block_ranges)
+    lpb = _lines_per_batch(block_lines, S_pad)
+    bpb = lpb // block_lines  # blocks per batch
+    batch_starts = list(range(0, L, lpb))
+    feed = _BatchFeed(parsed, all_syms3, S_pad, lpb)
+
+    m_base = 256 + len(esc_list)
+    if version == 4:
+        n_symbols = m_base + S + 1
+        n_ctx = N_CTX_V4
+        classes = symbol_classes(n_symbols, match_base=m_base)
+    else:
+        n_symbols = 256 + len(esc_list)
+        n_ctx = 1 if version == 1 else 4
+        classes = symbol_classes(n_symbols)
+
+    block_first_np = np.zeros(lpb, bool)
+    block_first_np[::block_lines] = True
+    block_first_dev = jnp.asarray(block_first_np)
+
+    def emit(b0: int):
+        """Device-emit one batch's positional symbol grid (+ per-line
+        symbol counts for v4)."""
+        fb, eb, n = feed.batch(b0)
+        if version == 4:
+            sp, ns, decoded = sympos_v4(
+                jnp.asarray(fb), jnp.asarray(eb), S, block_first_dev,
+                m_base, n,
+            )
+            if (np.asarray(decoded) != S).any():
+                raise ValueError(
+                    "corrupt .vcfz: block symbols do not cover the sample grid"
+                )
+            return sp, np.asarray(ns)[:n]
+        return sympos_v3(jnp.asarray(fb), jnp.asarray(eb)), None
+
+    keep_resident = L * S_pad * 4 <= _MAX_RESIDENT_BYTES
+    sym_grids: list = []
+
+    # ---- pass 1 (device): symbol emission; host collects the compacted
+    # streams (v4 — v1-v3 already have them natively) to build codebooks
+    if version == 4:
+        nsym = np.zeros(L, np.uint32)
+        per_block_syms: list[np.ndarray] = []
+        for b0 in batch_starts:
+            b1 = min(b0 + lpb, L)
+            sp, ns = emit(b0)
+            nsym[b0:b1] = ns
+            if keep_resident:
+                sym_grids.append(sp)
+            syms, _counts = compact_symbols(np.asarray(sp)[: b1 - b0])
+            per_block_syms.extend(
+                _split_blocks(
+                    syms,
+                    [
+                        int(ns[lo - b0 : hi - b0].sum())
+                        for lo, hi in block_ranges[
+                            b0 // block_lines : b0 // block_lines + bpb
+                        ]
+                    ],
+                )
+            )
+        books = context_codebooks(per_block_syms, n_symbols, classes, n_ctx)
+    else:
+        nsym = nsym3.astype(np.uint32)
+        sym_ends = np.cumsum(nsym3)
+        per_block_syms = []
+        for lo, hi in block_ranges:
+            s0 = 0 if lo == 0 else int(sym_ends[lo - 1])
+            per_block_syms.append(
+                all_syms3[s0 : int(sym_ends[hi - 1])].astype(np.int64)
+            )
+        if keep_resident:
+            for b0 in batch_starts:
+                sym_grids.append(emit(b0)[0])
+        if version == 1:
+            books = [
+                Codebook.from_frequencies(
+                    np.bincount(all_syms3, minlength=n_symbols)
+                )
+            ]
+        else:
+            books = context_codebooks(per_block_syms, n_symbols)
+
+    # ---- pass 2 (device): Huffman bit packing of every block's cells
+    entries = jnp.asarray(pack_entries(books))
+    payloads: list[bytes] = []
+    for gi, b0 in enumerate(batch_starts):
+        sp = sym_grids[gi] if keep_resident else emit(b0)[0]
+        cells = sp.reshape(bpb, block_lines * S_pad)
+        wv, emit_mask, tb, bad = pack_cells(
+            cells, cells != 0, entries, m_base, CTX_INIT,
+            n_ctx=n_ctx, v4=(version == 4),
+        )
+        if bool(np.asarray(bad).any()):  # pragma: no cover - books cover streams
+            raise RuntimeError("device packer: symbol without codeword")
+        take = min(n_blocks - gi * bpb, bpb)
+        payloads.extend(compact_payloads(wv, emit_mask, tb)[:take])
+
+    # ---- required-columns payloads (v3/v4): order-0 device pack
+    req_book = req_codebook(geo.req_blob) if version >= 3 else None
+    req_payloads: list[bytes] = []
+    if version >= 3:
+        req_starts = np.zeros(L + 1, np.int64)
+        np.cumsum(geo.req_lens, out=req_starts[1:])
+        req_np = np.frombuffer(geo.req_blob, np.uint8)
+        blk_req_len = np.array(
+            [int(req_starts[hi] - req_starts[lo]) for lo, hi in block_ranges],
+            np.int64,
+        )
+        R_pad = (int(blk_req_len.max()) + 127) // 128 * 128
+        req_entries = jnp.asarray(pack_entries([req_book]))
+        # req blocks are small (block_lines * ~40 B); batch them so the
+        # dispatch count stays low without exceeding the cell budget
+        rbpb = max(_MAX_CELLS // max(R_pad, 1), 1)
+        for r0 in range(0, n_blocks, rbpb):
+            r1 = min(r0 + rbpb, n_blocks)
+            g = np.zeros((r1 - r0, R_pad), np.int32)
+            v = np.zeros((r1 - r0, R_pad), bool)
+            for k in range(r0, r1):
+                lo, hi = block_ranges[k]
+                n = int(blk_req_len[k])
+                g[k - r0, :n] = req_np[int(req_starts[lo]) : int(req_starts[hi])]
+                v[k - r0, :n] = True
+            wv, emit_mask, tb, bad = pack_cells(
+                jnp.asarray(g), jnp.asarray(v), req_entries, 0, 0,
+                n_ctx=1, v4=False,
+            )
+            if bool(np.asarray(bad).any()):  # pragma: no cover
+                raise RuntimeError("device packer: req byte without codeword")
+            req_payloads.extend(compact_payloads(wv, emit_mask, tb))
+
+    return _assemble_container(
+        version, block_lines, geo, esc_list, books, req_book, nsym,
+        block_ranges, payloads, req_payloads,
+        [len(s) for s in per_block_syms],
+    )
