@@ -13,6 +13,10 @@ second per chip.  The ``extra`` field adds:
                         tiles lifted the old 4096 fused-width cap)
   wide_xla_GBps         the XLA kernels at the same wide shapes, for
                         fused-vs-XLA comparison
+  vcfz_device_GBps      the device `.vcfz` v4 transcode pipeline (RLE
+                        decode -> vertical-prediction symbol emission ->
+                        context-classed Huffman bit packing on chip;
+                        VERDICT r3 #1/#7, ops/vcfz_device.py)
 
 Method: K chained steps run inside ONE jitted ``lax.fori_loop`` so the
 measurement is pure device time — on this machine the TPU is tunneled
@@ -160,6 +164,74 @@ def _text_loop_gbps(jax, jnp, enc, dec, L, S, codes_np, K=51):
     return L * S * 4 / dt / 1e9
 
 
+def _vcfz_loop_gbps(jax, jnp, L, S, codes_np, K=21):
+    """Device `.vcfz` v4 transcode pipeline (VERDICT r3 #1/#7): RLE
+    decode -> vertical-prediction symbol emission -> context-classed
+    Huffman bit packing, all on chip; GB of genotype text per second."""
+    from vcfc_tpu.ops.huffman import (
+        CTX_INIT,
+        N_CTX_V4,
+        context_codebooks,
+        pack_symbols_ctx,
+        symbol_classes,
+    )
+    from vcfc_tpu.ops.rle import rle_encode
+    from vcfc_tpu.ops.vcfz_device import (
+        compact_payloads,
+        compact_symbols,
+        pack_cells,
+        pack_entries,
+        sympos_v4,
+    )
+
+    block_lines = 64  # the v4 default (format/vcfz.py)
+    n_blocks = L // block_lines
+    m_base = 257  # one escape-dictionary entry (the codes' escape tail)
+    n_symbols = m_base + S + 1
+    classes = symbol_classes(n_symbols, match_base=m_base)
+
+    flags = rle_encode(jax.device_put(codes_np), jnp.int32(S))[0]
+    esc0 = jnp.zeros((L, S), jnp.int32)
+    bf_np = np.zeros(L, bool)
+    bf_np[::block_lines] = True
+    bf = jnp.asarray(bf_np)
+
+    # codebooks from one emission pass (host-side, O(symbols))
+    sp0, ns0, _dec = sympos_v4(flags, esc0, jnp.int32(S), bf, m_base, L)
+    syms, _counts = compact_symbols(np.asarray(sp0))
+    ns0 = np.asarray(ns0)
+    blk_counts = ns0.reshape(n_blocks, block_lines).sum(axis=1)
+    blk_ends = np.cumsum(blk_counts)
+    per_block = np.split(syms, blk_ends[:-1])
+    books = context_codebooks(per_block, n_symbols, classes, N_CTX_V4)
+    entries = jnp.asarray(pack_entries(books))
+
+    def step(f_in, i):
+        sp, ns, _d = sympos_v4(f_in, esc0, jnp.int32(S), bf, m_base, L)
+        cells = sp.reshape(n_blocks, block_lines * S)
+        _wv, _emit, tb, _bad = pack_cells(
+            cells, cells != 0, entries, m_base, CTX_INIT,
+            n_ctx=N_CTX_V4, v4=True,
+        )
+        f_next = (f_in ^ _opaque_mask(jnp, tb[0])).astype(jnp.uint8)
+        return f_next, tb[0] + ns[0] + jnp.int32(_wv[0, 0])
+
+    dt = _measure(jax, jnp, step, flags, K)
+
+    # correctness gate AFTER timing: device payload bytes must equal the
+    # host context packer on every block
+    cells = sp0.reshape(n_blocks, block_lines * S)
+    wv, emit, tb, bad = pack_cells(
+        cells, cells != 0, entries, m_base, CTX_INIT, n_ctx=N_CTX_V4, v4=True
+    )
+    assert not bool(np.asarray(bad).any())
+    payloads = compact_payloads(wv, emit, tb)
+    for b in (0, n_blocks // 2, n_blocks - 1):
+        want, _bits = pack_symbols_ctx(per_block[b], books, classes)
+        assert payloads[b] == want, f"device .vcfz payload mismatch, block {b}"
+    return L * S * 4 / dt / 1e9
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -219,6 +291,11 @@ def main() -> None:
     if wide_fused:
         extra["wide_fused_GBps"] = wide_fused
     extra["wide_xla_GBps"] = wide_xla
+
+    # --- device .vcfz v4 transcode pipeline (VERDICT r3 #1/#7)
+    extra["vcfz_device_GBps"] = round(
+        _vcfz_loop_gbps(jax, jnp, L, S, codes_np), 3
+    )
 
     print(
         json.dumps(

@@ -1507,15 +1507,25 @@ void canonical_codes(const uint8_t* lengths, size_t K, uint32_t* codes) {
 // (format/vcfz.py::_v4_transform_block): expand to code rows, mark cells
 // equal to the cell above as MATCH (escapes never match), re-emit greedy
 // capped runs with MATCH runs as m_base + len.
-static void v4_transform_block(const std::vector<int64_t>& syms,
+static void v4_transform_block(const std::vector<int32_t>& syms,
                                const std::vector<uint32_t>& nsym,
                                const std::vector<uint64_t>& sym_base,
                                uint64_t lo, uint64_t hi, uint64_t S,
-                               uint64_t m_base, std::vector<int64_t>* out_syms,
+                               uint64_t m_base, std::vector<int32_t>* out_syms,
                                std::vector<uint32_t>* out_nsym) {
   uint64_t nrows = hi - lo;
-  std::vector<uint8_t> rows(size_t(nrows * S));
-  std::vector<int32_t> eg(size_t(nrows * S), -1);
+  // reusable scratch: the planes are fully (re)written for every block
+  // — rows via the run expansion, eg at exactly the cells the re-emission
+  // reads (row byte 4) — so per-block allocation + sentinel fills would
+  // only add ~5 bytes/cell of pure memory traffic
+  static thread_local std::vector<uint8_t> rows_scratch;
+  static thread_local std::vector<int32_t> eg_scratch;
+  if (rows_scratch.size() < size_t(nrows * S)) {
+    rows_scratch.resize(size_t(nrows * S));
+    eg_scratch.resize(size_t(nrows * S));
+  }
+  std::vector<uint8_t>& rows = rows_scratch;
+  std::vector<int32_t>& eg = eg_scratch;
   uint64_t sp = sym_base[size_t(lo)];
   for (uint64_t i = 0; i < nrows; i++) {
     uint8_t* row = rows.data() + i * S;
@@ -1527,7 +1537,7 @@ static void v4_transform_block(const std::vector<int64_t>& syms,
     int prev_c = -1;
     uint64_t prev_rl = 0;
     for (uint32_t k = 0; k < nsym[size_t(lo + i)]; k++) {
-      int64_t s = syms[size_t(sp++)];
+      int32_t s = syms[size_t(sp++)];
       uint64_t rl;
       uint8_t c;
       if (!sym_run(s, 0, &rl, &c)) die("corrupt symbol stream");
@@ -1544,11 +1554,15 @@ static void v4_transform_block(const std::vector<int64_t>& syms,
     if (j != S) die("corrupt symbol stream coverage");
   }
   // mark top-down so row i-1 is still literal when row i compares to it
+  // (branchless select: the compiler vectorizes it; the branchy form
+  // mispredicts on every run boundary)
   for (uint64_t i = nrows; i-- > 1;) {
     uint8_t* cur = rows.data() + i * S;
     const uint8_t* prv = rows.data() + (i - 1) * S;
-    for (uint64_t jj = 0; jj < S; jj++)
-      if (cur[jj] == prv[jj] && cur[jj] != 4) cur[jj] = 5;
+    for (uint64_t jj = 0; jj < S; jj++) {
+      uint8_t c = cur[jj];
+      cur[jj] = (c == prv[jj]) & (c != 4) ? uint8_t(5) : c;
+    }
   }
   for (uint64_t i = 0; i < nrows; i++) {
     const uint8_t* row = rows.data() + i * S;
@@ -1558,17 +1572,30 @@ static void v4_transform_block(const std::vector<int64_t>& syms,
     while (j < S) {
       uint8_t c = row[j];
       if (c == 4) {  // every escape cell is its own run
-        out_syms->push_back(256 + int64_t(e[j]));
+        out_syms->push_back(256 + e[j]);
         j += 1;
         continue;
       }
       uint64_t end = j + 1;
+      // word-wise run scan: XOR against the broadcast byte; the first
+      // differing byte is the lowest nonzero byte (little-endian ctz)
+      const uint64_t bc = 0x0101010101010101ull * c;
+      while (end + 8 <= S) {
+        uint64_t w;
+        memcpy(&w, row + end, 8);
+        uint64_t x = w ^ bc;
+        if (x) {
+          end += uint64_t(__builtin_ctzll(x)) >> 3;
+          break;
+        }
+        end += 8;
+      }
       while (end < S && row[end] == c) end++;
       uint64_t len = end - j;
       if (c == 5) {
-        out_syms->push_back(int64_t(m_base + len));
+        out_syms->push_back(int32_t(m_base + len));
       } else {
-        emit_capped_run(c, len, [&](uint8_t f) { out_syms->push_back(int64_t(f)); });
+        emit_capped_run(c, len, [&](uint8_t f) { out_syms->push_back(int32_t(f)); });
       }
       j = end;
     }
@@ -1587,7 +1614,9 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   Header h = parse_meta(vcfc, n);
   // walk lines: geometry + required cols + symbol streams + escapes
   std::vector<LineView> lvs;
-  std::vector<int64_t> syms;
+  // int32 symbols: the v3 stream of a cohort file is ~the .vcfc size in
+  // symbols, so the 8-byte element was half the transcode's memory traffic
+  std::vector<int32_t> syms;
   std::vector<uint32_t> nsym;
   std::vector<uint32_t> req_lens;
   std::vector<std::string> escapes;
@@ -1619,7 +1648,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
         } else {
           id = it->second;
         }
-        syms.push_back(256 + id);
+        syms.push_back(int32_t(256 + id));
         i = j < b1 ? j + 1 : b1;
       } else {
         syms.push_back(f);
@@ -1639,7 +1668,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   if (version == 4) {
     // vertical-prediction transform per block (block-first lines literal)
     K = size_t(m_base + S + 1);
-    std::vector<int64_t> syms4;
+    std::vector<int32_t> syms4;
     syms4.reserve(syms.size());
     std::vector<uint32_t> nsym4;
     nsym4.reserve(size_t(L));
@@ -1652,7 +1681,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
     for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
   }
   const int n_ctx = version == 4 ? kNCtxV4 : kNCtx;
-  auto cls_of = [&](int64_t s) {
+  auto cls_of = [&](int32_t s) {
     return (version == 4 && uint64_t(s) >= m_base) ? 4 : class_of_sym(s);
   };
 
@@ -1723,7 +1752,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
     int nbits = 0;
     int ctx = kCtxInit;
     for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
-      int64_t sym = syms[s];
+      int32_t sym = syms[s];
       uint8_t ln = lengths[size_t(ctx)][size_t(sym)];
       if (ln == 0) die("symbol without codeword");
       acc = (acc << ln) | codes[size_t(ctx)][size_t(sym)];
