@@ -1617,10 +1617,12 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   // int32 symbols: the v3 stream of a cohort file is ~the .vcfc size in
   // symbols, so the 8-byte element was half the transcode's memory traffic
   std::vector<int32_t> syms;
+  syms.reserve(n > h.data_offset ? n - h.data_offset : 0);  // <= body bytes
   std::vector<uint32_t> nsym;
   std::vector<uint32_t> req_lens;
   std::vector<std::string> escapes;
   std::unordered_map<std::string, int64_t> esc_ids;
+  std::unordered_map<uint64_t, int64_t> esc_ids7;  // len <= 7 fast path
   LineView lv;
   size_t off = h.data_offset;
   while (next_line(vcfc, n, off, &lv)) {
@@ -1638,15 +1640,31 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
         if ((f & 0x1F) != 1) die("escape flag with count != 1");
         size_t j = i;
         while (j < b1 && vcfc[j] != '\t') j++;
-        std::string key(reinterpret_cast<const char*>(vcfc + i), j - i);
-        auto it = esc_ids.find(key);
+        size_t klen = j - i;
         int64_t id;
-        if (it == esc_ids.end()) {
-          id = int64_t(escapes.size());
-          esc_ids.emplace(key, id);
-          escapes.push_back(key);
-        } else {
+        if (klen <= 7) {
+          // short escapes (the common case: GT strings like "2|0") go
+          // through a length-tagged u64 key — no per-escape std::string
+          // construction or string hashing in the walk's hot loop.
+          // First-occurrence id order is preserved: both maps assign
+          // escapes.size() at first miss, in stream order.
+          uint64_t kv = 0;
+          memcpy(&kv, vcfc + i, klen);
+          kv |= uint64_t(klen) << 56;
+          auto [it, inserted] = esc_ids7.try_emplace(kv, int64_t(escapes.size()));
+          if (inserted)
+            escapes.emplace_back(reinterpret_cast<const char*>(vcfc + i), klen);
           id = it->second;
+        } else {
+          std::string key(reinterpret_cast<const char*>(vcfc + i), klen);
+          auto it = esc_ids.find(key);
+          if (it == esc_ids.end()) {
+            id = int64_t(escapes.size());
+            esc_ids.emplace(key, id);
+            escapes.push_back(key);
+          } else {
+            id = it->second;
+          }
         }
         syms.push_back(int32_t(256 + id));
         i = j < b1 ? j + 1 : b1;
@@ -1669,7 +1687,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
     // vertical-prediction transform per block (block-first lines literal)
     K = size_t(m_base + S + 1);
     std::vector<int32_t> syms4;
-    syms4.reserve(syms.size());
+    syms4.reserve(syms.size() + syms.size() / 4);
     std::vector<uint32_t> nsym4;
     nsym4.reserve(size_t(L));
     for (uint64_t b = 0; b < n_blocks; b++) {
@@ -1741,47 +1759,74 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   out.append(reinterpret_cast<const char*>(req_lens.data()), 4 * L);
   out.append(reinterpret_cast<const char*>(nsym.data()), 4 * L);
 
+  // fused per-(context, symbol) entry (length << 22 | code) and class
+  // table: one load per symbol in the hot pack loop instead of three
+  std::vector<std::vector<uint32_t>> fused(n_ctx, std::vector<uint32_t>(K));
+  std::vector<uint8_t> sym_cls(K);
+  for (size_t s = 0; s < K; s++) sym_cls[s] = uint8_t(cls_of(int32_t(s)));
+  for (int c = 0; c < n_ctx; c++)
+    for (size_t s = 0; s < K; s++)
+      fused[size_t(c)][s] =
+          (uint32_t(lengths[size_t(c)][s]) << 22) | codes[size_t(c)][s];
+  std::vector<uint32_t> req_fused(256);
+  for (size_t s = 0; s < 256; s++)
+    req_fused[s] = (uint32_t(req_lengths[s]) << 22) | req_codes[s];
+
+  // MSB-first bit sink: 64-bit accumulator, 4-byte big-endian flushes
+  struct BitSink {
+    std::string buf;
+    uint64_t acc = 0;
+    int nbits = 0;
+    inline void put(uint32_t entry) {
+      int ln = int(entry >> 22);
+      acc = (acc << ln) | (entry & 0x3FFFFF);
+      nbits += ln;
+      if (nbits >= 32) {
+        uint32_t w = __builtin_bswap32(uint32_t(acc >> (nbits - 32)));
+        buf.append(reinterpret_cast<char*>(&w), 4);
+        nbits -= 32;
+      }
+    }
+    std::string finish() {
+      while (nbits >= 8) {
+        buf.push_back(char((acc >> (nbits - 8)) & 0xFF));
+        nbits -= 8;
+      }
+      if (nbits > 0) buf.push_back(char((acc << (8 - nbits)) & 0xFF));
+      acc = 0;
+      nbits = 0;
+      return std::move(buf);
+    }
+  };
+
   // pack blocks: symbol payloads (context-switching) + req payloads
   std::vector<std::string> payloads, req_payloads;
   std::string entries;
   uint64_t req_region_total = 0;
   for (uint64_t b = 0; b < n_blocks; b++) {
     uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
-    std::string payload;
-    uint64_t acc = 0;
-    int nbits = 0;
+    BitSink sink;
+    sink.buf.reserve(size_t(sym_base[hi] - sym_base[lo]) * 2);
     int ctx = kCtxInit;
     for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
       int32_t sym = syms[s];
-      uint8_t ln = lengths[size_t(ctx)][size_t(sym)];
-      if (ln == 0) die("symbol without codeword");
-      acc = (acc << ln) | codes[size_t(ctx)][size_t(sym)];
-      nbits += ln;
-      while (nbits >= 8) {
-        payload.push_back(char((acc >> (nbits - 8)) & 0xFF));
-        nbits -= 8;
-      }
-      ctx = cls_of(sym);
+      uint32_t entry = fused[size_t(ctx)][size_t(sym)];
+      if (entry >> 22 == 0) die("symbol without codeword");
+      sink.put(entry);
+      ctx = sym_cls[size_t(sym)];
     }
-    if (nbits > 0) payload.push_back(char((acc << (8 - nbits)) & 0xFF));
+    std::string payload = sink.finish();
 
-    std::string rp;
-    acc = 0;
-    nbits = 0;
+    BitSink rsink;
     for (uint64_t i = lo; i < hi; i++) {
       const uint8_t* r = vcfc + lvs[size_t(i)].offset + 8;
       for (uint32_t k = 0; k < req_lens[size_t(i)]; k++) {
-        uint8_t ln = req_lengths[r[k]];
-        if (ln == 0) die("req byte without codeword");
-        acc = (acc << ln) | req_codes[r[k]];
-        nbits += ln;
-        while (nbits >= 8) {
-          rp.push_back(char((acc >> (nbits - 8)) & 0xFF));
-          nbits -= 8;
-        }
+        uint32_t entry = req_fused[r[k]];
+        if (entry >> 22 == 0) die("req byte without codeword");
+        rsink.put(entry);
       }
     }
-    if (nbits > 0) rp.push_back(char((acc << (8 - nbits)) & 0xFF));
+    std::string rp = rsink.finish();
     req_region_total += rp.size();
 
     uint32_t cme = 0;
