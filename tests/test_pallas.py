@@ -253,3 +253,54 @@ class TestTextKernels:
         t2, _c2, _d2 = text_rle_decode(np.asarray(f2), S)
         np.testing.assert_array_equal(np.asarray(f), np.asarray(f2))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+class TestMultiTileGrids:
+    """VERDICT r3 #6: kernel equality where the GRID has multiple tiles
+    on the line axis at wide widths — including the MAX_WIDTH boundary
+    (8-row tiles) — and escape-heavy wide rows."""
+
+    def _check(self, codes, S):
+        f1, k1 = map(np.asarray, rle_encode(codes, S))
+        f2, k2 = map(np.asarray, pallas_rle_encode(codes, S, interpret=True))
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(k1, k2)
+        c2, d2 = map(np.asarray, pallas_rle_decode(f2, S, interpret=True))
+        np.testing.assert_array_equal(c2[:, :S], np.asarray(codes)[:, :S])
+        assert (d2 == S).all()
+
+    def test_three_tiles_at_16384(self):
+        S, S_pad = 16300, 16384
+        bl = _block_l(S_pad)
+        L = 3 * bl  # three grid tiles on the line axis
+        rng = np.random.default_rng(21)
+        codes = np.zeros((L, S_pad), np.uint8)
+        codes[:, :S] = rng.choice(
+            5, size=(L, S), p=[0.81, 0.072, 0.072, 0.0264, 0.0196]
+        )
+        codes[bl, :S] = 0      # tile-boundary rows with maximal runs
+        codes[2 * bl - 1, :S] = 3
+        self._check(codes, S)
+
+    def test_three_tiles_at_max_width(self):
+        S = MAX_WIDTH - 60  # pads to the 65,536 boundary, 8-row tiles
+        bl = _block_l(MAX_WIDTH)
+        L = 3 * bl
+        rng = np.random.default_rng(22)
+        codes = np.zeros((L, MAX_WIDTH), np.uint8)
+        codes[:, :S] = rng.choice(
+            5, size=(L, S), p=[0.81, 0.072, 0.072, 0.0264, 0.0196]
+        )
+        codes[0, :S] = 1  # uniform het row: remainder stress at max d
+        self._check(codes, S)
+
+    def test_escape_heavy_wide_rows(self):
+        """Rows that are mostly escapes force a flag byte per cell — the
+        densest positional plane the encoder can produce at width."""
+        S, S_pad = 16300, 16384
+        bl = _block_l(S_pad)
+        L = 2 * bl
+        rng = np.random.default_rng(23)
+        codes = np.zeros((L, S_pad), np.uint8)
+        codes[:, :S] = rng.choice(5, size=(L, S), p=[0.1, 0.05, 0.05, 0.05, 0.75])
+        self._check(codes, S)

@@ -81,3 +81,59 @@ class TestWideCohorts:
             packed[i, : len(nz)] = nz
         got = np.asarray(unpack_packed_flags(packed, nseg, out_width=S))
         np.testing.assert_array_equal(got, flagpos)
+
+
+class TestMultiTileWide:
+    """VERDICT r3 #6: wide widths with enough LINES to span multiple
+    device tile grids, the MAX_WIDTH padding boundary, and escape-heavy
+    wide rows — all byte-identical to the oracle and lossless.  (The
+    real-chip twins of these shapes are the BASELINE.md wide-cohort
+    rows; interpret-mode kernel equality lives in test_pallas.py.)"""
+
+    @pytest.mark.parametrize("samples,variants", [(16384, 260), (50000, 256)])
+    def test_multi_tile_byte_identity(self, samples, variants):
+        vcf = make_vcf(900 + samples % 97, samples, variants, sv_every=7)
+        want = compress_bytes(vcf)
+        got = engine.compress(vcf, force_device=True)
+        assert got == want, f"multi-tile device compress diverged at S={samples}"
+        assert engine.decompress(got, force_device=True) == vcf
+
+    def test_max_width_padding_boundary(self):
+        """S chosen so the padded width lands EXACTLY on MAX_WIDTH=65536
+        (the widest the fused kernels accept; wider routes to XLA)."""
+        from vcfc_tpu.ops.pallas_rle import MAX_WIDTH
+
+        S = MAX_WIDTH - 100  # pads to 65,536 exactly
+        assert (S + 127) // 128 * 128 == MAX_WIDTH
+        vcf = make_vcf(911, S, 10, sv_every=5)
+        want = compress_bytes(vcf)
+        got = engine.compress(vcf, force_device=True)
+        assert got == want
+        assert engine.decompress(got, force_device=True) == vcf
+
+    def test_escape_heavy_wide(self):
+        """Wide rows where most cells escape (multi-allelic "2|0"-style
+        GTs): the escape side channel and the 0xE1 new-run forcing must
+        hold at width, not just at the narrow fixture scale."""
+        rng = np.random.default_rng(12)
+        S, L = 16384, 24
+        gts = np.array([b"2|0", b"0|3", b"2|2", b"0|0", b"1|1"], dtype=object)
+        rows = [
+            b"##fileformat=VCFv4.2\n",
+            b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+            + b"".join(b"\tS%d" % j for j in range(S))
+            + b"\n",
+        ]
+        for i in range(L):
+            rows.append(
+                b"1\t%d\tv%d\tA\tG,T,C\t50\tPASS\t.\tGT\t" % (1000 + 7 * i, i)
+                + b"\t".join(
+                    rng.choice(gts, p=[0.4, 0.3, 0.1, 0.15, 0.05], size=S)
+                )
+                + b"\n"
+            )
+        vcf = b"".join(rows)
+        want = compress_bytes(vcf)
+        got = engine.compress(vcf, force_device=True)
+        assert got == want
+        assert engine.decompress(got, force_device=True) == vcf
