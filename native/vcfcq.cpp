@@ -1080,7 +1080,7 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint8_t max_len = raw[off + 4];
   z.block_lines = rd_u32(raw + off + 5);
   off += 9;
-  if ((z.version < 1 || z.version > 4) || max_len != kMaxCodeLen)
+  if ((z.version < 1 || z.version > 5) || max_len != kMaxCodeLen)
     die("unsupported .vcfz version");
   if (z.block_lines == 0) die("invalid .vcfz block_lines");
   need(12);
@@ -1113,7 +1113,9 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
                            ? 256 + uint64_t(n_esc) + z.n_samples + 1
                            : 256 + uint64_t(n_esc);
   if (z.n_symbols != want_syms) die("corrupt .vcfz symbol count");
-  int n_books = z.version == 1 ? 1 : (z.version == 4 ? kNCtxV4 : kNCtx);
+  int n_books = (z.version == 1 || z.version == 5)
+                    ? 1
+                    : (z.version == 4 ? kNCtxV4 : kNCtx);
   z.sym_tables.resize(n_books);
   z.len_tables.resize(n_books);
   for (int b = 0; b < n_books; b++) {
@@ -1225,7 +1227,10 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
     die("corrupt .vcfz: symbol count exceeds payload capacity");
   syms->resize(n_take);
   BitReader br{z.payload_base + blk.payload_off, blk.payload_len};
-  int ctx = z.version == 1 ? 0 : kCtxInit;
+  // v1 and v5 are order-0 (one book, fixed ctx); v2-v4 switch on the
+  // class of the previous symbol
+  bool order0 = z.version == 1 || z.version == 5;
+  int ctx = order0 ? 0 : kCtxInit;
   for (uint64_t i = 0; i < n_take; i++) {
     uint32_t prefix = br.peek();
     uint8_t ln = z.len_tables[ctx][prefix];
@@ -1233,7 +1238,7 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
     int32_t sym = z.sym_tables[ctx][prefix];
     (*syms)[i] = sym;
     br.take(ln);
-    if (z.version >= 2) ctx = z.class_of[sym];
+    if (!order0) ctx = z.class_of[sym];
   }
 }
 
@@ -1610,7 +1615,8 @@ int class_of_sym(int64_t s) {
 // format/vcfz.py::vcfz_from_vcfc, natively (writes v3).  in-memory vcfc in.
 std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
                        int version = 3) {
-  if (version != 3 && version != 4) die("vcfz_write supports versions 3 and 4");
+  if (version != 3 && version != 4 && version != 5)
+    die("vcfz_write supports versions 3-5");
   Header h = parse_meta(vcfc, n);
   // walk lines: geometry + required cols + symbol streams + escapes
   std::vector<LineView> lvs;
@@ -1698,19 +1704,21 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
     nsym.swap(nsym4);
     for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
   }
-  const int n_ctx = version == 4 ? kNCtxV4 : kNCtx;
+  const int n_ctx = version == 4 ? kNCtxV4 : (version == 5 ? 1 : kNCtx);
   auto cls_of = [&](int32_t s) {
     return (version == 4 && uint64_t(s) >= m_base) ? 4 : class_of_sym(s);
   };
 
-  // per-block context frequencies (ops/huffman.py::context_codebooks)
+  // per-block context frequencies (ops/huffman.py::context_codebooks);
+  // v5 is order-0: one book, context pinned to 0
   std::vector<std::vector<int64_t>> freqs(n_ctx, std::vector<int64_t>(K, 0));
+  const int ctx0 = n_ctx == 1 ? 0 : kCtxInit;
   for (uint64_t b = 0; b < n_blocks; b++) {
     uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
-    int ctx = kCtxInit;
+    int ctx = ctx0;
     for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
       freqs[size_t(ctx)][size_t(syms[s])]++;
-      ctx = cls_of(syms[s]);
+      if (n_ctx > 1) ctx = cls_of(syms[s]);
     }
   }
   std::vector<std::vector<uint8_t>> lengths(n_ctx, std::vector<uint8_t>(K));
@@ -1762,8 +1770,9 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   // fused per-(context, symbol) entry (length << 22 | code) and class
   // table: one load per symbol in the hot pack loop instead of three
   std::vector<std::vector<uint32_t>> fused(n_ctx, std::vector<uint32_t>(K));
-  std::vector<uint8_t> sym_cls(K);
-  for (size_t s = 0; s < K; s++) sym_cls[s] = uint8_t(cls_of(int32_t(s)));
+  std::vector<uint8_t> sym_cls(K, 0);
+  if (n_ctx > 1)
+    for (size_t s = 0; s < K; s++) sym_cls[s] = uint8_t(cls_of(int32_t(s)));
   for (int c = 0; c < n_ctx; c++)
     for (size_t s = 0; s < K; s++)
       fused[size_t(c)][s] =
@@ -1807,7 +1816,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
     uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
     BitSink sink;
     sink.buf.reserve(size_t(sym_base[hi] - sym_base[lo]) * 2);
-    int ctx = kCtxInit;
+    int ctx = ctx0;
     for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
       int32_t sym = syms[s];
       uint32_t entry = fused[size_t(ctx)][size_t(sym)];
@@ -2330,7 +2339,7 @@ int main(int argc, char** argv) {
   if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
   if (action == "compress-z" && (argc == 4 || argc == 5)) {
     int zv = argc == 5 ? atoi(argv[4]) : 3;
-    if (zv != 3 && zv != 4) die("vcfz version must be 3 or 4");
+    if (zv < 3 || zv > 5) die("vcfz version must be 3, 4, or 5");
     return do_compress_z(argv[2], argv[3], zv);
   }
   if (action == "create-manifest" && argc == 3) return do_create_manifest(argv[2]);

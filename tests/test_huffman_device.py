@@ -1,0 +1,168 @@
+"""Device-side Huffman DECODE (ops/huffman_device.py) and the order-0
+`.vcfz` v5 container it exists for.
+
+The decode kernel is the gather-free bit-parallel formulation: per-bit
+code lengths from canonical limits (arithmetic), symbol-start
+reachability as a two-level boolean transfer-matrix scan, host-side
+O(symbols) compaction.  Every stream it accepts must decode to exactly
+the bytes the host/native decoders produce.
+"""
+
+import numpy as np
+import pytest
+
+from vcfc_tpu.format import compress_bytes, decompress_bytes
+from vcfc_tpu.format.vcfz import VcfzReader, decompress_vcfz, vcfz_from_vcfc
+from vcfc_tpu.format.vcfz_device import vcfz_to_vcfc_device
+from vcfc_tpu.ops.huffman import Codebook, pack_symbols
+from vcfc_tpu.ops.huffman_device import device_unpack_symbols
+
+
+def _vcfc(seed=34, samples=70, variants=200, sv_every=6):
+    from test_fuzz import make_vcf
+
+    return compress_bytes(make_vcf(seed, samples, variants, sv_every=sv_every))
+
+
+class TestDecodeKernel:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_streams_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        A = int(rng.integers(5, 400))
+        freqs = rng.integers(0, 1000, A)
+        freqs[int(rng.integers(0, A))] += 100000  # skew: short codes appear
+        book = Codebook.from_frequencies(freqs)
+        present = np.flatnonzero(book.lengths)
+        streams = [
+            rng.choice(present, size=int(rng.integers(1, 5000)))
+            for _ in range(7)
+        ]
+        payloads = [pack_symbols(s.astype(np.int64), book)[0] for s in streams]
+        got = device_unpack_symbols(payloads, [len(s) for s in streams], book)
+        for g, s in zip(got, streams):
+            np.testing.assert_array_equal(g, s)
+
+    def test_single_symbol_alphabet(self):
+        book = Codebook.from_frequencies(np.array([0, 9]))
+        stream = np.ones(100, np.int64)
+        payload, _ = pack_symbols(stream, book)
+        (got,) = device_unpack_symbols([payload], [100], book)
+        np.testing.assert_array_equal(got, stream)
+
+    def test_truncated_stream_raises(self):
+        book = Codebook.from_frequencies(np.arange(1, 40))
+        stream = np.arange(30, dtype=np.int64) % 39
+        payload, _ = pack_symbols(stream, book)
+        with pytest.raises(ValueError, match="invalid Huffman"):
+            device_unpack_symbols([payload[: len(payload) // 4]], [30], book)
+
+    def test_word_boundary_straddles(self):
+        """Codes that repeatedly straddle 32-bit word boundaries (7-bit
+        uniform codes) must chain exactly."""
+        lengths = np.zeros(130, np.uint8)
+        lengths[1:129] = 7
+        book = Codebook.from_lengths(lengths)
+        stream = (np.arange(997) % 128 + 1).astype(np.int64)
+        payload, _ = pack_symbols(stream, book)
+        (got,) = device_unpack_symbols([payload], [len(stream)], book)
+        np.testing.assert_array_equal(got, stream)
+
+
+class TestVcfzV5:
+    def test_roundtrip_and_query(self):
+        from vcfc_tpu.format.vcfz import query_vcfz
+        from vcfc_tpu.query.coordinate import parse_coordinate_string
+        from vcfc_tpu.query.engine import query_full_scan
+
+        vcfc = _vcfc()
+        z5 = vcfz_from_vcfc(vcfc, version=5)
+        assert decompress_vcfz(z5) == decompress_bytes(vcfc)
+        q = parse_coordinate_string("1:1000-9000")
+        assert b"".join(query_vcfz(z5, q)) == b"".join(query_full_scan(vcfc, q))
+
+    def test_one_book_plus_req_book(self):
+        r = VcfzReader.parse(vcfz_from_vcfc(_vcfc(), version=5))
+        assert r.version == 5 and len(r.books) == 1
+        assert r.req_book is not None
+
+    def test_smaller_than_v1(self):
+        # v5 = v1's order-0 symbol coding + v3's coded required columns
+        vcfc = _vcfc(35, 120, 400)
+        assert len(vcfz_from_vcfc(vcfc, version=5)) < len(
+            vcfz_from_vcfc(vcfc, version=1)
+        )
+
+    def test_device_writer_byte_identical(self):
+        vcfc = _vcfc(36)
+        assert vcfz_from_vcfc(vcfc, version=5, route="device") == vcfz_from_vcfc(
+            vcfc, version=5
+        )
+
+    def test_native_writer_and_reader(self, tmp_path):
+        import subprocess
+
+        from vcfc_tpu.host.native import cli_path
+
+        if cli_path() is None:
+            pytest.skip("native CLI unavailable")
+        vcfc = _vcfc(37)
+        src = tmp_path / "a.vcfc"
+        src.write_bytes(vcfc)
+        z = tmp_path / "a.vcfz"
+        r = subprocess.run(
+            [cli_path(), "compress-z", str(src), str(z), "5"], capture_output=True
+        )
+        assert r.returncode == 0, r.stderr
+        assert z.read_bytes() == vcfz_from_vcfc(vcfc, version=5)
+        out = tmp_path / "a.vcf"
+        r = subprocess.run(
+            [cli_path(), "decompress-z", str(z), str(out)], capture_output=True
+        )
+        assert r.returncode == 0, r.stderr
+        assert out.read_bytes() == decompress_bytes(vcfc)
+
+
+class TestDeviceDecodeRoute:
+    @pytest.mark.parametrize("version", [1, 5])
+    def test_order0_containers_decode_on_device(self, version):
+        vcfc = _vcfc(38, 90, 400)
+        z = vcfz_from_vcfc(vcfc, version=version, block_lines=32)
+        assert vcfz_to_vcfc_device(z) == vcfc
+
+    def test_ctx_containers_fall_back(self):
+        vcfc = _vcfc(39)
+        for version in (2, 3, 4):
+            z = vcfz_from_vcfc(vcfc, version=version)
+            assert vcfz_to_vcfc_device(z) is None
+            # the public entry still decompresses via the host path
+            assert decompress_vcfz(z, route="device") == decompress_bytes(vcfc)
+
+    def test_env_gate(self, monkeypatch):
+        vcfc = _vcfc(40)
+        z = vcfz_from_vcfc(vcfc, version=5)
+        monkeypatch.setenv("VCFZ_PACK", "device")
+        assert decompress_vcfz(z) == decompress_bytes(vcfc)
+
+    def test_full_device_cycle(self):
+        """Encode on device, decode on device: entropy coding never
+        leaves the chip for the v5 container."""
+        vcfc = _vcfc(41, 60, 300)
+        z = vcfz_from_vcfc(vcfc, version=5, route="device")
+        assert vcfz_to_vcfc_device(z) == vcfc
+
+    def test_corrupt_payload_raises(self):
+        """An all-ones payload chains into windows past the book's last
+        canonical limit — ordinals out of range must raise, not decode
+        garbage.  (All-ZERO corruption decodes as a run of the
+        lexicographically first codeword on the host decoders too — both
+        routes agree on that; the device gate matches the host's
+        'invalid Huffman stream' semantics where detection is possible.)"""
+        vcfc = _vcfc(42, 40, 120)
+        z = bytearray(vcfz_from_vcfc(vcfc, version=5))
+        r = VcfzReader.parse(bytes(z))
+        assert int(r.books[0].lengths.max()) < 15  # 0xFF windows are invalid
+        blk = r.blocks[0]
+        start = r.payload_base + blk["payload_off"]
+        z[start : start + blk["payload_len"]] = b"\xff" * blk["payload_len"]
+        with pytest.raises(ValueError, match="invalid Huffman"):
+            vcfz_to_vcfc_device(bytes(z))

@@ -23,22 +23,22 @@ collectives" path of BASELINE.json: histograms come from the device mesh
 
 Layout (little-endian):
 
-  magic "VCFZ" | u32 version (1-4) | u8 max_code_len | u32 block_lines
+  magic "VCFZ" | u32 version (1-5) | u8 max_code_len | u32 block_lines
   u64 n_lines | u32 n_samples
   u64 header_len | header blob (meta + #CHROM lines verbatim)
   u32 n_escapes | per escape: u16 len | bytes
-  u32 n_symbols (v1-v3: 256 + n_escapes; v4: 256 + n_escapes +
+  u32 n_symbols (v1-v3/v5: 256 + n_escapes; v4: 256 + n_escapes +
                  n_samples + 1 — the vertical-match band)
   u8 lengths[n_symbols] x n_books                (canonical symbol codebooks;
-                 n_books = 1 for v1, N_CTX=4 for v2/v3, N_CTX_V4=5 for v4)
-  [v3/v4] u8 req_lengths[256]                    (order-0 required-bytes book)
+                 n_books = 1 for v1/v5, N_CTX=4 for v2/v3, N_CTX_V4=5 for v4)
+  [v3+] u8 req_lengths[256]                      (order-0 required-bytes book)
   u32 req_len[n_lines]                           (required-cols length)
   u32 nsym[n_lines]                              (symbols per line)
   u64 req_region_len |
       v1/v2: concatenated raw required-column blobs
-      v3/v4: per-block order-0-coded required-column payloads
+      v3+: per-block order-0-coded required-column payloads
   u32 n_blocks | per block:
-      u64 payload_len | u64 n_block_symbols | [v3/v4] u64 req_payload_len
+      u64 payload_len | u64 n_block_symbols | [v3+] u64 req_payload_len
       u8 ref_first | u32 pos_first | u8 ref_last | u32 pos_last | u32 cummax_end
   symbol payloads (bit-packed, byte-aligned per block)
 """
@@ -74,7 +74,11 @@ MAGIC = b"VCFZ"
 # v1 = one global codebook; v2 = context-classed codebooks; v3 = v2 plus an
 # order-0 codebook over the required-columns bytes (per-block payloads,
 # 38-byte block entries); v4 = v3 plus vertical prediction (N_CTX_V4
-# books, MATCH-run symbol band).  All versions read everywhere (incl.
+# books, MATCH-run symbol band); v5 = v3's layout with ONE order-0
+# symbol codebook — the opt-in device-decode container: order-0 streams
+# are what the gather-free bit-parallel TPU decoder
+# (ops/huffman_device.py) accepts, at a measured ~10-20% ratio cost vs
+# v3's context books.  All versions read everywhere (incl.
 # the native CLI); VERSION is the default write (v4 is opt-in: it wins
 # big on LD-correlated cohorts but costs ~18% on uncorrelated data).
 VERSION = 3
@@ -630,7 +634,7 @@ def vcfz_from_vcfc(
     backend: "device" runs symbol emission and Huffman bit packing as TPU
     kernels (ops/vcfz_device.py), byte-identical to the host writer;
     structurally unsupported inputs fall back to the host path."""
-    if version not in (1, 2, 3, 4):
+    if version not in (1, 2, 3, 4, 5):
         raise ValueError(f"unsupported .vcfz version {version}")
     block_lines = block_lines or default_block_lines(version)
     if (route or os.environ.get("VCFZ_PACK")) == "device":
@@ -674,7 +678,7 @@ def vcfz_from_vcfc(
         books = context_codebooks(per_block_syms, n_symbols, classes, N_CTX_V4)
     else:
         per_block_syms = [block_slice(lo, hi) for lo, hi in block_ranges]
-        if version == 1:
+        if version in (1, 5):
             books = [
                 Codebook.from_frequencies(np.bincount(all_syms, minlength=n_symbols))
             ]
@@ -689,7 +693,7 @@ def vcfz_from_vcfc(
     req_payloads = []
     for bi, (lo, hi) in enumerate(block_ranges):
         blk_syms = per_block_syms[bi]
-        if version == 1:
+        if version in (1, 5):
             payload, _bits = pack_symbols(blk_syms, books[0])
         else:
             payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
@@ -845,7 +849,7 @@ class VcfzReader:
         if cur.take(4) != MAGIC:
             raise ValueError("not a .vcfz container")
         version, max_len, block_lines = cur.unpack("<IBI")
-        if version not in (1, 2, 3, 4) or max_len != MAX_CODE_LEN:
+        if version not in (1, 2, 3, 4, 5) or max_len != MAX_CODE_LEN:
             raise ValueError("unsupported .vcfz version")
         L, S = cur.unpack("<QI")
         (hlen,) = cur.unpack("<Q")
@@ -867,7 +871,7 @@ class VcfzReader:
                 f"corrupt .vcfz: alphabet {n_symbols} != {want_symbols}"
             )
         books = []
-        n_books = 1 if version == 1 else (N_CTX_V4 if version == 4 else N_CTX)
+        n_books = 1 if version in (1, 5) else (N_CTX_V4 if version == 4 else N_CTX)
         for _ in range(n_books):
             books.append(Codebook.from_lengths(cur.take_np(np.uint8, n_symbols)))
         req_book = None
@@ -929,7 +933,7 @@ class VcfzReader:
             # otherwise drive an unbounded decode allocation (same guard
             # as the req side, _block_req_bytes)
             raise ValueError("corrupt .vcfz: symbol count exceeds payload capacity")
-        if self.version == 1:
+        if self.version in (1, 5):
             if native.available():
                 sym_t, len_t = self._decode_tables()[0]
                 return native.huffman_decode(payload, n, sym_t, len_t)
@@ -975,6 +979,7 @@ class VcfzReader:
         want: np.ndarray | None = None,
         limit: int | None = None,
         req: tuple[bytes, int] | None = None,
+        symbols: np.ndarray | None = None,
     ) -> list[bytes]:
         """Reconstruct .vcfc line bytes of block b (vectorized: one numpy
         pass over the block's symbols; Python loops only over escapes and
@@ -982,7 +987,9 @@ class VcfzReader:
         first ``limit``; ``want`` (bool, relative to the block) selects
         which of those are materialized — sub-block query reads
         (VERDICT r1 #7) decode symbols and resolve v4 rows only up to
-        the last line they need."""
+        the last line they need.  ``symbols`` hands in a pre-decoded
+        symbol stream (>= the lines considered) so bulk decoders — the
+        device entropy-decode route — skip the sequential host decode."""
         lo = b * self.block_lines
         hi = min(lo + self.block_lines, self.n_lines)
         if limit is not None:
@@ -990,9 +997,12 @@ class VcfzReader:
         if hi <= lo:
             return []
         nsym = self.nsym[lo:hi]
-        symbols = np.asarray(
-            self._decode_block_symbols(b, int(nsym.sum())), np.int64
-        )
+        if symbols is not None:
+            symbols = np.asarray(symbols[: int(nsym.sum())], np.int64)
+        else:
+            symbols = np.asarray(
+                self._decode_block_symbols(b, int(nsym.sum())), np.int64
+            )
         S = self.n_samples
         if self.version == 4:
             # resolve vertical-match runs into plain v3 streams first;
@@ -1126,12 +1136,20 @@ class VcfzReader:
         return out
 
 
-def decompress_vcfz(vcfz: bytes) -> bytes:
+def decompress_vcfz(vcfz: bytes, route: str | None = None) -> bytes:
     """`.vcfz` -> VCF text (reconstruct the .vcfc, then the engine fast
     path decodes it; the oracle decoder remains the conformance anchor
-    in tests)."""
+    in tests).  ``route`` (default: the VCFZ_PACK env var) = "device"
+    entropy-decodes order-0 containers (v1/v5) block-parallel on chip
+    (format/vcfz_device.py); others fall back to the host path."""
     from .. import engine
 
+    if (route or os.environ.get("VCFZ_PACK")) == "device":
+        from .vcfz_device import vcfz_to_vcfc_device
+
+        vcfc = vcfz_to_vcfc_device(vcfz)
+        if vcfc is not None:
+            return engine.decompress(vcfc)
     return engine.decompress(VcfzReader.parse(vcfz).to_vcfc())
 
 

@@ -159,7 +159,7 @@ def vcfz_from_vcfc_device(
         classes = symbol_classes(n_symbols, match_base=m_base)
     else:
         n_symbols = 256 + len(esc_list)
-        n_ctx = 1 if version == 1 else 4
+        n_ctx = 1 if version in (1, 5) else 4
         classes = symbol_classes(n_symbols)
 
     block_first_np = np.zeros(lpb, bool)
@@ -221,7 +221,7 @@ def vcfz_from_vcfc_device(
         if keep_resident:
             for b0 in batch_starts:
                 sym_grids.append(emit(b0)[0])
-        if version == 1:
+        if version in (1, 5):
             books = [
                 Codebook.from_frequencies(
                     np.bincount(all_syms3, minlength=n_symbols)
@@ -283,3 +283,65 @@ def vcfz_from_vcfc_device(
         block_ranges, payloads, req_payloads,
         [len(s) for s in per_block_syms],
     )
+
+
+def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
+    """Device entropy-DECODE route for order-0 containers (v1/v5).
+
+    Every block's symbol payload — and v5's order-0 required-columns
+    payloads — decodes block-parallel through the gather-free bit-scan
+    kernel (ops/huffman_device.py); line assembly reuses the host
+    reconstruction on the pre-decoded symbol streams.  Context-coded
+    containers (v2-v4 symbol payloads are order-1) return None and take
+    the host/native path."""
+    import numpy as np
+
+    from ..ops.huffman_device import device_unpack_symbols
+    from .vcfz import VcfzReader
+
+    reader = VcfzReader.parse(vcfz)
+    if reader.version not in (1, 5):
+        return None
+    payloads = []
+    n_syms = []
+    base = reader.payload_base
+    for blk in reader.blocks:
+        payloads.append(
+            bytes(reader.raw[base + blk["payload_off"] : base + blk["payload_off"] + blk["payload_len"]])
+        )
+        n_syms.append(int(blk["n_symbols"]))
+    sym_lists = device_unpack_symbols(payloads, n_syms, reader.books[0])
+
+    req_lists = None
+    if reader.version >= 3:
+        req_payloads = []
+        n_req = []
+        for b, blk in enumerate(reader.blocks):
+            lo = b * reader.block_lines
+            hi = min(lo + reader.block_lines, reader.n_lines)
+            req_payloads.append(
+                bytes(
+                    reader.req_blob[
+                        blk["req_payload_off"] : blk["req_payload_off"] + blk["req_payload_len"]
+                    ]
+                )
+            )
+            n_req.append(
+                int(reader.req_starts[hi - 1]) + int(reader.req_lens[hi - 1]) - int(reader.req_starts[lo])
+                if hi > lo
+                else 0
+            )
+        req_lists = device_unpack_symbols(req_payloads, n_req, reader.req_book)
+
+    out = bytearray(reader.header_blob)
+    for b in range(len(reader.blocks)):
+        req_arg = None
+        if req_lists is not None:
+            lo = b * reader.block_lines
+            req_arg = (
+                req_lists[b].astype(np.uint8).tobytes(),
+                int(reader.req_starts[lo]) if reader.n_lines else 0,
+            )
+        for line in reader.block_lines_vcfc(b, req=req_arg, symbols=sym_lists[b]):
+            out += line
+    return bytes(out)

@@ -1,0 +1,235 @@
+"""Device-side canonical Huffman DECODE — gather-free, scan-formulated.
+
+The classic objection to entropy decode on SIMD hardware is the serial
+bit cursor: symbol k+1's offset is unknown until symbol k's length is
+decoded, and per-lane bitstream cursors need dynamic gathers (20-50x
+slower than dense work on TPU — CLAUDE.md kernel invariant).  This
+module decodes a canonical order-0 bitstream with NEITHER a serial
+cursor NOR gathers, using three observations:
+
+1.  For CANONICAL codes the code length at any bit offset is pure
+    arithmetic: with ``lim_l = (base_l + count_l) << (15 - l)``
+    monotone in l, the length of the codeword starting at bit b is
+    ``1 + sum_l [window15(b) >= lim_l]`` — 14 compares against
+    constants, for EVERY bit position in parallel.  The symbol ordinal
+    is ``(window15 >> (15 - len)) + (offset_len - base_len)``.
+
+2.  Which bit positions actually START a symbol is the reachability of
+    the functional graph b -> b + len(b) from bit 0.  That is a linear
+    recurrence over the (OR, AND) boolean semiring with a 15-bit state
+    m, where bit k of m means "a symbol starts k bits from here":
+
+        start(b) = m & 1
+        m'       = (m >> 1) | (start(b) << (len(b) - 1))
+
+    The per-bit transition depends ONLY on the local len(b), so a
+    segment's composed transition is a 15x15 boolean matrix — and
+    matrix composition is associative.
+
+3.  Two-level scan: each segment's matrix comes from folding the cheap
+    5-op recurrence over 15 BASIS states in parallel (the matrix's
+    columns); segment matrices compose associatively along the segment
+    axis; a final fold with the true per-segment input states emits the
+    start mask.  Everything is elementwise int32 ops and scans — zero
+    gathers, zero scatters.
+
+The kernel returns a POSITIONAL plane (``sym_idx + 1`` at start bits, 0
+elsewhere) matching the repo's dense-device/compact-host contract; the
+host flatnonzero + one table take per stream are O(symbols).
+
+This decodes every order-0 stream in the `.vcfz` family today: v1
+symbol payloads and the v3/v4 per-block required-columns payloads —
+and the v5 container (vcfz.py) whose symbol books are order-0 exactly
+so that THIS kernel can decode them block-parallel on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .huffman import MAX_CODE_LEN, Codebook
+
+_W = MAX_CODE_LEN  # 15: window width, state bits, basis count
+
+
+def device_decode_tables(book: Codebook):
+    """Host-side constants for the arithmetic canonical decode.
+
+    Returns (limits (15,) int32, idx_adjust (15,) int32,
+    sorted_syms (n_present,) int32) with limits[l-1] the EXCLUSIVE
+    window15 upper bound for code length <= l and idx_adjust[l-1] =
+    first_ordinal_of_length_l - base_l."""
+    lengths = np.asarray(book.lengths)
+    limits = np.zeros(_W, np.int32)
+    idx_adjust = np.zeros(_W, np.int32)
+    sorted_syms = []
+    code = 0
+    ordinal = 0
+    for l in range(1, _W + 1):
+        syms = np.flatnonzero(lengths == l)
+        base = code
+        idx_adjust[l - 1] = ordinal - base
+        sorted_syms.extend(syms.tolist())
+        code += len(syms)
+        ordinal += len(syms)
+        limits[l - 1] = min(code << (_W - l), 1 << _W)
+        code <<= 1
+    return (
+        jnp.asarray(limits),
+        jnp.asarray(idx_adjust),
+        np.asarray(sorted_syms, np.int32),
+    )
+
+
+def _windows15(words):
+    """(B, W) int32 big-endian words -> (B, W*32) int32: the 15-bit
+    window starting at every bit position (pure broadcasts + shifts)."""
+    B, W = words.shape
+    nxt = jnp.pad(words, ((0, 0), (0, 1)))[:, 1:]
+    j = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    hi = jnp.left_shift(words[:, :, None], j)
+    lo = jnp.where(
+        j > 0,
+        jax.lax.shift_right_logical(
+            nxt[:, :, None], jnp.minimum(32 - j, 31)
+        ),
+        0,
+    )
+    comb = hi | lo
+    return jax.lax.shift_right_logical(comb, 32 - _W).reshape(B, W * 32)
+
+
+def _lens_and_syms(window, limits, idx_adjust):
+    """Per-bit code length (1..15) and symbol ordinal, arithmetically."""
+    ln = jnp.int32(1)
+    for l in range(1, _W):  # 14 compares: len = 1 + #(window >= lim_l)
+        ln = ln + (window >= limits[l - 1]).astype(jnp.int32)
+    idx = jnp.zeros_like(window)
+    for l in range(1, _W + 1):
+        cand = jax.lax.shift_right_logical(window, _W - l) + idx_adjust[l - 1]
+        idx = jnp.where(ln == l, cand, idx)
+    return ln, idx
+
+
+@functools.partial(jax.jit, static_argnames=("s1", "s2"))
+def decode_bits(words, limits, idx_adjust, *, s1: int, s2: int):
+    """Order-0 canonical Huffman decode of B independent bitstreams.
+
+    Args:
+      words: (B, W) int32 — big-endian 32-bit words of each stream,
+             zero-padded; W*32 must equal s1*s2
+      limits, idx_adjust: device_decode_tables constants
+      s1: static — segments per stream (associative-compose axis)
+      s2: static — bits per segment (sequential-fold axis)
+
+    Returns (B, s1*s2) int32: ``symbol ordinal + 1`` at each bit that
+    starts a codeword (chained from bit 0), 0 elsewhere.  The caller
+    masks to the stream's real bit length and compacts row-major.
+    """
+    B, W = words.shape
+    if W * 32 != s1 * s2:
+        raise ValueError("word count does not tile the (s1, s2) bit grid")
+    window = _windows15(words)
+    ln, idx = _lens_and_syms(window, limits, idx_adjust)
+    lens = ln.reshape(B, s1, s2)
+
+    # pass A — segment transfer matrices: fold the 5-op recurrence over
+    # the 15 basis states in parallel; column k of the matrix is the
+    # image of basis e_k after the segment
+    basis0 = jnp.broadcast_to(
+        (jnp.int32(1) << jnp.arange(_W, dtype=jnp.int32))[None, None, :],
+        (B, s1, _W),
+    )
+
+    def fold_basis(state, len_t):
+        fire = state & 1
+        state = jax.lax.shift_right_logical(state, 1) | jnp.left_shift(
+            fire, len_t[:, :, None] - 1
+        )
+        return state, None
+
+    m_seg, _ = jax.lax.scan(fold_basis, basis0, jnp.moveaxis(lens, 2, 0))
+
+    # pass B — true input state of every segment: prefix-apply the
+    # segment matrices to e0 along s1 (boolean matrix-vector chain)
+    def apply_m(vec, mat):
+        out = jnp.zeros_like(vec)
+        for k in range(_W):
+            out = out | jnp.where(((vec >> k) & 1) == 1, mat[:, k], 0)
+        return out, vec  # emit the segment's INPUT state
+
+    e0 = jnp.ones((B,), jnp.int32)
+    _, seg_in = jax.lax.scan(apply_m, e0, jnp.moveaxis(m_seg, 1, 0))
+    seg_in = jnp.moveaxis(seg_in, 0, 1)  # (B, s1)
+
+    # pass C — final fold with the true inputs, emitting start bits
+    def fold_emit(state, len_t):
+        fire = state & 1
+        nxt = jax.lax.shift_right_logical(state, 1) | jnp.left_shift(
+            fire, len_t[:, :] - 1
+        )
+        return nxt, fire
+
+    _, fires = jax.lax.scan(fold_emit, seg_in, jnp.moveaxis(lens, 2, 0))
+    start = jnp.moveaxis(fires, 0, 2).reshape(B, s1 * s2)  # (B, s1, s2)
+    return jnp.where(start == 1, idx + 1, 0)
+
+
+def _split_grid(nbits_max: int) -> tuple[int, int]:
+    """Pick (s1, s2) for a stream of <= nbits_max bits: s2 (the
+    sequential axis) near 2048 keeps scan step counts low while s1
+    (the parallel compose axis) stays wide enough to matter."""
+    total = max((nbits_max + 32 * 128 - 1) // (32 * 128), 1) * 32 * 128
+    s2 = 2048
+    while s2 > total:
+        s2 //= 2
+    s1 = total // s2
+    return s1, s2
+
+
+# bits per decode dispatch: the kernel holds ~4 int32 planes per bit
+# (windows, lens, ordinals, starts), so 64M bits keeps peaks ~1 GB
+_MAX_DISPATCH_BITS = 64 * 1024 * 1024
+
+
+def device_unpack_symbols(
+    payloads: list[bytes], n_syms: list[int], book: Codebook
+) -> list[np.ndarray]:
+    """Decode order-0 payloads block-parallel on device; returns the
+    symbol array per payload (host compaction + one O(symbols) table
+    map).  Raises ValueError on streams whose chained decode does not
+    yield at least n_syms symbols (corrupt/truncated input — the same
+    gate as the host decoders' 'invalid Huffman stream')."""
+    if not payloads:
+        return []
+    limits, idx_adjust, sorted_syms = device_decode_tables(book)
+    max_bytes = max(len(p) for p in payloads)
+    s1, s2 = _split_grid(max_bytes * 8)
+    group = max(_MAX_DISPATCH_BITS // (s1 * s2), 1)
+    out: list[np.ndarray] = []
+    for g0 in range(0, len(payloads), group):
+        chunk = payloads[g0 : g0 + group]
+        nwords = s1 * s2 // 32
+        B = len(chunk)
+        words = np.zeros((B, nwords * 4), np.uint8)
+        for i, p in enumerate(chunk):
+            words[i, : len(p)] = np.frombuffer(p, np.uint8)
+        w32 = words.view(">u4").astype(np.uint32).view(np.int32)
+        plane = np.asarray(
+            decode_bits(jnp.asarray(w32), limits, idx_adjust, s1=s1, s2=s2)
+        )
+        for i, p in enumerate(chunk):
+            row = plane[i, : len(p) * 8]
+            vals = row[np.flatnonzero(row)] - 1
+            n = n_syms[g0 + i]
+            if len(vals) < n:
+                raise ValueError("invalid Huffman stream")
+            vals = vals[:n]  # starts in the final byte's padding are spurious
+            if len(vals) and (vals >= len(sorted_syms)).any():
+                raise ValueError("invalid Huffman stream")
+            out.append(sorted_syms[vals])
+    return out
