@@ -651,14 +651,17 @@ def compress_multihost_vcfz(
     version 4 applies the vertical-prediction transform per block AFTER
     the global escape remap (the MATCH band sits above the global escape
     band); block-aligned stripes make it entirely stripe-local.
+    version 5 (order-0 symbol book — the device-decodable container)
+    merges ONE global symbol histogram instead of the context-classed
+    set; everything else is the v3 flow.
 
     Output is byte-identical to single-process ``vcfz_from_vcfc`` of the
     whole file (asserted in tests/test_distributed.py).
     """
     # the layout below needs the v3+ sections (38-byte entries, req
     # codebook, coded req region): v1/v2 are single-process formats
-    if version not in (3, 4):
-        raise ValueError("multihost .vcfz transcode writes version 3 or 4")
+    if version not in (3, 4, 5):
+        raise ValueError("multihost .vcfz transcode writes version 3, 4, or 5")
     from ..format.vcfz import (
         _v4_transform_block,
         default_block_lines,
@@ -674,6 +677,7 @@ def compress_multihost_vcfz(
         N_CTX_V4,
         Codebook,
         ctx_of_stream,
+        pack_symbols,
         pack_symbols_ctx,
         symbol_classes,
     )
@@ -785,13 +789,16 @@ def compress_multihost_vcfz(
     else:
         per_block = [v3_block_slice(b) for b in range(my_blocks)]
         classes = symbol_classes(n_symbols)
-        n_ctx = N_CTX
+        n_ctx = 1 if version == 5 else N_CTX
 
     freqs = np.zeros((n_ctx, n_symbols), np.int64)
     for b in range(my_blocks):
         blk = np.asarray(per_block[b], np.int64)
-        ctx = ctx_of_stream(blk, classes)
-        np.add.at(freqs, (ctx.astype(np.int64), blk), 1)
+        if n_ctx == 1:  # v5: order-0
+            freqs[0] += np.bincount(blk, minlength=n_symbols)
+        else:
+            ctx = ctx_of_stream(blk, classes)
+            np.add.at(freqs, (ctx.astype(np.int64), blk), 1)
     freqs = _allgather_array(freqs).sum(axis=0)  # global histogram merge
     books = [Codebook.from_frequencies(freqs[c]) for c in range(n_ctx)]
 
@@ -809,7 +816,10 @@ def compress_multihost_vcfz(
     entries = bytearray()
     for b in range(my_blocks):
         blk_syms = per_block[b]
-        payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
+        if version == 5:
+            payload, _bits = pack_symbols(blk_syms, books[0])
+        else:
+            payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
         l0, l1 = b * block_lines, min(b * block_lines + block_lines, my_lines)
         rp = pack_req(
             req_blob[int(req_starts_local[l0]) : int(req_starts_local[l1])], req_book
