@@ -66,6 +66,7 @@ class HarnessConfig:
         "vcfc-sparse-external",
         "vcfz-v3",
         "vcfz-v4",
+        "vcfz-v5",
         "tabix-bgzip",
         "tabix-bcf",
     )
