@@ -111,6 +111,21 @@ done
 "${P[@]}" decompress-z p4.vcfz z4p.rt; check cmp -s z4p.rt f.vcf
 "$V" query-z p4.vcfz "21:1000-99999" > b4; check cmp -s a b4
 
+# v5 (order-0, device-decodable): both writers byte-equal, both readers
+# invert, and the DEVICE entropy routes (encode pack + bit-parallel
+# decode) are byte-identical to the host paths on the fresh corpus
+"${P[@]}" compress-z p.vcfc p5.vcfz 5
+"$V" compress-z v.vcfc v5.vcfz 5;      check cmp -s p5.vcfz v5.vcfz
+"$V" decompress-z p5.vcfz z5.rt;       check cmp -s z5.rt f.vcf
+"${P[@]}" decompress-z p5.vcfz z5p.rt; check cmp -s z5p.rt f.vcf
+"$V" query-z p5.vcfz "21:1000-99999" > b5; check cmp -s a b5
+VCFZ_PACK=device "${P[@]}" compress-z p.vcfc p5d.vcfz 5
+check cmp -s p5d.vcfz p5.vcfz
+VCFZ_PACK=device "${P[@]}" decompress-z p5.vcfz z5d.rt
+check cmp -s z5d.rt f.vcf
+VCFZ_PACK=device "${P[@]}" compress-z p.vcfc p4d.vcfz 4
+check cmp -s p4d.vcfz p4.vcfz
+
 # --- .vcfcm manifest (no reference analog): native and Python writers
 # byte-equal; query-manifest output equals the binned-index query (same
 # SV-aware overlap semantics) on hit, SV-overlap, and miss regions
