@@ -162,3 +162,46 @@ def test_decompress_sharded_byte_identical():
     vcfc = compress_bytes(vcf)
     got = engine.decompress_sharded(vcfc)  # 8-device virtual mesh
     assert got == vcf
+
+
+def test_sharded_vcfz_pack_matches_host_packer():
+    """r4: the data-parallel .vcfz entropy-pack step under the 8-device
+    mesh must produce per-block payload bytes identical to the host
+    packer (blocks are independent; entries replicate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vcfc_tpu.ops.huffman import Codebook, pack_symbols
+    from vcfc_tpu.ops.rle import rle_encode
+    from vcfc_tpu.ops.vcfz_device import compact_payloads, pack_entries
+    from vcfc_tpu.parallel.mesh import DATA_AXIS, make_data_mesh
+    from vcfc_tpu.parallel.shard import make_sharded_vcfz_pack_step
+
+    mesh = make_data_mesh(8)
+    rng = np.random.default_rng(5)
+    L, S, S_pad = 64, 120, 128
+    block_lines = 4
+    codes = np.zeros((L, S_pad), np.uint8)
+    codes[:, :S] = rng.choice(5, size=(L, S), p=[0.7, 0.1, 0.1, 0.05, 0.05])
+    fp = np.asarray(rle_encode(codes, S)[0])
+
+    sym_plane = np.where((fp & 0xE0) == 0xE0, 256, fp.astype(np.int32)) * (fp > 0)
+    freqs = np.bincount(sym_plane.reshape(-1), minlength=257)
+    freqs[0] = 0
+    book = Codebook.from_frequencies(freqs)
+    step = make_sharded_vcfz_pack_step(mesh, block_lines, n_ctx=1)
+    wv, emit, tb, bad = step(
+        jax.device_put(jnp.asarray(fp), NamedSharding(mesh, P(DATA_AXIS, None))),
+        jnp.zeros(fp.shape, jnp.int32),
+        jnp.asarray(pack_entries([book])),
+        0,
+        0,
+    )
+    assert not bool(np.asarray(bad).any())
+    payloads = compact_payloads(wv, emit, tb)
+    for b in range(L // block_lines):
+        rows = sym_plane[b * block_lines : (b + 1) * block_lines].reshape(-1)
+        want, _bits = pack_symbols(rows[rows != 0].astype(np.int64), book)
+        assert payloads[b] == want, f"block {b}"

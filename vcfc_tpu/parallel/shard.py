@@ -204,3 +204,41 @@ def make_sharded_roundtrip_step(mesh):
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_vcfz_pack_step(mesh, block_lines: int, n_ctx: int = 1,
+                                v4: bool = False):
+    """Data-parallel `.vcfz` entropy PACKING under a device mesh (r4):
+    each device turns its block-aligned line shard's positional flags
+    into positional symbols (escape cells -> dictionary symbols) and
+    Huffman-packs every block with the replicated codebook entries —
+    blocks are independent, so the multichip transcode is pure data
+    parallelism over the block axis (ops/vcfz_device.py kernels inside
+    shard_map).
+
+    fn(flagpos (L, S_pad) u8, esc_grid (L, S_pad) i32,
+       entries (n_ctx * alphabet,) i32, m_base, ctx_init) ->
+    (word_val, emit, total_bits, bad) with the L axis sharded; per-shard
+    L must be a multiple of block_lines.
+    """
+    from ..ops.vcfz_device import pack_cells, sympos_v3
+
+    def _shard_body(flagpos, esc_grid, entries, m_base, ctx_init):
+        sympos = sympos_v3(flagpos, esc_grid)
+        l, s_pad = sympos.shape
+        cells = sympos.reshape(l // block_lines, block_lines * s_pad)
+        return pack_cells(
+            cells, cells != 0, entries, m_base, ctx_init,
+            n_ctx=n_ctx, v4=v4,
+        )
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(), P(), P()),
+        out_specs=(
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+        ),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
