@@ -275,7 +275,7 @@ _WORKER_DZ = _WORKER.replace(
 )
 
 
-@pytest.mark.parametrize("version", [3, 4])
+@pytest.mark.parametrize("version", [3, 4, 5])
 def test_two_process_cooperative_vcfz_decode(tmp_path, version):
     """2-process cooperative .vcfz DECODE (VERDICT r2 #3): block-aligned
     stripes entropy-decode independently and the pwrite-stitched text
