@@ -181,13 +181,17 @@ def decode_bits(words, limits, idx_adjust, *, s1: int, s2: int):
 
 def _split_grid(nbits_max: int) -> tuple[int, int]:
     """Pick (s1, s2) for a stream of <= nbits_max bits: s2 (the
-    sequential axis) near 2048 keeps scan step counts low while s1
-    (the parallel compose axis) stays wide enough to matter."""
+    sequential fold axis) near 2048 keeps scan step counts low while s1
+    (the parallel compose axis) stays wide enough to matter; for very
+    long single streams s2 grows so the s1 apply chain stays <= 4096
+    steps (both axes are scans — neither may degenerate)."""
     total = max((nbits_max + 32 * 128 - 1) // (32 * 128), 1) * 32 * 128
     s2 = 2048
     while s2 > total:
         s2 //= 2
-    s1 = total // s2
+    while (total + s2 - 1) // s2 > 4096:
+        s2 *= 2
+    s1 = (total + s2 - 1) // s2
     return s1, s2
 
 
