@@ -26,6 +26,7 @@ from .constants import (
     VCF_REQUIRED_COL_COUNT,
 )
 from .headers import decode_line_headers, encode_length_header
+from ..utils.debug import debugf, enabled as _debug_on
 
 GT_00 = b"0|0"
 GT_01 = b"0|1"
@@ -55,6 +56,17 @@ def encode_data_line(line: bytes, add_newline: bool = True) -> bytes:
     terms = split_terms(line)
     if len(terms) < VCF_REQUIRED_COL_COUNT:
         raise VcfValidationError("VCF data line did not contain at least 8 terms")
+    if _debug_on():  # VCFC_DEBUG flavor (utils/debug.py; compress.cpp:69,105)
+        debugf(
+            "reference_name = %s, pos = %s\n",
+            terms[0].decode("ascii", "replace"),
+            terms[1].decode("ascii", "replace"),
+        )
+        debugf(
+            "terms: %d, samples: %d\n",
+            len(terms),
+            max(len(terms) - VCF_REQUIRED_COL_COUNT - 1, 0),
+        )
 
     out = bytearray(8)  # two header placeholders, backpatched below
     required = terms[:VCF_REQUIRED_COL_COUNT]
@@ -72,6 +84,8 @@ def encode_data_line(line: bytes, add_newline: bool = True) -> bytes:
         required_length += 1
 
     out[4:8] = encode_length_header(required_length)
+    if _debug_on():
+        debugf("Updating required length to %d\n", required_length)
 
     n = len(samples)
     i = 0
@@ -84,6 +98,8 @@ def encode_data_line(line: bytes, add_newline: bool = True) -> bytes:
                 count += 1
                 i += 1
             out.append(count)
+            if _debug_on():
+                debugf("0|0 occurred %d times\n", count)
         elif val in _FLAG_OF_GT:
             count = 1
             i += 1
@@ -91,6 +107,11 @@ def encode_data_line(line: bytes, add_newline: bool = True) -> bytes:
                 count += 1
                 i += 1
             out.append(_FLAG_OF_GT[val] | count)
+            if _debug_on():
+                debugf(
+                    "%s occurred %d times\n",
+                    val.decode("ascii", "replace"), count,
+                )
         else:
             # escape path: flag byte with count 1, then raw ASCII column,
             # then '\t' unless this is the last sample (compress.cpp:171-185)
@@ -114,6 +135,11 @@ def decode_data_line(buf: bytes, offset: int, sample_count: int) -> tuple[bytes,
     Mirrors decompress2_data_line (compress.cpp:741-986).
     """
     start = offset
+    if _debug_on():  # compress.cpp:746
+        debugf(
+            "decode_data_line decompressing line, expecting %d samples\n",
+            sample_count,
+        )
     if offset + 8 > len(buf):
         raise VcfValidationError("Truncated line length headers")
     line_length, required_length = decode_line_headers(buf, offset)
@@ -184,5 +210,7 @@ def decode_data_line(buf: bytes, offset: int, sample_count: int) -> tuple[bytes,
         raise VcfValidationError("Sample line did not end in a newline")
     out.append(ord("\n"))
     offset += 1
+    if _debug_on():  # compress.cpp:955
+        debugf("Finished reading samples\n")
 
     return bytes(out), offset - start
