@@ -1690,15 +1690,36 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   uint64_t n_blocks = L ? (L + block_lines - 1) / block_lines : 0;
 
   if (version == 4) {
-    // vertical-prediction transform per block (block-first lines literal)
+    // vertical-prediction transform per block (block-first lines literal);
+    // blocks are independent, so the transform fans out across workers
+    // (per-block buffers + ordered merge); single-worker keeps the
+    // in-place append path (no merge copy)
     K = size_t(m_base + S + 1);
     std::vector<int32_t> syms4;
     syms4.reserve(syms.size() + syms.size() / 4);
     std::vector<uint32_t> nsym4;
     nsym4.reserve(size_t(L));
-    for (uint64_t b = 0; b < n_blocks; b++) {
-      uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
-      v4_transform_block(syms, nsym, sym_base, lo, hi, S, m_base, &syms4, &nsym4);
+    if (worker_limit() > 1 && n_blocks > 1) {
+      const size_t nb4 = size_t(n_blocks);
+      std::vector<std::vector<int32_t>> bs(nb4);
+      std::vector<std::vector<uint32_t>> bn(nb4);
+      parallel_chunks(int64_t(n_blocks), [&](int, int64_t b0, int64_t b1) {
+        for (int64_t b = b0; b < b1; b++) {
+          uint64_t lo = uint64_t(b) * block_lines,
+                   hi = std::min(lo + block_lines, L);
+          v4_transform_block(syms, nsym, sym_base, lo, hi, S, m_base,
+                             &bs[size_t(b)], &bn[size_t(b)]);
+        }
+      });
+      for (uint64_t b = 0; b < n_blocks; b++) {
+        syms4.insert(syms4.end(), bs[size_t(b)].begin(), bs[size_t(b)].end());
+        nsym4.insert(nsym4.end(), bn[size_t(b)].begin(), bn[size_t(b)].end());
+      }
+    } else {
+      for (uint64_t b = 0; b < n_blocks; b++) {
+        uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
+        v4_transform_block(syms, nsym, sym_base, lo, hi, S, m_base, &syms4, &nsym4);
+      }
     }
     syms.swap(syms4);
     nsym.swap(nsym4);
@@ -1808,58 +1829,64 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
     }
   };
 
-  // pack blocks: symbol payloads (context-switching) + req payloads
-  std::vector<std::string> payloads, req_payloads;
-  std::string entries;
-  uint64_t req_region_total = 0;
-  for (uint64_t b = 0; b < n_blocks; b++) {
-    uint64_t lo = b * block_lines, hi = std::min(lo + block_lines, L);
-    BitSink sink;
-    sink.buf.reserve(size_t(sym_base[hi] - sym_base[lo]) * 2);
-    int ctx = ctx0;
-    for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
-      int32_t sym = syms[s];
-      uint32_t entry = fused[size_t(ctx)][size_t(sym)];
-      if (entry >> 22 == 0) die("symbol without codeword");
-      sink.put(entry);
-      ctx = sym_cls[size_t(sym)];
-    }
-    std::string payload = sink.finish();
-
-    BitSink rsink;
-    for (uint64_t i = lo; i < hi; i++) {
-      const uint8_t* r = vcfc + lvs[size_t(i)].offset + 8;
-      for (uint32_t k = 0; k < req_lens[size_t(i)]; k++) {
-        uint32_t entry = req_fused[r[k]];
-        if (entry >> 22 == 0) die("req byte without codeword");
-        rsink.put(entry);
+  // pack blocks: symbol payloads (context-switching) + req payloads.
+  // Blocks are independent and outputs are indexed by block, so the
+  // packing fans out across VCFC_WORKERS deterministically (the
+  // serialization below walks the per-block slots in order)
+  const size_t nb = size_t(n_blocks);
+  std::vector<std::string> payloads(nb), req_payloads(nb), entry_blobs(nb);
+  parallel_chunks(int64_t(n_blocks), [&](int, int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; b++) {
+      uint64_t lo = uint64_t(b) * block_lines, hi = std::min(lo + block_lines, L);
+      BitSink sink;
+      sink.buf.reserve(size_t(sym_base[hi] - sym_base[lo]) * 2);
+      int ctx = ctx0;
+      for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
+        int32_t sym = syms[s];
+        uint32_t entry = fused[size_t(ctx)][size_t(sym)];
+        if (entry >> 22 == 0) die("symbol without codeword");
+        sink.put(entry);
+        ctx = sym_cls[size_t(sym)];
       }
-    }
-    std::string rp = rsink.finish();
-    req_region_total += rp.size();
+      std::string payload = sink.finish();
 
-    uint32_t cme = 0;
-    for (uint64_t i = lo; i < hi; i++)
-      cme = std::max(cme, uint32_t(end_position(lvs[size_t(i)])));
-    uint64_t plen = payload.size(), nbs = sym_base[hi] - sym_base[lo];
-    uint64_t rplen = rp.size();
-    entries.append(reinterpret_cast<char*>(&plen), 8);
-    entries.append(reinterpret_cast<char*>(&nbs), 8);
-    entries.append(reinterpret_cast<char*>(&rplen), 8);
-    entries.push_back(char(ref_ordinal(lvs[size_t(lo)].chrom)));
-    uint32_t pf = uint32_t(lvs[size_t(lo)].pos);
-    entries.append(reinterpret_cast<char*>(&pf), 4);
-    entries.push_back(char(ref_ordinal(lvs[size_t(hi - 1)].chrom)));
-    uint32_t pl = uint32_t(lvs[size_t(hi - 1)].pos);
-    entries.append(reinterpret_cast<char*>(&pl), 4);
-    entries.append(reinterpret_cast<char*>(&cme), 4);
-    payloads.push_back(std::move(payload));
-    req_payloads.push_back(std::move(rp));
-  }
+      BitSink rsink;
+      for (uint64_t i = lo; i < hi; i++) {
+        const uint8_t* r = vcfc + lvs[size_t(i)].offset + 8;
+        for (uint32_t k = 0; k < req_lens[size_t(i)]; k++) {
+          uint32_t entry = req_fused[r[k]];
+          if (entry >> 22 == 0) die("req byte without codeword");
+          rsink.put(entry);
+        }
+      }
+      std::string rp = rsink.finish();
+
+      uint32_t cme = 0;
+      for (uint64_t i = lo; i < hi; i++)
+        cme = std::max(cme, uint32_t(end_position(lvs[size_t(i)])));
+      uint64_t plen = payload.size(), nbs = sym_base[hi] - sym_base[lo];
+      uint64_t rplen = rp.size();
+      std::string& eb = entry_blobs[size_t(b)];
+      eb.append(reinterpret_cast<char*>(&plen), 8);
+      eb.append(reinterpret_cast<char*>(&nbs), 8);
+      eb.append(reinterpret_cast<char*>(&rplen), 8);
+      eb.push_back(char(ref_ordinal(lvs[size_t(lo)].chrom)));
+      uint32_t pf = uint32_t(lvs[size_t(lo)].pos);
+      eb.append(reinterpret_cast<char*>(&pf), 4);
+      eb.push_back(char(ref_ordinal(lvs[size_t(hi - 1)].chrom)));
+      uint32_t pl = uint32_t(lvs[size_t(hi - 1)].pos);
+      eb.append(reinterpret_cast<char*>(&pl), 4);
+      eb.append(reinterpret_cast<char*>(&cme), 4);
+      payloads[size_t(b)] = std::move(payload);
+      req_payloads[size_t(b)] = std::move(rp);
+    }
+  });
+  uint64_t req_region_total = 0;
+  for (auto& p : req_payloads) req_region_total += p.size();
   put_u64(req_region_total);
   for (auto& p : req_payloads) out += p;
   put_u32(uint32_t(n_blocks));
-  out += entries;
+  for (auto& e : entry_blobs) out += e;
   for (auto& p : payloads) out += p;
   return out;
 }
