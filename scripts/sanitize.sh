@@ -41,6 +41,9 @@ run_legs() {
   "$bin" decompress-z "$work/f.vcfz" "$work/f.z.vcf"
   cmp -s "$work/f.vcf" "$work/f.z.vcf"
   "$bin" query-z "$work/f.vcfz" "1:10500-11500" > /dev/null
+  "$bin" compress-z "$work/f.vcfc" "$work/f5.vcfz" 5
+  "$bin" decompress-z "$work/f5.vcfz" "$work/f5.z.vcf"
+  cmp -s "$work/f.vcf" "$work/f5.z.vcf"
 }
 
 run_minihts_legs() {
