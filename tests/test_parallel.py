@@ -205,3 +205,48 @@ def test_sharded_vcfz_pack_matches_host_packer():
         rows = sym_plane[b * block_lines : (b + 1) * block_lines].reshape(-1)
         want, _bits = pack_symbols(rows[rows != 0].astype(np.int64), book)
         assert payloads[b] == want, f"block {b}"
+
+
+def test_sharded_huffman_decode_matches_host():
+    """r4: the data-parallel bit-decode step under the 8-device mesh
+    must invert the host packer for every sharded stream."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vcfc_tpu.ops.huffman import Codebook, pack_symbols
+    from vcfc_tpu.ops.huffman_device import device_decode_tables
+    from vcfc_tpu.parallel.mesh import DATA_AXIS, make_data_mesh
+    from vcfc_tpu.parallel.shard import make_sharded_huffman_decode_step
+
+    mesh = make_data_mesh(8)
+    rng = np.random.default_rng(9)
+    freqs = rng.integers(1, 500, 90)
+    book = Codebook.from_frequencies(freqs)
+    streams = [rng.integers(0, 90, size=200 + 30 * i) for i in range(8)]
+    payloads = [pack_symbols(s.astype(np.int64), book)[0] for s in streams]
+
+    s1, s2 = 2, 2048  # 4096-bit grid covers the longest payload
+    nwords = s1 * s2 // 32
+    words = np.zeros((8, nwords * 4), np.uint8)
+    for i, p in enumerate(payloads):
+        assert len(p) * 8 <= s1 * s2
+        words[i, : len(p)] = np.frombuffer(p, np.uint8)
+    w32 = words.view(">u4").astype(np.uint32).view(np.int32)
+
+    limits, idx_adjust, sorted_syms = device_decode_tables(book)
+    step = make_sharded_huffman_decode_step(mesh, s1, s2)
+    plane = np.asarray(
+        step(
+            jax.device_put(
+                jnp.asarray(w32), NamedSharding(mesh, P(DATA_AXIS, None))
+            ),
+            limits,
+            idx_adjust,
+        )
+    )
+    for i, s in enumerate(streams):
+        row = plane[i, : len(payloads[i]) * 8]
+        vals = row[np.flatnonzero(row)] - 1
+        np.testing.assert_array_equal(sorted_syms[vals[: len(s)]], s)

@@ -242,3 +242,29 @@ def make_sharded_vcfz_pack_step(mesh, block_lines: int, n_ctx: int = 1,
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_huffman_decode_step(mesh, s1: int, s2: int):
+    """Data-parallel order-0 entropy DECODE under a device mesh (r4):
+    each device bit-decodes its shard of independent payload streams
+    (v1/v5 symbol payloads, v3+/v5 req payloads) with the replicated
+    canonical-limit tables — the decode twin of
+    ``make_sharded_vcfz_pack_step`` (ops/huffman_device.py kernel
+    inside shard_map).
+
+    fn(words (B, W) i32 big-endian, limits (15,), idx_adjust (15,)) ->
+    (B, s1*s2) i32 positional `ordinal + 1` plane, B sharded.
+    """
+    from ..ops.huffman_device import decode_bits
+
+    def _shard_body(words, limits, idx_adjust):
+        return decode_bits(words, limits, idx_adjust, s1=s1, s2=s2)
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(), P()),
+        out_specs=P(DATA_AXIS, None),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
