@@ -1080,7 +1080,7 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint8_t max_len = raw[off + 4];
   z.block_lines = rd_u32(raw + off + 5);
   off += 9;
-  if ((z.version < 1 || z.version > 5) || max_len != kMaxCodeLen)
+  if ((z.version < 1 || z.version > 6) || max_len != kMaxCodeLen)
     die("unsupported .vcfz version");
   if (z.block_lines == 0) die("invalid .vcfz block_lines");
   need(12);
@@ -1109,11 +1109,11 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   z.n_symbols = rd_u32(raw + off);
   off += 4;
   // v4's alphabet appends the vertical-match band [m_base, m_base + S]
-  uint64_t want_syms = z.version == 4
+  uint64_t want_syms = (z.version == 4 || z.version == 6)
                            ? 256 + uint64_t(n_esc) + z.n_samples + 1
                            : 256 + uint64_t(n_esc);
   if (z.n_symbols != want_syms) die("corrupt .vcfz symbol count");
-  int n_books = (z.version == 1 || z.version == 5)
+  int n_books = (z.version == 1 || z.version == 5 || z.version == 6)
                     ? 1
                     : (z.version == 4 ? kNCtxV4 : kNCtx);
   z.sym_tables.resize(n_books);
@@ -1131,7 +1131,7 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint32_t m_base = 256 + n_esc;  // first vertical-match symbol (v4)
   z.class_of.resize(z.n_symbols);
   for (uint32_t s = 0; s < z.n_symbols; s++)
-    z.class_of[s] = (z.version == 4 && s >= m_base) ? 4
+    z.class_of[s] = ((z.version == 4 || z.version == 6) && s >= m_base) ? 4
                     : s == 0x7F                     ? 0
                     : s < 0x80                      ? 1
                     : s < 0x100                     ? 2
@@ -1229,7 +1229,7 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
   BitReader br{z.payload_base + blk.payload_off, blk.payload_len};
   // v1 and v5 are order-0 (one book, fixed ctx); v2-v4 switch on the
   // class of the previous symbol
-  bool order0 = z.version == 1 || z.version == 5;
+  bool order0 = z.version == 1 || z.version == 5 || z.version == 6;
   int ctx = order0 ? 0 : kCtxInit;
   for (uint64_t i = 0; i < n_take; i++) {
     uint32_t prefix = br.peek();
@@ -1300,10 +1300,11 @@ void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
   // (format/vcfz.py::_v4_block_to_v3): MATCH-run symbols (>= m_base)
   // copy cells from the line above; block-first lines are literal.
   const uint64_t S = z.n_samples;
-  const uint32_t m_base = uint32_t(z.n_symbols - S - 1);  // v4 only
+  const uint32_t m_base = uint32_t(z.n_symbols - S - 1);  // v4/v6 only
   std::vector<uint8_t> rows;       // (hi-lo) x S codes 0-4 after resolve
   std::vector<int32_t> esc_cells;  // escape id per cell, -1 elsewhere
-  if (z.version == 4) {
+  bool vertical = z.version == 4 || z.version == 6;
+  if (vertical) {
     uint64_t nrows = hi - lo;
     // grid-size sanity BEFORE allocating: every cell comes from a symbol
     // covering <= max(127, S) samples and every symbol costs >= 1 payload
@@ -1366,7 +1367,7 @@ void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
     // body: flag bytes; escapes expand to 0xE1 + text + '\t' unless the
     // line's final sample (compress.cpp:182-184 tab rule)
     std::string body;
-    if (z.version == 4) {
+    if (vertical) {
       // re-emit greedy capped runs from the resolved code row
       const uint8_t* row = rows.data() + (i - lo) * S;
       const int32_t* eg = esc_cells.data() + (i - lo) * S;
@@ -1615,8 +1616,8 @@ int class_of_sym(int64_t s) {
 // format/vcfz.py::vcfz_from_vcfc, natively (writes v3).  in-memory vcfc in.
 std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
                        int version = 3) {
-  if (version != 3 && version != 4 && version != 5)
-    die("vcfz_write supports versions 3-5");
+  if (version < 3 || version > 6)
+    die("vcfz_write supports versions 3-6");
   Header h = parse_meta(vcfc, n);
   // walk lines: geometry + required cols + symbol streams + escapes
   std::vector<LineView> lvs;
@@ -1689,7 +1690,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
   uint64_t n_blocks = L ? (L + block_lines - 1) / block_lines : 0;
 
-  if (version == 4) {
+  if (version == 4 || version == 6) {
     // vertical-prediction transform per block (block-first lines literal);
     // blocks are independent, so the transform fans out across workers
     // (per-block buffers + ordered merge); single-worker keeps the
@@ -1725,7 +1726,8 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
     nsym.swap(nsym4);
     for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
   }
-  const int n_ctx = version == 4 ? kNCtxV4 : (version == 5 ? 1 : kNCtx);
+  const int n_ctx =
+      version == 4 ? kNCtxV4 : ((version == 5 || version == 6) ? 1 : kNCtx);
   auto cls_of = [&](int32_t s) {
     return (version == 4 && uint64_t(s) >= m_base) ? 4 : class_of_sym(s);
   };
@@ -1901,7 +1903,7 @@ int do_compress_z(const char* in_path, const char* out_path, int version) {
   // v4 point queries decode from the block start to the hit row, so the
   // block height bounds the tail; 64 matches format/vcfz.py
   // DEFAULT_BLOCK_LINES_V4 (writers must agree byte-for-byte)
-  const uint32_t block_lines = version == 4 ? 64 : 256;
+  const uint32_t block_lines = (version == 4 || version == 6) ? 64 : 256;
   std::string z;
   if (is_vcfc) {
     z = vcfz_write(m.data, m.size, block_lines, version);
@@ -2366,7 +2368,7 @@ int main(int argc, char** argv) {
   if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
   if (action == "compress-z" && (argc == 4 || argc == 5)) {
     int zv = argc == 5 ? atoi(argv[4]) : 3;
-    if (zv < 3 || zv > 5) die("vcfz version must be 3, 4, or 5");
+    if (zv < 3 || zv > 6) die("vcfz version must be 3-6");
     return do_compress_z(argv[2], argv[3], zv);
   }
   if (action == "create-manifest" && argc == 3) return do_create_manifest(argv[2]);

@@ -126,6 +126,16 @@ check cmp -s z5d.rt f.vcf
 VCFZ_PACK=device "${P[@]}" compress-z p.vcfc p4d.vcfz 4
 check cmp -s p4d.vcfz p4.vcfz
 
+# v6 (vertical prediction + order-0 book): writers byte-equal, readers
+# invert, device encode/decode byte-identical
+"${P[@]}" compress-z p.vcfc p6.vcfz 6
+"$V" compress-z v.vcfc v6.vcfz 6;      check cmp -s p6.vcfz v6.vcfz
+"$V" decompress-z p6.vcfz z6.rt;       check cmp -s z6.rt f.vcf
+VCFZ_PACK=device "${P[@]}" compress-z p.vcfc p6d.vcfz 6
+check cmp -s p6d.vcfz p6.vcfz
+VCFZ_PACK=device "${P[@]}" decompress-z p6.vcfz z6d.rt
+check cmp -s z6d.rt f.vcf
+
 # --- .vcfcm manifest (no reference analog): native and Python writers
 # byte-equal; query-manifest output equals the binned-index query (same
 # SV-aware overlap semantics) on hit, SV-overlap, and miss regions

@@ -123,7 +123,7 @@ class TestVcfzV5:
 
 
 class TestDeviceDecodeRoute:
-    @pytest.mark.parametrize("version", [1, 5])
+    @pytest.mark.parametrize("version", [1, 5, 6])
     def test_order0_containers_decode_on_device(self, version):
         vcfc = _vcfc(38, 90, 400)
         z = vcfz_from_vcfc(vcfc, version=version, block_lines=32)
@@ -131,7 +131,7 @@ class TestDeviceDecodeRoute:
 
     def test_ctx_containers_fall_back(self):
         vcfc = _vcfc(39)
-        for version in (2, 3, 4):
+        for version in (2, 3, 4):  # v5/v6 are the order-0 device twins
             z = vcfz_from_vcfc(vcfc, version=version)
             assert vcfz_to_vcfc_device(z) is None
             # the public entry still decompresses via the host path
@@ -166,3 +166,59 @@ class TestDeviceDecodeRoute:
         z[start : start + blk["payload_len"]] = b"\xff" * blk["payload_len"]
         with pytest.raises(ValueError, match="invalid Huffman"):
             vcfz_to_vcfc_device(bytes(z))
+
+
+class TestVcfzV6:
+    """v6 = v4's vertical prediction + v5's single order-0 book: the
+    device-decodable container for LD-correlated cohorts."""
+
+    def _corr_vcfc(self, samples=150, variants=500):
+        from vcfc_tpu.eval.random_vcf import generate_correlated_vcf
+
+        return compress_bytes(
+            generate_correlated_vcf(
+                samples, variants, mutation_rate=0.03, seed=13
+            )
+        )
+
+    def test_roundtrip_blocks_and_band(self):
+        vcfc = self._corr_vcfc()
+        z = vcfz_from_vcfc(vcfc, version=6)
+        r = VcfzReader.parse(z)
+        assert r.version == 6 and len(r.books) == 1
+        assert r.block_lines == 64  # v4's tail-bounding default
+        assert decompress_vcfz(z) == decompress_bytes(vcfc)
+
+    def test_beats_v5_on_correlated_data(self):
+        """Vertical prediction must carry over: on LD-correlated data v6
+        lands far below the literal order-0 v5."""
+        vcfc = self._corr_vcfc(300, 900)
+        z5 = vcfz_from_vcfc(vcfc, version=5)
+        z6 = vcfz_from_vcfc(vcfc, version=6)
+        assert len(z6) < 0.8 * len(z5)
+
+    def test_device_cycle(self):
+        vcfc = self._corr_vcfc()
+        z = vcfz_from_vcfc(vcfc, version=6, route="device")
+        assert z == vcfz_from_vcfc(vcfc, version=6)
+        assert vcfz_to_vcfc_device(z) == vcfc
+
+    def test_rejects_non_greedy_like_v4(self):
+        from vcfc_tpu.format.headers import encode_length_header
+
+        header = (
+            b"##m=1\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+            + b"".join(b"\tS%d" % i for i in range(10))
+            + b"\n"
+        )
+        req = b"1\t100\t.\tA\tT\t.\t.\t.\tGT\t"
+        body = bytes([0x05, 0x05])
+        line = (
+            encode_length_header(4 + len(req) + len(body) + 1)
+            + encode_length_header(len(req))
+            + req
+            + body
+            + b"\n"
+        )
+        with pytest.raises(ValueError, match="non-greedy"):
+            vcfz_from_vcfc(header + line, version=6)

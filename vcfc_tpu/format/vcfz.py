@@ -23,14 +23,14 @@ collectives" path of BASELINE.json: histograms come from the device mesh
 
 Layout (little-endian):
 
-  magic "VCFZ" | u32 version (1-5) | u8 max_code_len | u32 block_lines
+  magic "VCFZ" | u32 version (1-6) | u8 max_code_len | u32 block_lines
   u64 n_lines | u32 n_samples
   u64 header_len | header blob (meta + #CHROM lines verbatim)
   u32 n_escapes | per escape: u16 len | bytes
-  u32 n_symbols (v1-v3/v5: 256 + n_escapes; v4: 256 + n_escapes +
+  u32 n_symbols (v1-v3/v5: 256 + n_escapes; v4/v6: 256 + n_escapes +
                  n_samples + 1 — the vertical-match band)
   u8 lengths[n_symbols] x n_books                (canonical symbol codebooks;
-                 n_books = 1 for v1/v5, N_CTX=4 for v2/v3, N_CTX_V4=5 for v4)
+                 n_books = 1 for v1/v5/v6, N_CTX=4 for v2/v3, N_CTX_V4=5 for v4)
   [v3+] u8 req_lengths[256]                      (order-0 required-bytes book)
   u32 req_len[n_lines]                           (required-cols length)
   u32 nsym[n_lines]                              (symbols per line)
@@ -78,7 +78,9 @@ MAGIC = b"VCFZ"
 # symbol codebook — the opt-in device-decode container: order-0 streams
 # are what the gather-free bit-parallel TPU decoder
 # (ops/huffman_device.py) accepts, at a measured ~10-20% ratio cost vs
-# v3's context books.  All versions read everywhere (incl.
+# v3's context books; v6 = v4's vertical prediction with v5's single
+# order-0 book — the device-decodable container for LD-correlated
+# cohorts.  All versions read everywhere (incl.
 # the native CLI); VERSION is the default write (v4 is opt-in: it wins
 # big on LD-correlated cohorts but costs ~18% on uncorrelated data).
 VERSION = 3
@@ -94,7 +96,7 @@ _ESC_FLAG = 0xE1
 
 
 def default_block_lines(version: int) -> int:
-    return DEFAULT_BLOCK_LINES_V4 if version == 4 else DEFAULT_BLOCK_LINES
+    return DEFAULT_BLOCK_LINES_V4 if version in (4, 6) else DEFAULT_BLOCK_LINES
 
 
 def _line_symbol_stream(raw, line_off, line_len, req_len, escape_dict):
@@ -634,7 +636,7 @@ def vcfz_from_vcfc(
     backend: "device" runs symbol emission and Huffman bit packing as TPU
     kernels (ops/vcfz_device.py), byte-identical to the host writer;
     structurally unsupported inputs fall back to the host path."""
-    if version not in (1, 2, 3, 4, 5):
+    if version not in (1, 2, 3, 4, 5, 6):
         raise ValueError(f"unsupported .vcfz version {version}")
     block_lines = block_lines or default_block_lines(version)
     if (route or os.environ.get("VCFZ_PACK")) == "device":
@@ -660,9 +662,10 @@ def vcfz_from_vcfc(
     ]
     req_blob = geo.req_blob
     classes = None
-    if version == 4:
+    if version in (4, 6):
         # vertical-residual transform per block; MATCH runs live in the
-        # symbol band [m_base, m_base + S]
+        # symbol band [m_base, m_base + S].  v6 = the same transform with
+        # ONE order-0 book (device-decodable; v4 keeps the context set)
         m_base = 256 + len(esc_list)
         n_symbols = m_base + S + 1
         per_block_syms = []
@@ -675,7 +678,19 @@ def vcfz_from_vcfc(
             per_block_syms.append(s4)
             nsym[lo:hi] = counts
         classes = symbol_classes(n_symbols, match_base=m_base)
-        books = context_codebooks(per_block_syms, n_symbols, classes, N_CTX_V4)
+        if version == 6:
+            allv = (
+                np.concatenate(per_block_syms)
+                if per_block_syms
+                else np.zeros(0, np.int64)
+            )
+            books = [
+                Codebook.from_frequencies(
+                    np.bincount(allv.astype(np.int64), minlength=n_symbols)
+                )
+            ]
+        else:
+            books = context_codebooks(per_block_syms, n_symbols, classes, N_CTX_V4)
     else:
         per_block_syms = [block_slice(lo, hi) for lo, hi in block_ranges]
         if version in (1, 5):
@@ -693,7 +708,7 @@ def vcfz_from_vcfc(
     req_payloads = []
     for bi, (lo, hi) in enumerate(block_ranges):
         blk_syms = per_block_syms[bi]
-        if version in (1, 5):
+        if version in (1, 5, 6):
             payload, _bits = pack_symbols(blk_syms, books[0])
         else:
             payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
@@ -849,7 +864,7 @@ class VcfzReader:
         if cur.take(4) != MAGIC:
             raise ValueError("not a .vcfz container")
         version, max_len, block_lines = cur.unpack("<IBI")
-        if version not in (1, 2, 3, 4, 5) or max_len != MAX_CODE_LEN:
+        if version not in (1, 2, 3, 4, 5, 6) or max_len != MAX_CODE_LEN:
             raise ValueError("unsupported .vcfz version")
         L, S = cur.unpack("<QI")
         (hlen,) = cur.unpack("<Q")
@@ -865,13 +880,15 @@ class VcfzReader:
         # an untrusted container claiming anything else would drive
         # oversized codebook/decode allocations or band-arithmetic
         # index errors downstream
-        want_symbols = 256 + len(escapes) + (S + 1 if version == 4 else 0)
+        want_symbols = 256 + len(escapes) + (S + 1 if version in (4, 6) else 0)
         if n_symbols != want_symbols:
             raise ValueError(
                 f"corrupt .vcfz: alphabet {n_symbols} != {want_symbols}"
             )
         books = []
-        n_books = 1 if version in (1, 5) else (N_CTX_V4 if version == 4 else N_CTX)
+        n_books = (
+            1 if version in (1, 5, 6) else (N_CTX_V4 if version == 4 else N_CTX)
+        )
         for _ in range(n_books):
             books.append(Codebook.from_lengths(cur.take_np(np.uint8, n_symbols)))
         req_book = None
@@ -933,7 +950,7 @@ class VcfzReader:
             # otherwise drive an unbounded decode allocation (same guard
             # as the req side, _block_req_bytes)
             raise ValueError("corrupt .vcfz: symbol count exceeds payload capacity")
-        if self.version in (1, 5):
+        if self.version in (1, 5, 6):
             if native.available():
                 sym_t, len_t = self._decode_tables()[0]
                 return native.huffman_decode(payload, n, sym_t, len_t)
@@ -958,7 +975,7 @@ class VcfzReader:
     def _classes(self) -> np.ndarray:
         return symbol_classes(
             len(self.books[0].lengths),
-            match_base=self._m_base if self.version == 4 else None,
+            match_base=self._m_base if self.version in (4, 6) else None,
         )
 
     def _ctx_tables(self):
@@ -1004,7 +1021,7 @@ class VcfzReader:
                 self._decode_block_symbols(b, int(nsym.sum())), np.int64
             )
         S = self.n_samples
-        if self.version == 4:
+        if self.version in (4, 6):
             # resolve vertical-match runs into plain v3 streams first;
             # the body builder below is shared across versions
             symbols, nsym = _v4_block_to_v3(symbols, nsym, S, self._m_base)

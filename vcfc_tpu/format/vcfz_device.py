@@ -135,7 +135,7 @@ def vcfz_from_vcfc_device(
         return None
     all_syms3, nsym3, esc_list = fast
     nsym3 = nsym3.astype(np.int64)
-    if version == 4:
+    if version in (4, 6):
         # same guard as the host writer: v4 re-emits greedy maximal runs,
         # so non-canonical streams must be rejected, not canonicalized
         _require_greedy(all_syms3, nsym3)
@@ -153,9 +153,9 @@ def vcfz_from_vcfc_device(
     feed = _BatchFeed(parsed, all_syms3, S_pad, lpb)
 
     m_base = 256 + len(esc_list)
-    if version == 4:
+    if version in (4, 6):
         n_symbols = m_base + S + 1
-        n_ctx = N_CTX_V4
+        n_ctx = N_CTX_V4 if version == 4 else 1
         classes = symbol_classes(n_symbols, match_base=m_base)
     else:
         n_symbols = 256 + len(esc_list)
@@ -170,7 +170,7 @@ def vcfz_from_vcfc_device(
         """Device-emit one batch's positional symbol grid (+ per-line
         symbol counts for v4)."""
         fb, eb, n = feed.batch(b0)
-        if version == 4:
+        if version in (4, 6):
             sp, ns, decoded = sympos_v4(
                 jnp.asarray(fb), jnp.asarray(eb), S, block_first_dev,
                 m_base, n,
@@ -186,8 +186,9 @@ def vcfz_from_vcfc_device(
     sym_grids: list = []
 
     # ---- pass 1 (device): symbol emission; host collects the compacted
-    # streams (v4 — v1-v3 already have them natively) to build codebooks
-    if version == 4:
+    # streams (v4/v6 — the others already have them natively) to build
+    # codebooks
+    if version in (4, 6):
         nsym = np.zeros(L, np.uint32)
         per_block_syms: list[np.ndarray] = []
         for b0 in batch_starts:
@@ -208,7 +209,19 @@ def vcfz_from_vcfc_device(
                     ],
                 )
             )
-        books = context_codebooks(per_block_syms, n_symbols, classes, n_ctx)
+        if version == 6:
+            allv = (
+                np.concatenate(per_block_syms)
+                if per_block_syms
+                else np.zeros(0, np.int64)
+            )
+            books = [
+                Codebook.from_frequencies(
+                    np.bincount(allv.astype(np.int64), minlength=n_symbols)
+                )
+            ]
+        else:
+            books = context_codebooks(per_block_syms, n_symbols, classes, n_ctx)
     else:
         nsym = nsym3.astype(np.uint32)
         sym_ends = np.cumsum(nsym3)
@@ -238,7 +251,7 @@ def vcfz_from_vcfc_device(
         cells = sp.reshape(bpb, block_lines * S_pad)
         wv, emit_mask, tb, bad = pack_cells(
             cells, cells != 0, entries, m_base, CTX_INIT,
-            n_ctx=n_ctx, v4=(version == 4),
+            n_ctx=n_ctx, v4=(version in (4, 6)),
         )
         if bool(np.asarray(bad).any()):  # pragma: no cover - books cover streams
             raise RuntimeError("device packer: symbol without codeword")
@@ -300,7 +313,7 @@ def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
     from .vcfz import VcfzReader
 
     reader = VcfzReader.parse(vcfz)
-    if reader.version not in (1, 5):
+    if reader.version not in (1, 5, 6):
         return None
     payloads = []
     n_syms = []

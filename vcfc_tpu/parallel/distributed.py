@@ -660,8 +660,8 @@ def compress_multihost_vcfz(
     """
     # the layout below needs the v3+ sections (38-byte entries, req
     # codebook, coded req region): v1/v2 are single-process formats
-    if version not in (3, 4, 5):
-        raise ValueError("multihost .vcfz transcode writes version 3, 4, or 5")
+    if version not in (3, 4, 5, 6):
+        raise ValueError("multihost .vcfz transcode writes versions 3-6")
     from ..format.vcfz import (
         _v4_transform_block,
         default_block_lines,
@@ -769,7 +769,7 @@ def compress_multihost_vcfz(
         s0 = 0 if l0 == 0 else int(sym_ends[l0 - 1])
         return syms[s0 : int(sym_ends[l1 - 1])] if l1 > l0 else syms[:0]
 
-    if version == 4:
+    if version in (4, 6):
         # vertical-prediction transform, stripe-local (stripes are
         # block-aligned); runs on GLOBAL escape ids so every process
         # agrees on the match band
@@ -785,7 +785,7 @@ def compress_multihost_vcfz(
             nsym_v4[l0:l1] = counts
         nsym = nsym_v4
         classes = symbol_classes(n_symbols, match_base=m_base)
-        n_ctx = N_CTX_V4
+        n_ctx = N_CTX_V4 if version == 4 else 1
     else:
         per_block = [v3_block_slice(b) for b in range(my_blocks)]
         classes = symbol_classes(n_symbols)
@@ -816,7 +816,7 @@ def compress_multihost_vcfz(
     entries = bytearray()
     for b in range(my_blocks):
         blk_syms = per_block[b]
-        if version == 5:
+        if version in (5, 6):
             payload, _bits = pack_symbols(blk_syms, books[0])
         else:
             payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
