@@ -67,6 +67,7 @@ class HarnessConfig:
         "vcfz-v3",
         "vcfz-v4",
         "vcfz-v5",
+        "vcfz-v6",
         "tabix-bgzip",
         "tabix-bcf",
     )
