@@ -125,6 +125,8 @@ VCFZ_PACK=device "${P[@]}" decompress-z p5.vcfz z5d.rt
 check cmp -s z5d.rt f.vcf
 VCFZ_PACK=device "${P[@]}" compress-z p.vcfc p4d.vcfz 4
 check cmp -s p4d.vcfz p4.vcfz
+VCFZ_PACK=device "${P[@]}" decompress-z p4.vcfz z4d.rt
+check cmp -s z4d.rt f.vcf
 
 # v6 (vertical prediction + order-0 book): writers byte-equal, readers
 # invert, device encode/decode byte-identical

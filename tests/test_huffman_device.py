@@ -131,11 +131,20 @@ class TestDeviceDecodeRoute:
 
     def test_ctx_containers_fall_back(self):
         vcfc = _vcfc(39)
-        for version in (2, 3, 4):  # v5/v6 are the order-0 device twins
+        for version in (2, 3):  # v5/v6 are the order-0 device twins
             z = vcfz_from_vcfc(vcfc, version=version)
             assert vcfz_to_vcfc_device(z) is None
             # the public entry still decompresses via the host path
             assert decompress_vcfz(z, route="device") == decompress_bytes(vcfc)
+
+    def test_v4_resolves_on_device(self):
+        """v4's symbol payloads are context-coded (host entropy decode)
+        but its vertical-match resolve rides the device middle — the
+        route must reconstruct the .vcfc byte-for-byte."""
+        vcfc = _vcfc(43, 90, 400)
+        for block_lines in (1, 7, 32):
+            z = vcfz_from_vcfc(vcfc, version=4, block_lines=block_lines)
+            assert vcfz_to_vcfc_device(z) == vcfc
 
     def test_env_gate(self, monkeypatch):
         vcfc = _vcfc(40)
@@ -222,3 +231,83 @@ class TestVcfzV6:
         )
         with pytest.raises(ValueError, match="non-greedy"):
             vcfz_from_vcfc(header + line, version=6)
+
+
+class TestDeviceResolve:
+    """The v4/v6 vertical-match resolve middle
+    (format/vcfz_device.py::_resolve_blocks_device ->
+    ops/vcfz_device.py::resolve_match_grid): device output must equal
+    the host resolve (_v4_block_to_v3 + _emit_row_symbols) stream for
+    stream."""
+
+    @pytest.mark.parametrize("seed", [60, 61, 62])
+    def test_kernel_matches_host_resolve(self, seed):
+        from vcfc_tpu.format.vcfz import (
+            _emit_row_symbols,
+            _expand_block_rows,
+            _v4_block_to_v3,
+            _v4_transform_block,
+        )
+        from vcfc_tpu.format.vcfz_device import (
+            _block_classpos,
+            _resolve_blocks_device,
+        )
+        from vcfc_tpu.ops.vcfz_device import resolve_match_grid
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        S = int(rng.integers(3, 200))
+        n = int(rng.integers(1, 40))
+        m_base = 256 + 5
+        # random v3 rows (codes 0-4) with vertical correlation, then the
+        # host transform produces a valid v4 stream to resolve back
+        rows = rng.choice(5, p=[0.5, 0.15, 0.1, 0.1, 0.15], size=(n, S))
+        for i in range(1, n):
+            keep = rng.random(S) < 0.6
+            rows[i][keep] = rows[i - 1][keep]
+        esc_grid = np.where(rows == 4, rng.integers(0, 5, size=(n, S)), -1)
+        v3_syms, v3_nsym = _emit_row_symbols(rows.astype(np.uint8), esc_grid, m_base)
+        v4_syms, v4_nsym = _v4_transform_block(v3_syms, v3_nsym, S, m_base)
+        want_syms, want_nsym = _v4_block_to_v3(v4_syms, v4_nsym, S, m_base)
+
+        S_pad = max(-(-S // 128) * 128, 128)
+        grid, esc_ids = _block_classpos(v4_syms, v4_nsym, S, S_pad, m_base)
+        flagpos, nseg, bad = resolve_match_grid(
+            jnp.asarray(grid[None]), S
+        )
+        assert not bool(np.asarray(bad))
+        sub = np.asarray(flagpos)[0, :n, :S]
+        lines, cols = np.nonzero(sub)
+        got = sub[lines, cols].astype(np.int64)
+        got[got == 0xE1] = 256 + esc_ids
+        np.testing.assert_array_equal(got, np.asarray(want_syms, np.int64))
+        np.testing.assert_array_equal(
+            np.bincount(lines, minlength=n), np.asarray(want_nsym, np.int64)
+        )
+
+    def test_multi_batch_resolve(self, monkeypatch):
+        import vcfc_tpu.format.vcfz_device as fvd
+
+        vcfc = _vcfc(63, 40, 260)
+        z = vcfz_from_vcfc(vcfc, version=6, block_lines=16)
+        monkeypatch.setattr(fvd, "_MAX_CELLS", 16 * 128)  # 1 block per batch
+        assert vcfz_to_vcfc_device(z) == vcfc
+
+    def test_match_in_first_line_raises(self):
+        from vcfc_tpu.format.vcfz_device import _block_classpos
+        from vcfc_tpu.ops.vcfz_device import resolve_match_grid
+        import jax.numpy as jnp
+
+        S, m_base = 12, 256
+        grid, _ = _block_classpos(
+            np.array([m_base + S], np.int64), np.array([1], np.int64), S, 128, m_base
+        )
+        _, _, bad = resolve_match_grid(jnp.asarray(grid[None]), S)
+        assert bool(np.asarray(bad))
+
+    @pytest.mark.parametrize("samples", [127, 128, 129])
+    def test_lane_boundary_widths(self, samples):
+        vcfc = _vcfc(64, samples, 70)
+        for version in (4, 6):
+            z = vcfz_from_vcfc(vcfc, version=version, block_lines=32)
+            assert vcfz_to_vcfc_device(z) == vcfc

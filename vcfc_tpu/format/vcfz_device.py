@@ -27,6 +27,14 @@ Returns None (caller falls back to the host writer) for structurally
 unsupported inputs: no native library, zero lines/samples, or lines the
 native parser routes to the oracle (escape flags with count != 1 —
 never produced by any of our encoders or the reference's).
+
+The DECODE direction lives here too (`vcfz_to_vcfc_device`): v1/v5/v6
+symbol payloads and v3+ required-columns payloads entropy-decode
+block-parallel on device (ops/huffman_device.py), and v4/v6
+vertical-match runs resolve on device
+(`_resolve_blocks_device` -> ops/vcfz_device.py::resolve_match_grid),
+so the dense O(lines x samples) middle of the decode never runs on the
+host for those containers.
 """
 
 from __future__ import annotations
@@ -299,31 +307,44 @@ def vcfz_from_vcfc_device(
 
 
 def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
-    """Device entropy-DECODE route for order-0 containers (v1/v5).
+    """Device DECODE route.
 
-    Every block's symbol payload — and v5's order-0 required-columns
-    payloads — decodes block-parallel through the gather-free bit-scan
-    kernel (ops/huffman_device.py); line assembly reuses the host
-    reconstruction on the pre-decoded symbol streams.  Context-coded
-    containers (v2-v4 symbol payloads are order-1) return None and take
-    the host/native path."""
+    Order-0 containers (v1/v5/v6): every block's symbol payload — and
+    the v3+ order-0 required-columns payloads — decodes block-parallel
+    through the gather-free bit-scan kernel (ops/huffman_device.py).
+    Vertical-prediction containers (v4/v6) additionally resolve their
+    MATCH runs on device (_resolve_blocks_device -> resolve_match_grid:
+    fill scan, log-depth row resolve, greedy flag re-emission), so the
+    whole dense O(lines x samples) middle of the decode is
+    device-resident; v4's context-chained symbol payloads entropy-decode
+    host-side first (the transfer-matrix state would grow 15*n_ctx —
+    docs/DESIGN.md).  Line assembly reuses the host reconstruction on
+    the pre-resolved streams.  v2/v3 return None and take the host/
+    native path."""
     import numpy as np
 
     from ..ops.huffman_device import device_unpack_symbols
     from .vcfz import VcfzReader
 
     reader = VcfzReader.parse(vcfz)
-    if reader.version not in (1, 5, 6):
+    if reader.version not in (1, 4, 5, 6):
         return None
-    payloads = []
-    n_syms = []
-    base = reader.payload_base
-    for blk in reader.blocks:
-        payloads.append(
-            bytes(reader.raw[base + blk["payload_off"] : base + blk["payload_off"] + blk["payload_len"]])
-        )
-        n_syms.append(int(blk["n_symbols"]))
-    sym_lists = device_unpack_symbols(payloads, n_syms, reader.books[0])
+    if reader.version == 4:
+        # context-coded stream: host entropy decode, device resolve
+        sym_lists = [
+            np.asarray(reader._decode_block_symbols(b), np.int64)
+            for b in range(len(reader.blocks))
+        ]
+    else:
+        payloads = []
+        n_syms = []
+        base = reader.payload_base
+        for blk in reader.blocks:
+            payloads.append(
+                bytes(reader.raw[base + blk["payload_off"] : base + blk["payload_off"] + blk["payload_len"]])
+            )
+            n_syms.append(int(blk["n_symbols"]))
+        sym_lists = device_unpack_symbols(payloads, n_syms, reader.books[0])
 
     req_lists = None
     if reader.version >= 3:
@@ -346,6 +367,10 @@ def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
             )
         req_lists = device_unpack_symbols(req_payloads, n_req, reader.req_book)
 
+    resolved = None
+    if reader.version in (4, 6) and reader.n_samples > 0 and reader.n_lines > 0:
+        resolved = _resolve_blocks_device(reader, sym_lists)
+
     out = bytearray(reader.header_blob)
     for b in range(len(reader.blocks)):
         req_arg = None
@@ -355,6 +380,123 @@ def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
                 req_lists[b].astype(np.uint8).tobytes(),
                 int(reader.req_starts[lo]) if reader.n_lines else 0,
             )
-        for line in reader.block_lines_vcfc(b, req=req_arg, symbols=sym_lists[b]):
+        if resolved is not None:
+            lines = reader.block_lines_vcfc(b, req=req_arg, symbols_v3=resolved[b])
+        else:
+            lines = reader.block_lines_vcfc(b, req=req_arg, symbols=sym_lists[b])
+        for line in lines:
             out += line
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Device DECODE middle for v4/v6: vertical-match resolve on chip
+# (ops/vcfz_device.py::resolve_match_grid — the inverse of symbol_grid's
+# MATCH band).  The host's only jobs are the O(symbols) positional
+# build below and the O(outputs) flag compaction afterwards.
+
+
+def _block_classpos(symbols, nsym, S, S_pad, m_base):
+    """One block's v4/v6 symbol streams -> ((n, S_pad) uint8 class grid
+    with code + 1 at each symbol's last covered sample, 0 elsewhere; the
+    escape ids in stream order).  Mirrors vcfz._expand_block_rows'
+    classification exactly, but emits the positional form the device
+    kernel consumes instead of materializing O(cells) rows on host."""
+    from .vcfz import _symbol_run_lens
+
+    symbols = np.asarray(symbols, np.int64)
+    nsym = np.asarray(nsym, np.int64)
+    n = len(nsym)
+    if S > 0 and n and (nsym <= 0).any():
+        raise ValueError("corrupt .vcfz: zero-symbol line in a nonempty cohort")
+    is_match = symbols >= m_base
+    is_esc = (symbols >= 256) & ~is_match
+    run_len = _symbol_run_lens(symbols, is_esc, is_match, m_base)
+    if (run_len <= 0).any():
+        raise ValueError("corrupt .vcfz: empty symbol run")
+    code = np.where(
+        is_match,
+        5,
+        np.where(
+            is_esc,
+            4,
+            np.where(
+                symbols < 0x80,
+                0,
+                np.where(
+                    (symbols & 0xE0) == 0xA0,
+                    1,
+                    np.where((symbols & 0xE0) == 0xC0, 2, 3),
+                ),
+            ),
+        ),
+    )
+    cum = np.cumsum(run_len)
+    line_end = np.cumsum(nsym)
+    bases = (
+        np.concatenate([[0], cum[line_end[:-1] - 1]])
+        if n > 1
+        else np.zeros(max(n, 1), np.int64)
+    )
+    covered_after = cum - np.repeat(bases, nsym)
+    if n and not (covered_after[line_end - 1] == S).all():
+        raise ValueError("corrupt .vcfz: block symbols do not cover the sample grid")
+    grid = np.zeros((n, S_pad), np.uint8)
+    line_of = np.repeat(np.arange(n, dtype=np.int64), nsym)
+    grid[line_of, covered_after - 1] = (code + 1).astype(np.uint8)
+    return grid, (symbols[is_esc] - 256).astype(np.int64)
+
+
+def _resolve_blocks_device(reader, sym_lists) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Resolve every block's v4/v6 vertical-match runs on device.
+
+    ``sym_lists[b]`` is block b's decoded symbol stream (device
+    entropy-decode for order-0 v6, host decode for context-coded v4).
+    Returns one (plain v3 symbols, per-line counts) pair per block,
+    byte-contract-equal to vcfz._v4_block_to_v3 + _emit_row_symbols."""
+    import jax.numpy as jnp
+
+    from ..ops.vcfz_device import resolve_match_grid
+
+    S = reader.n_samples
+    Lb = reader.block_lines
+    S_pad = max(-(-S // 128) * 128, 128)
+    n_blocks = len(reader.blocks)
+    batch_b = max(1, _MAX_CELLS // (Lb * S_pad))
+    m_base = reader._m_base
+
+    grids = []
+    escs = []
+    nrows = []
+    for b in range(n_blocks):
+        lo = b * Lb
+        hi = min(lo + Lb, reader.n_lines)
+        g, e = _block_classpos(sym_lists[b], reader.nsym[lo:hi], S, S_pad, m_base)
+        grids.append(g)
+        escs.append(e)
+        nrows.append(hi - lo)
+
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    for b0 in range(0, n_blocks, batch_b):
+        chunk = grids[b0 : b0 + batch_b]
+        batch = np.zeros((batch_b, Lb, S_pad), np.uint8)
+        for k, g in enumerate(chunk):
+            batch[k, : g.shape[0]] = g
+        flagpos, _, bad = resolve_match_grid(jnp.asarray(batch), S)
+        if bool(np.asarray(bad)):
+            raise ValueError("corrupt .vcfz v4: MATCH in a block's first line")
+        flagpos = np.asarray(flagpos)
+        for k in range(len(chunk)):
+            n = nrows[b0 + k]
+            sub = flagpos[k, :n, :S]
+            lines, cols = np.nonzero(sub)
+            syms = sub[lines, cols].astype(np.int64)
+            esc_ids = escs[b0 + k]
+            esc_mask = syms == 0xE1
+            if int(esc_mask.sum()) != len(esc_ids):
+                raise ValueError(
+                    "corrupt .vcfz: escape cells diverge from the symbol stream"
+                )
+            syms[esc_mask] = 256 + esc_ids
+            out.append((syms, np.bincount(lines, minlength=n).astype(np.int64)))
+    return out

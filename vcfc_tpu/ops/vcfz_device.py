@@ -269,3 +269,58 @@ def compact_symbols(sympos, nsym=None):
     syms = flat[k].astype(np.int64)
     counts = np.count_nonzero(sympos, axis=1).astype(np.uint32)
     return syms, counts
+
+
+@jax.jit
+def resolve_match_grid(classpos, n_samples):
+    """DECODE twin of ``symbol_grid(v4=True)``: resolve v4/v6 vertical
+    MATCH runs into plain `.vcfc` positional flag bytes, on device.
+
+    The host hands in the symbol streams *positionally* as a class grid
+    (``_block_classpos`` in format/vcfz_device.py): ``code + 1`` at each
+    symbol's LAST covered sample position, 0 elsewhere, where code is
+    0-3 = phased GT, 4 = escape, 5 = MATCH.  The dense middle of the
+    host decode path (format/vcfz.py::_v4_block_to_v3 — row loops over
+    (lines x samples) cells) then becomes three scans:
+
+      expand    next-set backward fill (the rle_decode fill scan)
+      resolve   fill-forward down block rows: a MATCH cell takes the
+                cell above it — "rightmost non-MATCH" is associative
+                (MATCH is the identity), so one log-depth
+                associative_scan along the row axis, elementwise
+                selects only
+      re-emit   ops/rle.py::rle_encode — the reference's greedy capped
+                flag runs (compress.cpp:124-186), byte-identical to the
+                host re-emission (_emit_row_symbols)
+
+    Args:
+      classpos:  (B, Lb, S_pad) uint8 — class-at-run-end grids, one
+                 block per Lb-row slab (the resolve never crosses slab
+                 boundaries); all-zero rows are padding
+      n_samples: traced scalar — true sample count
+
+    Returns:
+      flagpos: (B, Lb, S_pad) uint8 positional `.vcfc` flag bytes
+               (escape cells carry 0xE1; ids rejoin on the host)
+      nseg:    (B, Lb) int32 flag bytes per row (garbage on pad rows)
+      bad:     () bool — a MATCH survived the resolve (i.e. appeared in
+               a block's first line: corrupt container)
+    """
+    B, Lb, S_pad = classpos.shape
+    flat = classpos.reshape(B * Lb, S_pad)
+    from .rle import _next_set_scan, rle_encode
+
+    filled = _next_set_scan(flat, flat > 0)
+    # covered cells hold class+1 (1..6) -> codes 0..5; cells past the
+    # last symbol of padded rows/columns fill with garbage (254) that
+    # rle_encode's n_samples bound and the host row slicing discard
+    codes = (filled - 1).reshape(B, Lb, S_pad)
+    resolved = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b == _CODE_MATCH, a, b), codes, axis=1
+    )
+    col_ok = jnp.arange(S_pad, dtype=jnp.int32)[None, None, :] < n_samples
+    bad = jnp.any((resolved == _CODE_MATCH) & col_ok)
+    flagpos, nseg = rle_encode(
+        resolved.reshape(B * Lb, S_pad).astype(jnp.uint8), n_samples
+    )
+    return flagpos.reshape(B, Lb, S_pad), nseg.reshape(B, Lb), bad
