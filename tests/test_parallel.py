@@ -250,3 +250,47 @@ def test_sharded_huffman_decode_matches_host():
         row = plane[i, : len(payloads[i]) * 8]
         vals = row[np.flatnonzero(row)] - 1
         np.testing.assert_array_equal(sorted_syms[vals[: len(s)]], s)
+
+
+def test_sharded_resolve_matches_host():
+    """The v4/v6 vertical-match resolve shards over the block axis: the
+    mesh output must equal the single-device kernel's, and both must
+    equal the host resolve path (pinned stream-level in
+    test_huffman_device.py::TestDeviceResolve)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vcfc_tpu.format import compress_bytes
+    from vcfc_tpu.format.vcfz import VcfzReader, vcfz_from_vcfc
+    from vcfc_tpu.format.vcfz_device import _block_classpos
+    from vcfc_tpu.ops.vcfz_device import resolve_match_grid
+    from vcfc_tpu.parallel.mesh import DATA_AXIS
+    from vcfc_tpu.parallel.shard import make_sharded_resolve_step
+    from test_fuzz import make_vcf
+
+    vcfc = compress_bytes(make_vcf(88, 40, 64, sv_every=11))
+    z = vcfz_from_vcfc(vcfc, version=6, block_lines=8)
+    r = VcfzReader.parse(z)
+    S, Lb = r.n_samples, r.block_lines
+    grids = []
+    for b in range(len(r.blocks)):
+        lo, hi = b * Lb, min((b + 1) * Lb, r.n_lines)
+        syms = np.asarray(r._decode_block_symbols(b), np.int64)
+        g, _ = _block_classpos(syms, r.nsym[lo:hi], S, 128, r._m_base)
+        pad = np.zeros((Lb, 128), np.uint8)
+        pad[: g.shape[0]] = g
+        grids.append(pad)
+    batch = np.stack(grids)  # 8 blocks over 8 devices
+
+    mesh = make_data_mesh(8)
+    step = make_sharded_resolve_step(mesh)
+    rf, rn, rbad = step(
+        jax.device_put(
+            jnp.asarray(batch), NamedSharding(mesh, P(DATA_AXIS, None, None))
+        ),
+        jnp.int32(S),
+    )
+    assert not np.asarray(rbad).any()
+    sf, sn, sbad = resolve_match_grid(jnp.asarray(batch), jnp.int32(S))
+    np.testing.assert_array_equal(np.asarray(rf), np.asarray(sf))
+    np.testing.assert_array_equal(np.asarray(rn), np.asarray(sn))

@@ -268,3 +268,30 @@ def make_sharded_huffman_decode_step(mesh, s1: int, s2: int):
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_resolve_step(mesh):
+    """Data-parallel v4/v6 vertical-match RESOLVE under a device mesh
+    (r4): blocks are independent Lb-row slabs, so the decode middle
+    (ops/vcfz_device.py::resolve_match_grid — fill scan, log-depth row
+    resolve, greedy flag re-emission) shards over the block axis with
+    no collectives at all.
+
+    fn(classpos (B, Lb, S_pad) u8, n_samples) ->
+    (flagpos (B, Lb, S_pad) u8, nseg (B, Lb) i32, bad (n_dev,) bool)
+    with the B axis sharded.
+    """
+    from ..ops.vcfz_device import resolve_match_grid
+
+    def _shard_body(classpos, n_samples):
+        flagpos, nseg, bad = resolve_match_grid(classpos, n_samples)
+        return flagpos, nseg, bad[None]
+
+    sharded = shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P()),
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None), P(DATA_AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
