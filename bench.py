@@ -17,6 +17,9 @@ second per chip.  The ``extra`` field adds:
                         decode -> vertical-prediction symbol emission ->
                         context-classed Huffman bit packing on chip;
                         VERDICT r3 #1/#7, ops/vcfz_device.py)
+  vcfz_resolve_GBps     the device v4/v6 DECODE middle: vertical-match
+                        resolve back to plain flags (r4,
+                        ops/vcfz_device.py::resolve_match_grid)
 
 Method: K chained steps run inside ONE jitted ``lax.fori_loop`` so the
 measurement is pure device time — on this machine the TPU is tunneled
@@ -128,6 +131,58 @@ def _codes_loop_gbps(jax, jnp, encode_fn, decode_fn, L, S, codes_np, K=51):
     dec, n = decode_fn(f, jnp.int32(S))
     assert (np.asarray(dec)[:, :S] == codes_np[:, :S]).all(), "roundtrip mismatch on device"
     assert (np.asarray(n) == S).all()
+    return L * S * 4 / dt / 1e9
+
+
+def _resolve_loop_gbps(jax, jnp, L, S, codes_np, K=21):
+    """Device v4/v6 decode MIDDLE: vertical-match resolve of one v4
+    emission's symbol grids back to plain `.vcfc` flags (the inverse of
+    the transcode leg's transform); GB of genotype text per second."""
+    from vcfc_tpu.format.vcfz_device import _block_classpos
+    from vcfc_tpu.ops.rle import rle_encode
+    from vcfc_tpu.ops.vcfz_device import (
+        compact_symbols,
+        resolve_match_grid,
+        sympos_v4,
+    )
+
+    block_lines = 64
+    n_blocks = L // block_lines
+    m_base = 257
+    flags = rle_encode(jax.device_put(codes_np), jnp.int32(S))[0]
+    esc0 = jnp.zeros((L, S), jnp.int32)
+    bf_np = np.zeros(L, bool)
+    bf_np[::block_lines] = True
+    sp0, ns0, _dec = sympos_v4(
+        flags, esc0, jnp.int32(S), jnp.asarray(bf_np), m_base, L
+    )
+    syms, counts = compact_symbols(np.asarray(sp0))
+    counts = counts.astype(np.int64)
+    grids = []
+    pos = 0
+    for b in range(n_blocks):
+        c = counts[b * block_lines : (b + 1) * block_lines]
+        tot = int(c.sum())
+        g, _e = _block_classpos(syms[pos : pos + tot], c, S, S, m_base)
+        grids.append(g)
+        pos += tot
+    batch = jax.device_put(np.stack(grids))
+
+    def step(c_in, i):
+        flagpos, nseg, bad = resolve_match_grid(c_in, jnp.int32(S))
+        c_next = (c_in ^ _opaque_mask(jnp, nseg[0, 0])).astype(jnp.uint8)
+        acc = nseg[0, 0] + jnp.int32(flagpos[0, 0, 0]) + bad.astype(jnp.int32)
+        return c_next, acc
+
+    dt = _measure(jax, jnp, step, batch, K)
+
+    # correctness gate AFTER timing: resolving the v4 emission of the
+    # codes must reproduce their plain greedy flags exactly
+    rf, _rn, rbad = resolve_match_grid(batch, jnp.int32(S))
+    assert not bool(np.asarray(rbad)), "resolve: MATCH in first line"
+    np.testing.assert_array_equal(
+        np.asarray(rf).reshape(L, S), np.asarray(flags)
+    )
     return L * S * 4 / dt / 1e9
 
 
@@ -331,6 +386,11 @@ def main() -> None:
     # --- device .vcfz v4 transcode pipeline (VERDICT r3 #1/#7)
     extra["vcfz_device_GBps"] = round(
         _vcfz_loop_gbps(jax, jnp, L, S, codes_np, K=K_wide), 3
+    )
+
+    # --- device v4/v6 decode middle: vertical-match resolve (r4)
+    extra["vcfz_resolve_GBps"] = round(
+        _resolve_loop_gbps(jax, jnp, L, S, codes_np, K=K_wide), 3
     )
 
     if not on_tpu:
