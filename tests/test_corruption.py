@@ -157,6 +157,17 @@ class TestPythonReaders:
             bad = _mutate(artifacts[f"vcfz{version}"], rng)
             _probe(lambda: decompress_vcfz(bad))
 
+    @pytest.mark.parametrize("version", [4, 5, 6])
+    def test_vcfz_device_route(self, artifacts, version):
+        """The device decode route (entropy kernels + vertical-match
+        resolve) must fail as cleanly as the host path — its own
+        validation layer (coverage, escape divergence, MATCH-in-first-
+        line, invalid Huffman windows) is what this sweep exercises."""
+        rng = np.random.default_rng(20 + version)
+        for _ in range(N_MUTATIONS):
+            bad = _mutate(artifacts[f"vcfz{version}"], rng)
+            _probe(lambda: decompress_vcfz(bad, route="device"))
+
     def test_vcfz_query(self, artifacts):
         rng = np.random.default_rng(3)
         for _ in range(N_MUTATIONS):
