@@ -600,6 +600,31 @@ extern "C" int64_t vcfz_huffman_decode_ctx(
   return 0;
 }
 
+// v7 context-split merge: replay the context automaton over decoded
+// per-context sub-streams (subs concatenated; offsets[n_ctx+1] are the
+// boundaries).  Symbol-level O(total) — the bit-level entropy decode of
+// each sub-stream happened independently (block/device-parallel) before
+// this.  Returns -1 on sub-stream underrun (corrupt counts).
+extern "C" int64_t vcfz_merge_ctx(const int32_t* subs, const int64_t* offsets,
+                                  int32_t n_ctx, const uint8_t* class_of,
+                                  int64_t alphabet, int32_t ctx_init,
+                                  int64_t total, int32_t* out) {
+  if (n_ctx <= 0 || n_ctx > 64) return -1;
+  int64_t idx[64];
+  for (int32_t c = 0; c < n_ctx; ++c) idx[c] = offsets[c];
+  int32_t ctx = ctx_init;
+  if (ctx < 0 || ctx >= n_ctx) return -1;
+  for (int64_t i = 0; i < total; ++i) {
+    if (idx[ctx] >= offsets[ctx + 1]) return -1;
+    const int32_t s = subs[idx[ctx]++];
+    if (s < 0 || s >= alphabet) return -1;
+    out[i] = s;
+    ctx = class_of[s];
+    if (ctx >= n_ctx) return -1;
+  }
+  return 0;
+}
+
 // Compact positional flags to per-line value streams (the .vcfz symbol
 // extraction): out[base[i]..] receives line i's nonzero flag bytes in
 // sample order.  Thread-parallel over lines.

@@ -941,6 +941,8 @@ int do_query_manifest(const char* path, const std::string& region) {
 struct VcfzBlock {
   uint64_t payload_len, n_symbols;
   uint64_t req_payload_len = 0;  // v3
+  uint32_t ctx_nsym[5] = {0};    // v7: per-context sub-stream symbol counts
+  uint32_t ctx_plen[5] = {0};    // v7: per-context sub-payload byte lengths
   uint8_t ref_first;
   uint32_t pos_first;
   uint8_t ref_last;
@@ -1080,7 +1082,7 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint8_t max_len = raw[off + 4];
   z.block_lines = rd_u32(raw + off + 5);
   off += 9;
-  if ((z.version < 1 || z.version > 6) || max_len != kMaxCodeLen)
+  if ((z.version < 1 || z.version > 7) || max_len != kMaxCodeLen)
     die("unsupported .vcfz version");
   if (z.block_lines == 0) die("invalid .vcfz block_lines");
   need(12);
@@ -1109,13 +1111,13 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   z.n_symbols = rd_u32(raw + off);
   off += 4;
   // v4's alphabet appends the vertical-match band [m_base, m_base + S]
-  uint64_t want_syms = (z.version == 4 || z.version == 6)
+  uint64_t want_syms = (z.version == 4 || z.version == 6 || z.version == 7)
                            ? 256 + uint64_t(n_esc) + z.n_samples + 1
                            : 256 + uint64_t(n_esc);
   if (z.n_symbols != want_syms) die("corrupt .vcfz symbol count");
   int n_books = (z.version == 1 || z.version == 5 || z.version == 6)
                     ? 1
-                    : (z.version == 4 ? kNCtxV4 : kNCtx);
+                    : ((z.version == 4 || z.version == 7) ? kNCtxV4 : kNCtx);
   z.sym_tables.resize(n_books);
   z.len_tables.resize(n_books);
   for (int b = 0; b < n_books; b++) {
@@ -1131,7 +1133,8 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint32_t m_base = 256 + n_esc;  // first vertical-match symbol (v4)
   z.class_of.resize(z.n_symbols);
   for (uint32_t s = 0; s < z.n_symbols; s++)
-    z.class_of[s] = ((z.version == 4 || z.version == 6) && s >= m_base) ? 4
+    z.class_of[s] = ((z.version == 4 || z.version == 6 || z.version == 7) &&
+                     s >= m_base)                 ? 4
                     : s == 0x7F                     ? 0
                     : s < 0x80                      ? 1
                     : s < 0x100                     ? 2
@@ -1164,7 +1167,9 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   if (n_blocks != (z.n_lines + z.block_lines - 1) / z.block_lines)
     die("corrupt .vcfz block count");
   uint64_t poff = 0, rpoff = 0;
-  const size_t entry_size = z.version >= 3 ? 38 : 30;
+  const size_t entry_size = z.version == 7 ? 38 + 8 * kNCtxV4
+                            : z.version >= 3 ? 38
+                                             : 30;
   for (uint32_t b = 0; b < n_blocks; b++) {
     need(entry_size);
     VcfzBlock blk;
@@ -1181,6 +1186,19 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
     blk.ref_last = raw[e + 5];
     blk.pos_last = rd_u32(raw + e + 6);
     blk.cummax_end = rd_u32(raw + e + 10);
+    if (z.version == 7) {
+      // v7: the sub-stream framing must tile the block's totals — a
+      // corrupt split would mis-slice payload bytes / drive bad decodes
+      uint64_t tn = 0, tp = 0;
+      for (int c = 0; c < kNCtxV4; c++) {
+        blk.ctx_nsym[c] = rd_u32(raw + e + 14 + 4 * c);
+        blk.ctx_plen[c] = rd_u32(raw + e + 14 + 4 * kNCtxV4 + 4 * c);
+        tn += blk.ctx_nsym[c];
+        tp += blk.ctx_plen[c];
+      }
+      if (tn != blk.n_symbols || tp != blk.payload_len)
+        die("corrupt .vcfz v7: context sub-streams do not tile the block");
+    }
     blk.payload_off = poff;
     blk.req_payload_off = rpoff;
     poff += blk.payload_len;
@@ -1226,6 +1244,74 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
   if (n_take > blk.payload_len * 8)
     die("corrupt .vcfz: symbol count exceeds payload capacity");
   syms->resize(n_take);
+  if (z.version == 7) {
+    // context-SPLIT sub-payloads: every sub-stream is order-0 under its
+    // own book, so a FULL-block decode runs five tight single-table
+    // loops (one book hot in cache per loop, no cross-context cursor
+    // state) and then the branch-free automaton merge — measurably
+    // faster than v4's interleaved chained decode.  Partial decodes
+    // (point queries: n_take < n_symbols) keep the interleaved cursor
+    // walk, which stops at exactly n_take symbols instead of paying
+    // for the whole block.
+    if (n_take == blk.n_symbols) {
+      static thread_local std::vector<int32_t> sub_buf;
+      static thread_local std::vector<uint64_t> sub_off;
+      sub_off.assign(kNCtxV4 + 1, 0);
+      for (int c = 0; c < kNCtxV4; c++)
+        sub_off[c + 1] = sub_off[c] + blk.ctx_nsym[c];
+      sub_buf.resize(sub_off[kNCtxV4]);
+      uint64_t poff2 = 0;
+      for (int c = 0; c < kNCtxV4; c++) {
+        BitReader br{z.payload_base + blk.payload_off + poff2,
+                     blk.ctx_plen[c]};
+        poff2 += blk.ctx_plen[c];
+        const int32_t* st = z.sym_tables[c].data();
+        const uint8_t* lt = z.len_tables[c].data();
+        int32_t* out = sub_buf.data() + sub_off[c];
+        const uint64_t nc = blk.ctx_nsym[c];
+        for (uint64_t i = 0; i < nc; i++) {
+          uint32_t prefix = br.peek();
+          uint8_t ln = lt[prefix];
+          if (ln == 0) die("invalid Huffman stream");
+          out[i] = st[prefix];
+          br.take(ln);
+        }
+      }
+      uint64_t cur[kNCtxV4];
+      for (int c = 0; c < kNCtxV4; c++) cur[c] = sub_off[c];
+      int ctx = kCtxInit;
+      for (uint64_t i = 0; i < n_take; i++) {
+        if (cur[ctx] >= sub_off[ctx + 1])
+          die("corrupt .vcfz v7: context sub-stream underrun");
+        const int32_t sym = sub_buf[cur[ctx]++];
+        (*syms)[i] = sym;
+        ctx = z.class_of[sym];
+      }
+      return;
+    }
+    BitReader brs[kNCtxV4];
+    uint64_t left[kNCtxV4];
+    uint64_t off2 = 0;
+    for (int c = 0; c < kNCtxV4; c++) {
+      brs[c] = BitReader{z.payload_base + blk.payload_off + off2,
+                         blk.ctx_plen[c]};
+      left[c] = blk.ctx_nsym[c];
+      off2 += blk.ctx_plen[c];
+    }
+    int ctx = kCtxInit;
+    for (uint64_t i = 0; i < n_take; i++) {
+      if (left[ctx] == 0) die("corrupt .vcfz v7: context sub-stream underrun");
+      left[ctx]--;
+      uint32_t prefix = brs[ctx].peek();
+      uint8_t ln = z.len_tables[ctx][prefix];
+      if (ln == 0) die("invalid Huffman stream");
+      int32_t sym = z.sym_tables[ctx][prefix];
+      (*syms)[i] = sym;
+      brs[ctx].take(ln);
+      ctx = z.class_of[sym];
+    }
+    return;
+  }
   BitReader br{z.payload_base + blk.payload_off, blk.payload_len};
   // v1 and v5 are order-0 (one book, fixed ctx); v2-v4 switch on the
   // class of the previous symbol
@@ -1303,7 +1389,7 @@ void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
   const uint32_t m_base = uint32_t(z.n_symbols - S - 1);  // v4/v6 only
   std::vector<uint8_t> rows;       // (hi-lo) x S codes 0-4 after resolve
   std::vector<int32_t> esc_cells;  // escape id per cell, -1 elsewhere
-  bool vertical = z.version == 4 || z.version == 6;
+  bool vertical = z.version == 4 || z.version == 6 || z.version == 7;
   if (vertical) {
     uint64_t nrows = hi - lo;
     // grid-size sanity BEFORE allocating: every cell comes from a symbol
@@ -1616,8 +1702,8 @@ int class_of_sym(int64_t s) {
 // format/vcfz.py::vcfz_from_vcfc, natively (writes v3).  in-memory vcfc in.
 std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
                        int version = 3) {
-  if (version < 3 || version > 6)
-    die("vcfz_write supports versions 3-6");
+  if (version < 3 || version > 7)
+    die("vcfz_write supports versions 3-7");
   Header h = parse_meta(vcfc, n);
   // walk lines: geometry + required cols + symbol streams + escapes
   std::vector<LineView> lvs;
@@ -1690,7 +1776,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
   uint64_t n_blocks = L ? (L + block_lines - 1) / block_lines : 0;
 
-  if (version == 4 || version == 6) {
+  if (version == 4 || version == 6 || version == 7) {
     // vertical-prediction transform per block (block-first lines literal);
     // blocks are independent, so the transform fans out across workers
     // (per-block buffers + ordered merge); single-worker keeps the
@@ -1726,10 +1812,13 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
     nsym.swap(nsym4);
     for (uint64_t i = 0; i < L; i++) sym_base[i + 1] = sym_base[i] + nsym[i];
   }
-  const int n_ctx =
-      version == 4 ? kNCtxV4 : ((version == 5 || version == 6) ? 1 : kNCtx);
+  const int n_ctx = (version == 4 || version == 7)
+                        ? kNCtxV4
+                        : ((version == 5 || version == 6) ? 1 : kNCtx);
   auto cls_of = [&](int32_t s) {
-    return (version == 4 && uint64_t(s) >= m_base) ? 4 : class_of_sym(s);
+    return ((version == 4 || version == 7) && uint64_t(s) >= m_base)
+               ? 4
+               : class_of_sym(s);
   };
 
   // per-block context frequencies (ops/huffman.py::context_codebooks);
@@ -1840,6 +1929,29 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
   parallel_chunks(int64_t(n_blocks), [&](int, int64_t b0, int64_t b1) {
     for (int64_t b = b0; b < b1; b++) {
       uint64_t lo = uint64_t(b) * block_lines, hi = std::min(lo + block_lines, L);
+      std::string payload;
+      uint32_t c_nsym[kNCtxV4] = {0};
+      uint32_t c_plen[kNCtxV4] = {0};
+      if (version == 7) {
+        // context-SPLIT packing: same books + per-symbol codes as v4
+        // (identical context chain), one bit sink per context so each
+        // sub-payload is independently (device-)decodable
+        BitSink sinks[kNCtxV4];
+        int ctx = kCtxInit;
+        for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
+          int32_t sym = syms[s];
+          uint32_t entry = fused[size_t(ctx)][size_t(sym)];
+          if (entry >> 22 == 0) die("symbol without codeword");
+          sinks[ctx].put(entry);
+          c_nsym[ctx]++;
+          ctx = sym_cls[size_t(sym)];
+        }
+        for (int c = 0; c < kNCtxV4; c++) {
+          std::string part = sinks[c].finish();
+          c_plen[c] = uint32_t(part.size());
+          payload += part;
+        }
+      } else {
       BitSink sink;
       sink.buf.reserve(size_t(sym_base[hi] - sym_base[lo]) * 2);
       int ctx = ctx0;
@@ -1850,7 +1962,8 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
         sink.put(entry);
         ctx = sym_cls[size_t(sym)];
       }
-      std::string payload = sink.finish();
+      payload = sink.finish();
+      }
 
       BitSink rsink;
       for (uint64_t i = lo; i < hi; i++) {
@@ -1879,6 +1992,10 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
       uint32_t pl = uint32_t(lvs[size_t(hi - 1)].pos);
       eb.append(reinterpret_cast<char*>(&pl), 4);
       eb.append(reinterpret_cast<char*>(&cme), 4);
+      if (version == 7) {
+        eb.append(reinterpret_cast<const char*>(c_nsym), 4 * kNCtxV4);
+        eb.append(reinterpret_cast<const char*>(c_plen), 4 * kNCtxV4);
+      }
       payloads[size_t(b)] = std::move(payload);
       req_payloads[size_t(b)] = std::move(rp);
     }
@@ -1903,7 +2020,8 @@ int do_compress_z(const char* in_path, const char* out_path, int version) {
   // v4 point queries decode from the block start to the hit row, so the
   // block height bounds the tail; 64 matches format/vcfz.py
   // DEFAULT_BLOCK_LINES_V4 (writers must agree byte-for-byte)
-  const uint32_t block_lines = (version == 4 || version == 6) ? 64 : 256;
+  const uint32_t block_lines =
+      (version == 4 || version == 6 || version == 7) ? 64 : 256;
   std::string z;
   if (is_vcfc) {
     z = vcfz_write(m.data, m.size, block_lines, version);
@@ -2368,7 +2486,7 @@ int main(int argc, char** argv) {
   if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
   if (action == "compress-z" && (argc == 4 || argc == 5)) {
     int zv = argc == 5 ? atoi(argv[4]) : 3;
-    if (zv < 3 || zv > 6) die("vcfz version must be 3-6");
+    if (zv < 3 || zv > 7) die("vcfz version must be 3-7");
     return do_compress_z(argv[2], argv[3], zv);
   }
   if (action == "create-manifest" && argc == 3) return do_create_manifest(argv[2]);

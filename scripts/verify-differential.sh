@@ -138,6 +138,19 @@ check cmp -s p6d.vcfz p6.vcfz
 VCFZ_PACK=device "${P[@]}" decompress-z p6.vcfz z6d.rt
 check cmp -s z6d.rt f.vcf
 
+# v7 (vertical prediction + context-SPLIT sub-payloads — v4's ratio,
+# device-decodable): writers byte-equal, readers invert, device
+# encode/decode byte-identical, query matches
+"${P[@]}" compress-z p.vcfc p7.vcfz 7
+"$V" compress-z v.vcfc v7.vcfz 7;      check cmp -s p7.vcfz v7.vcfz
+"$V" decompress-z p7.vcfz z7.rt;       check cmp -s z7.rt f.vcf
+"${P[@]}" decompress-z p7.vcfz z7p.rt; check cmp -s z7p.rt f.vcf
+"$V" query-z p7.vcfz "21:1000-99999" > b7; check cmp -s a b7
+VCFZ_PACK=device "${P[@]}" compress-z p.vcfc p7d.vcfz 7
+check cmp -s p7d.vcfz p7.vcfz
+VCFZ_PACK=device "${P[@]}" decompress-z p7.vcfz z7d.rt
+check cmp -s z7d.rt f.vcf
+
 # --- .vcfcm manifest (no reference analog): native and Python writers
 # byte-equal; query-manifest output equals the binned-index query (same
 # SV-aware overlap semantics) on hit, SV-overlap, and miss regions

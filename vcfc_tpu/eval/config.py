@@ -68,6 +68,7 @@ class HarnessConfig:
         "vcfz-v4",
         "vcfz-v5",
         "vcfz-v6",
+        "vcfz-v7",
         "tabix-bgzip",
         "tabix-bcf",
     )

@@ -23,14 +23,15 @@ collectives" path of BASELINE.json: histograms come from the device mesh
 
 Layout (little-endian):
 
-  magic "VCFZ" | u32 version (1-6) | u8 max_code_len | u32 block_lines
+  magic "VCFZ" | u32 version (1-7) | u8 max_code_len | u32 block_lines
   u64 n_lines | u32 n_samples
   u64 header_len | header blob (meta + #CHROM lines verbatim)
   u32 n_escapes | per escape: u16 len | bytes
-  u32 n_symbols (v1-v3/v5: 256 + n_escapes; v4/v6: 256 + n_escapes +
+  u32 n_symbols (v1-v3/v5: 256 + n_escapes; v4/v6/v7: 256 + n_escapes +
                  n_samples + 1 — the vertical-match band)
   u8 lengths[n_symbols] x n_books                (canonical symbol codebooks;
-                 n_books = 1 for v1/v5/v6, N_CTX=4 for v2/v3, N_CTX_V4=5 for v4)
+                 n_books = 1 for v1/v5/v6, N_CTX=4 for v2/v3,
+                 N_CTX_V4=5 for v4/v7)
   [v3+] u8 req_lengths[256]                      (order-0 required-bytes book)
   u32 req_len[n_lines]                           (required-cols length)
   u32 nsym[n_lines]                              (symbols per line)
@@ -40,7 +41,9 @@ Layout (little-endian):
   u32 n_blocks | per block:
       u64 payload_len | u64 n_block_symbols | [v3+] u64 req_payload_len
       u8 ref_first | u32 pos_first | u8 ref_last | u32 pos_last | u32 cummax_end
-  symbol payloads (bit-packed, byte-aligned per block)
+      [v7] u32 ctx_nsym[5] | u32 ctx_plen[5]     (context sub-stream framing)
+  symbol payloads (bit-packed, byte-aligned per block; v7: each block's
+      payload is the concatenation of its per-context sub-payloads)
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ from ..ops.huffman import (
     N_CTX_V4,
     Codebook,
     context_codebooks,
+    ctx_of_stream,
     pack_symbols,
     pack_symbols_ctx,
     symbol_classes,
@@ -80,7 +84,14 @@ MAGIC = b"VCFZ"
 # (ops/huffman_device.py) accepts, at a measured ~10-20% ratio cost vs
 # v3's context books; v6 = v4's vertical prediction with v5's single
 # order-0 book — the device-decodable container for LD-correlated
-# cohorts.  All versions read everywhere (incl.
+# cohorts; v7 = v4's exact compression (same books, same per-symbol
+# codes, same vertical transform) with each block's stream SPLIT into
+# per-context order-0 sub-payloads (symbol i's context = class of symbol
+# i-1 is an elementwise shift, so the split is free at encode; decode
+# re-merges with an O(symbols) automaton walk) — every sub-payload
+# entropy-decodes block-parallel on device, eliminating v6's ~13% ratio
+# price for device decodability at ~44 bytes/block of framing.  All
+# versions read everywhere (incl.
 # the native CLI); VERSION is the default write (v4 is opt-in: it wins
 # big on LD-correlated cohorts but costs ~18% on uncorrelated data).
 VERSION = 3
@@ -96,7 +107,7 @@ _ESC_FLAG = 0xE1
 
 
 def default_block_lines(version: int) -> int:
-    return DEFAULT_BLOCK_LINES_V4 if version in (4, 6) else DEFAULT_BLOCK_LINES
+    return DEFAULT_BLOCK_LINES_V4 if version in (4, 6, 7) else DEFAULT_BLOCK_LINES
 
 
 def _line_symbol_stream(raw, line_off, line_len, req_len, escape_dict):
@@ -415,6 +426,52 @@ def _v4_transform_block(symbols, nsym, S, m_base):
     return _emit_row_symbols(work, esc_grid, m_base)
 
 
+def _split_ctx_streams(symbols, classes, n_ctx=N_CTX_V4):
+    """v7's encode-side stream split: symbol i belongs to sub-stream
+    ctx(i) = class(symbol i-1) (CTX_INIT at block start) — an
+    ELEMENTWISE shift, so the partition costs one vectorized pass.
+    Each sub-stream is then order-0 under its own context codebook
+    (identical per-symbol codes to v4's context-switched stream, so v7
+    pays only per-block framing), and each decodes block-parallel on
+    device because no bit depends on another stream."""
+    symbols = np.asarray(symbols, np.int64)
+    ctx = ctx_of_stream(symbols, classes)
+    return [symbols[ctx == c] for c in range(n_ctx)]
+
+
+def _merge_ctx_streams(subs, classes, total):
+    """v7's decode-side inverse: replay the context automaton over the
+    already-decoded sub-streams (take next symbol from stream[ctx];
+    ctx = class(symbol)).  Sequential, but O(symbols) symbol-level work
+    — the O(bits) entropy decode happened block-parallel before this —
+    and the native runtime does it branch-free per block
+    (vcfc_host.cpp::vcfz_merge_ctx); this numpy/python body is the
+    oracle fallback."""
+    from ..host import native
+
+    total = int(total)
+    ends = np.cumsum([len(s) for s in subs])
+    if int(ends[-1]) != total:
+        raise ValueError("corrupt .vcfz v7: sub-stream counts do not sum")
+    if native.available():
+        flat = np.concatenate([np.asarray(s, np.int32) for s in subs]) if total else np.zeros(0, np.int32)
+        offsets = np.concatenate([[0], ends]).astype(np.int64)
+        return native.vcfz_merge_ctx(flat, offsets, classes, CTX_INIT, total)
+    out = np.empty(total, np.int64)
+    idx = [0] * len(subs)
+    ends_l = [len(s) for s in subs]
+    ctx = CTX_INIT
+    for i in range(total):
+        k = idx[ctx]
+        if k >= ends_l[ctx]:
+            raise ValueError("corrupt .vcfz v7: context sub-stream underrun")
+        s = int(subs[ctx][k])
+        idx[ctx] = k + 1
+        out[i] = s
+        ctx = int(classes[s])
+    return out
+
+
 def _v4_block_to_v3(symbols, nsym, S, m_base):
     """Inverse of _v4_transform_block: resolve MATCH cells downward, then
     re-emit plain v3 streams (which the shared body builder consumes)."""
@@ -559,9 +616,13 @@ def _assemble_container(
     payloads: list[bytes],
     req_payloads: list[bytes],
     n_block_syms: list[int],
+    ctx_meta: list[bytes] | None = None,
 ) -> bytes:
     """Serialize the container from fully materialized per-block payloads
-    — the single byte-emitting tail behind the host and device writers."""
+    — the single byte-emitting tail behind the host and device writers.
+    ``ctx_meta`` (v7): per block, the u32[n_ctx] sub-stream symbol counts
+    followed by the u32[n_ctx] sub-payload byte lengths, appended verbatim
+    after the standard block entry."""
     prefix_books = books + [req_book] if req_book is not None else books
     out = bytearray()
     out += serialize_prefix(
@@ -575,19 +636,20 @@ def _assemble_container(
     for bi, (lo, hi) in enumerate(block_ranges):
         cummax_end = int(geo.ends[lo:hi].max())
         if version >= 3:
-            blocks.append(
-                struct.pack(
-                    "<QQQBIBII",
-                    len(payloads[bi]),
-                    n_block_syms[bi],
-                    len(req_payloads[bi]),
-                    int(geo.refs[lo]),
-                    int(geo.positions[lo]),
-                    int(geo.refs[hi - 1]),
-                    int(geo.positions[hi - 1]),
-                    cummax_end,
-                )
+            entry = struct.pack(
+                "<QQQBIBII",
+                len(payloads[bi]),
+                n_block_syms[bi],
+                len(req_payloads[bi]),
+                int(geo.refs[lo]),
+                int(geo.positions[lo]),
+                int(geo.refs[hi - 1]),
+                int(geo.positions[hi - 1]),
+                cummax_end,
             )
+            if ctx_meta is not None:
+                entry += ctx_meta[bi]
+            blocks.append(entry)
         else:
             blocks.append(
                 struct.pack(
@@ -630,13 +692,15 @@ def vcfz_from_vcfc(
     symbol codebook.  version 4 (opt-in) adds vertical prediction:
     per-block residuals against the previous variant line with
     MATCH-run symbols — a large win on LD-correlated cohorts, a small
-    cost on uncorrelated data (see _v4_transform_block).
+    cost on uncorrelated data (see _v4_transform_block).  version 7 =
+    v4's books and transform with context-SPLIT per-block sub-payloads
+    (device-decodable at v4's ratio; _split_ctx_streams).
 
     ``route`` (default: the VCFZ_PACK env var) selects the entropy-coding
     backend: "device" runs symbol emission and Huffman bit packing as TPU
     kernels (ops/vcfz_device.py), byte-identical to the host writer;
     structurally unsupported inputs fall back to the host path."""
-    if version not in (1, 2, 3, 4, 5, 6):
+    if version not in (1, 2, 3, 4, 5, 6, 7):
         raise ValueError(f"unsupported .vcfz version {version}")
     block_lines = block_lines or default_block_lines(version)
     if (route or os.environ.get("VCFZ_PACK")) == "device":
@@ -662,7 +726,7 @@ def vcfz_from_vcfc(
     ]
     req_blob = geo.req_blob
     classes = None
-    if version in (4, 6):
+    if version in (4, 6, 7):
         # vertical-residual transform per block; MATCH runs live in the
         # symbol band [m_base, m_base + S].  v6 = the same transform with
         # ONE order-0 book (device-decodable; v4 keeps the context set)
@@ -706,10 +770,23 @@ def vcfz_from_vcfc(
 
     payloads = []
     req_payloads = []
+    ctx_meta: list[bytes] | None = [] if version == 7 else None
     for bi, (lo, hi) in enumerate(block_ranges):
         blk_syms = per_block_syms[bi]
         if version in (1, 5, 6):
             payload, _bits = pack_symbols(blk_syms, books[0])
+        elif version == 7:
+            # context-SPLIT streams: same books and per-symbol codes as
+            # v4 (the context chain is identical), but each context's
+            # symbols pack into their own order-0 sub-payload so every
+            # one decodes block-parallel on device (_split_ctx_streams)
+            subs = _split_ctx_streams(blk_syms, classes)
+            parts = [pack_symbols(s, books[c])[0] for c, s in enumerate(subs)]
+            payload = b"".join(parts)
+            ctx_meta.append(
+                np.array([len(s) for s in subs], np.uint32).tobytes()
+                + np.array([len(p) for p in parts], np.uint32).tobytes()
+            )
         else:
             payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
         payloads.append(payload)
@@ -722,6 +799,7 @@ def vcfz_from_vcfc(
         version, block_lines, geo, esc_list, books, req_book, nsym,
         block_ranges, payloads, req_payloads,
         [len(s) for s in per_block_syms],
+        ctx_meta=ctx_meta,
     )
 
 
@@ -864,7 +942,7 @@ class VcfzReader:
         if cur.take(4) != MAGIC:
             raise ValueError("not a .vcfz container")
         version, max_len, block_lines = cur.unpack("<IBI")
-        if version not in (1, 2, 3, 4, 5, 6) or max_len != MAX_CODE_LEN:
+        if version not in (1, 2, 3, 4, 5, 6, 7) or max_len != MAX_CODE_LEN:
             raise ValueError("unsupported .vcfz version")
         L, S = cur.unpack("<QI")
         (hlen,) = cur.unpack("<Q")
@@ -880,14 +958,14 @@ class VcfzReader:
         # an untrusted container claiming anything else would drive
         # oversized codebook/decode allocations or band-arithmetic
         # index errors downstream
-        want_symbols = 256 + len(escapes) + (S + 1 if version in (4, 6) else 0)
+        want_symbols = 256 + len(escapes) + (S + 1 if version in (4, 6, 7) else 0)
         if n_symbols != want_symbols:
             raise ValueError(
                 f"corrupt .vcfz: alphabet {n_symbols} != {want_symbols}"
             )
         books = []
         n_books = (
-            1 if version in (1, 5, 6) else (N_CTX_V4 if version == 4 else N_CTX)
+            1 if version in (1, 5, 6) else (N_CTX_V4 if version in (4, 7) else N_CTX)
         )
         for _ in range(n_books):
             books.append(Codebook.from_lengths(cur.take_np(np.uint8, n_symbols)))
@@ -908,13 +986,23 @@ class VcfzReader:
             else:
                 plen, nsyms, rf, pf, rl, plast, cme = cur.unpack("<QQBIBII")
                 rplen = 0
-            blocks.append(
-                dict(
-                    payload_len=plen, n_symbols=nsyms, ref_first=rf, pos_first=pf,
-                    ref_last=rl, pos_last=plast, cummax_end=cme, payload_off=payload_off,
-                    req_payload_len=rplen, req_payload_off=req_payload_off,
-                )
+            blk = dict(
+                payload_len=plen, n_symbols=nsyms, ref_first=rf, pos_first=pf,
+                ref_last=rl, pos_last=plast, cummax_end=cme, payload_off=payload_off,
+                req_payload_len=rplen, req_payload_off=req_payload_off,
             )
+            if version == 7:
+                ctx_nsym = cur.take_np(np.uint32, N_CTX_V4).astype(np.int64)
+                ctx_plen = cur.take_np(np.uint32, N_CTX_V4).astype(np.int64)
+                # the sub-stream framing must tile the block's totals —
+                # a corrupt split would otherwise mis-slice payload bytes
+                if int(ctx_nsym.sum()) != int(nsyms) or int(ctx_plen.sum()) != int(plen):
+                    raise ValueError(
+                        "corrupt .vcfz v7: context sub-streams do not tile the block"
+                    )
+                blk["ctx_nsym"] = ctx_nsym
+                blk["ctx_plen"] = ctx_plen
+            blocks.append(blk)
             payload_off += plen
             req_payload_off += rplen
         # block table must tile the line range: a short/empty table would
@@ -955,6 +1043,28 @@ class VcfzReader:
                 sym_t, len_t = self._decode_tables()[0]
                 return native.huffman_decode(payload, n, sym_t, len_t)
             return unpack_symbols(payload, n, self.books[0])
+        if self.version == 7:
+            # per-context order-0 sub-payloads (each independently
+            # decodable), then the O(symbols) context-automaton merge
+            subs = []
+            off = 0
+            tables = self._decode_tables() if native.available() else None
+            for c in range(N_CTX_V4):
+                pl = int(blk["ctx_plen"][c])
+                ns = int(blk["ctx_nsym"][c])
+                part = payload[off : off + pl]
+                off += pl
+                if ns > 8 * len(part):
+                    raise ValueError(
+                        "corrupt .vcfz: symbol count exceeds payload capacity"
+                    )
+                if tables is not None:
+                    sym_t, len_t = tables[c]
+                    subs.append(native.huffman_decode(bytes(part), ns, sym_t, len_t))
+                else:
+                    subs.append(unpack_symbols(bytes(part), ns, self.books[c]))
+            merged = _merge_ctx_streams(subs, self._classes(), int(blk["n_symbols"]))
+            return merged[:n]
         if native.available():
             sym_ts, len_ts, classes = self._ctx_tables()
             return native.huffman_decode_ctx(
@@ -975,7 +1085,7 @@ class VcfzReader:
     def _classes(self) -> np.ndarray:
         return symbol_classes(
             len(self.books[0].lengths),
-            match_base=self._m_base if self.version in (4, 6) else None,
+            match_base=self._m_base if self.version in (4, 6, 7) else None,
         )
 
     def _ctx_tables(self):
@@ -1031,7 +1141,7 @@ class VcfzReader:
                 symbols = np.asarray(
                     self._decode_block_symbols(b, int(nsym.sum())), np.int64
                 )
-            if self.version in (4, 6):
+            if self.version in (4, 6, 7):
                 # resolve vertical-match runs into plain v3 streams first;
                 # the body builder below is shared across versions
                 symbols, nsym = _v4_block_to_v3(symbols, nsym, S, self._m_base)
@@ -1167,8 +1277,9 @@ def decompress_vcfz(vcfz: bytes, route: str | None = None) -> bytes:
     """`.vcfz` -> VCF text (reconstruct the .vcfc, then the engine fast
     path decodes it; the oracle decoder remains the conformance anchor
     in tests).  ``route`` (default: the VCFZ_PACK env var) = "device"
-    entropy-decodes order-0 containers (v1/v5/v6) block-parallel on chip
-    and resolves v4/v6 vertical-match runs with the device scan middle
+    entropy-decodes order-0 streams (v1/v5/v6 payloads, v7's per-context
+    sub-payloads) block-parallel on chip and resolves v4/v6/v7
+    vertical-match runs with the device scan middle
     (format/vcfz_device.py); v2/v3 fall back to the host path."""
     from .. import engine
 

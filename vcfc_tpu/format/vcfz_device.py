@@ -143,7 +143,7 @@ def vcfz_from_vcfc_device(
         return None
     all_syms3, nsym3, esc_list = fast
     nsym3 = nsym3.astype(np.int64)
-    if version in (4, 6):
+    if version in (4, 6, 7):
         # same guard as the host writer: v4 re-emits greedy maximal runs,
         # so non-canonical streams must be rejected, not canonicalized
         _require_greedy(all_syms3, nsym3)
@@ -161,9 +161,9 @@ def vcfz_from_vcfc_device(
     feed = _BatchFeed(parsed, all_syms3, S_pad, lpb)
 
     m_base = 256 + len(esc_list)
-    if version in (4, 6):
+    if version in (4, 6, 7):
         n_symbols = m_base + S + 1
-        n_ctx = N_CTX_V4 if version == 4 else 1
+        n_ctx = N_CTX_V4 if version in (4, 7) else 1
         classes = symbol_classes(n_symbols, match_base=m_base)
     else:
         n_symbols = 256 + len(esc_list)
@@ -178,7 +178,7 @@ def vcfz_from_vcfc_device(
         """Device-emit one batch's positional symbol grid (+ per-line
         symbol counts for v4)."""
         fb, eb, n = feed.batch(b0)
-        if version in (4, 6):
+        if version in (4, 6, 7):
             sp, ns, decoded = sympos_v4(
                 jnp.asarray(fb), jnp.asarray(eb), S, block_first_dev,
                 m_base, n,
@@ -196,7 +196,7 @@ def vcfz_from_vcfc_device(
     # ---- pass 1 (device): symbol emission; host collects the compacted
     # streams (v4/v6 — the others already have them natively) to build
     # codebooks
-    if version in (4, 6):
+    if version in (4, 6, 7):
         nsym = np.zeros(L, np.uint32)
         per_block_syms: list[np.ndarray] = []
         for b0 in batch_starts:
@@ -252,18 +252,53 @@ def vcfz_from_vcfc_device(
             books = context_codebooks(per_block_syms, n_symbols)
 
     # ---- pass 2 (device): Huffman bit packing of every block's cells
-    entries = jnp.asarray(pack_entries(books))
     payloads: list[bytes] = []
+    ctx_meta: list[bytes] | None = [] if version == 7 else None
+    if version == 7:
+        from ..ops.vcfz_device import ctx_plane
+
+        entries_by_ctx = [jnp.asarray(pack_entries([bk])) for bk in books]
+    else:
+        entries = jnp.asarray(pack_entries(books))
     for gi, b0 in enumerate(batch_starts):
         sp = sym_grids[gi] if keep_resident else emit(b0)[0]
         cells = sp.reshape(bpb, block_lines * S_pad)
+        take = min(n_blocks - gi * bpb, bpb)
+        if version == 7:
+            # context-SPLIT packing: the ctx plane (same cummax pack_cells
+            # uses) masks one pack per context, so each sub-payload is an
+            # independent bitstream under its own (order-0) book
+            present = cells != 0
+            ctxp = ctx_plane(cells, present, m_base, CTX_INIT, v4=True)
+            parts_by_ctx = []
+            counts_by_ctx = []
+            for c in range(N_CTX_V4):
+                mask = present & (ctxp == c)
+                wv, emit_mask, tb, bad = pack_cells(
+                    cells, mask, entries_by_ctx[c], m_base, 0,
+                    n_ctx=1, v4=True,
+                )
+                if bool(np.asarray(bad).any()):  # pragma: no cover
+                    raise RuntimeError("device packer: symbol without codeword")
+                parts_by_ctx.append(compact_payloads(wv, emit_mask, tb))
+                counts_by_ctx.append(np.asarray(mask.sum(axis=1)))
+            for k in range(take):
+                parts = [parts_by_ctx[c][k] for c in range(N_CTX_V4)]
+                payloads.append(b"".join(parts))
+                ctx_meta.append(
+                    np.array(
+                        [int(counts_by_ctx[c][k]) for c in range(N_CTX_V4)],
+                        np.uint32,
+                    ).tobytes()
+                    + np.array([len(p) for p in parts], np.uint32).tobytes()
+                )
+            continue
         wv, emit_mask, tb, bad = pack_cells(
             cells, cells != 0, entries, m_base, CTX_INIT,
             n_ctx=n_ctx, v4=(version in (4, 6)),
         )
         if bool(np.asarray(bad).any()):  # pragma: no cover - books cover streams
             raise RuntimeError("device packer: symbol without codeword")
-        take = min(n_blocks - gi * bpb, bpb)
         payloads.extend(compact_payloads(wv, emit_mask, tb)[:take])
 
     # ---- required-columns payloads (v3/v4): order-0 device pack
@@ -303,16 +338,19 @@ def vcfz_from_vcfc_device(
         version, block_lines, geo, esc_list, books, req_book, nsym,
         block_ranges, payloads, req_payloads,
         [len(s) for s in per_block_syms],
+        ctx_meta=ctx_meta,
     )
 
 
 def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
     """Device DECODE route.
 
-    Order-0 containers (v1/v5/v6): every block's symbol payload — and
-    the v3+ order-0 required-columns payloads — decodes block-parallel
-    through the gather-free bit-scan kernel (ops/huffman_device.py).
-    Vertical-prediction containers (v4/v6) additionally resolve their
+    Order-0 streams (v1/v5/v6 payloads, v7's per-context sub-payloads)
+    — and the v3+ order-0 required-columns payloads — decode
+    block-parallel through the gather-free bit-scan kernel
+    (ops/huffman_device.py); v7's sub-streams re-merge on host with the
+    O(symbols) context-automaton walk.
+    Vertical-prediction containers (v4/v6/v7) additionally resolve their
     MATCH runs on device (_resolve_blocks_device -> resolve_match_grid:
     fill scan, log-depth row resolve, greedy flag re-emission), so the
     whole dense O(lines x samples) middle of the decode is
@@ -327,13 +365,44 @@ def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
     from .vcfz import VcfzReader
 
     reader = VcfzReader.parse(vcfz)
-    if reader.version not in (1, 4, 5, 6):
+    if reader.version not in (1, 4, 5, 6, 7):
         return None
     if reader.version == 4:
         # context-coded stream: host entropy decode, device resolve
         sym_lists = [
             np.asarray(reader._decode_block_symbols(b), np.int64)
             for b in range(len(reader.blocks))
+        ]
+    elif reader.version == 7:
+        # context-SPLIT streams: every (block, context) sub-payload is
+        # order-0 under its own book, so ALL of them entropy-decode
+        # block-parallel on device (grouped per book); the O(symbols)
+        # context-automaton merge rejoins them on host
+        from .vcfz import _merge_ctx_streams
+        from ..ops.huffman import N_CTX_V4 as _NCTX7
+
+        classes = reader._classes()
+        base = reader.payload_base
+        per_ctx_payloads: list[list[bytes]] = [[] for _ in range(_NCTX7)]
+        per_ctx_counts: list[list[int]] = [[] for _ in range(_NCTX7)]
+        for blk in reader.blocks:
+            off = base + blk["payload_off"]
+            for c in range(_NCTX7):
+                pl = int(blk["ctx_plen"][c])
+                per_ctx_payloads[c].append(bytes(reader.raw[off : off + pl]))
+                per_ctx_counts[c].append(int(blk["ctx_nsym"][c]))
+                off += pl
+        per_ctx_syms = [
+            device_unpack_symbols(per_ctx_payloads[c], per_ctx_counts[c], reader.books[c])
+            for c in range(_NCTX7)
+        ]
+        sym_lists = [
+            _merge_ctx_streams(
+                [per_ctx_syms[c][b] for c in range(_NCTX7)],
+                classes,
+                int(blk["n_symbols"]),
+            )
+            for b, blk in enumerate(reader.blocks)
         ]
     else:
         payloads = []
@@ -368,7 +437,7 @@ def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
         req_lists = device_unpack_symbols(req_payloads, n_req, reader.req_book)
 
     resolved = None
-    if reader.version in (4, 6) and reader.n_samples > 0 and reader.n_lines > 0:
+    if reader.version in (4, 6, 7) and reader.n_samples > 0 and reader.n_lines > 0:
         resolved = _resolve_blocks_device(reader, sym_lists)
 
     out = bytearray(reader.header_blob)

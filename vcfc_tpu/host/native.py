@@ -173,6 +173,11 @@ def _load():
                 _i32p, _i64, ctypes.POINTER(ctypes.c_uint32), _u8p, _u8p,
                 ctypes.c_int32, _i64, _u8p, _i64,
             ]
+            lib.vcfz_merge_ctx.restype = _i64
+            lib.vcfz_merge_ctx.argtypes = [
+                _i32p, _i64p, ctypes.c_int32, _u8p, _i64,
+                ctypes.c_int32, _i64, _i32p,
+            ]
             lib.vcfc_compact_flags.restype = None
             lib.vcfc_compact_flags.argtypes = [_u8p, _i64, _i64, _i64p, _u8p]
             lib.vcfc_count_lines.restype = _i64
@@ -366,6 +371,30 @@ def huffman_decode(payload: bytes, n_symbols: int, sym_table: np.ndarray,
     if r != 0:
         raise ValueError("invalid Huffman stream")
     return out
+
+
+def vcfz_merge_ctx(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    class_of: np.ndarray,
+    ctx_init: int,
+    total: int,
+) -> np.ndarray:
+    """Replay the v7 context automaton over concatenated per-context
+    sub-streams (vcfc_host.cpp::vcfz_merge_ctx)."""
+    lib = _load()
+    flat = np.ascontiguousarray(flat, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    class_of = np.ascontiguousarray(class_of, np.uint8)
+    out = np.empty(total, np.int32)
+    r = lib.vcfz_merge_ctx(
+        _ptr(flat, _i32p), _ptr(offsets, _i64p), len(offsets) - 1,
+        _ptr(class_of, _u8p), len(class_of), ctx_init, total,
+        _ptr(out, _i32p),
+    )
+    if r != 0:
+        raise ValueError("corrupt .vcfz v7: context sub-stream underrun")
+    return out.astype(np.int64)
 
 
 def huffman_decode_ctx(

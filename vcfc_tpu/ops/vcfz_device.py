@@ -152,6 +152,23 @@ def _cell_class(sym, m_base, *, v4: bool):
     return cls
 
 
+@functools.partial(jax.jit, static_argnames=("v4",))
+def ctx_plane(sym, valid, m_base, ctx_init, *, v4: bool):
+    """Per-cell coding context of a positional symbol grid (the same
+    packed exclusive cummax pack_cells uses internally), exposed for
+    v7's context-SPLIT packing: the caller masks each pack_cells call
+    to one context's cells so every sub-payload gets its own bitstream."""
+    n_blocks, B = sym.shape
+    cidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (n_blocks, B))
+    cls = _cell_class(sym, m_base, v4=v4)
+    packed = jnp.where(valid, (cidx << 3) | cls, -1)
+    prev = jnp.pad(
+        jax.lax.cummax(packed, axis=1)[:, :-1], ((0, 0), (1, 0)),
+        constant_values=-1,
+    )
+    return jnp.where(prev < 0, ctx_init, prev & 7)
+
+
 def pack_entries(books) -> np.ndarray:
     """(n_ctx * alphabet,) int32 packed (length << 16) | code lookup
     table for ``pack_cells`` (host-built, tiny)."""

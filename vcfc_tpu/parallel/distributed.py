@@ -660,8 +660,8 @@ def compress_multihost_vcfz(
     """
     # the layout below needs the v3+ sections (38-byte entries, req
     # codebook, coded req region): v1/v2 are single-process formats
-    if version not in (3, 4, 5, 6):
-        raise ValueError("multihost .vcfz transcode writes versions 3-6")
+    if version not in (3, 4, 5, 6, 7):
+        raise ValueError("multihost .vcfz transcode writes versions 3-7")
     from ..format.vcfz import (
         _v4_transform_block,
         default_block_lines,
@@ -769,7 +769,7 @@ def compress_multihost_vcfz(
         s0 = 0 if l0 == 0 else int(sym_ends[l0 - 1])
         return syms[s0 : int(sym_ends[l1 - 1])] if l1 > l0 else syms[:0]
 
-    if version in (4, 6):
+    if version in (4, 6, 7):
         # vertical-prediction transform, stripe-local (stripes are
         # block-aligned); runs on GLOBAL escape ids so every process
         # agrees on the match band
@@ -785,7 +785,7 @@ def compress_multihost_vcfz(
             nsym_v4[l0:l1] = counts
         nsym = nsym_v4
         classes = symbol_classes(n_symbols, match_base=m_base)
-        n_ctx = N_CTX_V4 if version == 4 else 1
+        n_ctx = N_CTX_V4 if version in (4, 7) else 1
     else:
         per_block = [v3_block_slice(b) for b in range(my_blocks)]
         classes = symbol_classes(n_symbols)
@@ -816,8 +816,19 @@ def compress_multihost_vcfz(
     entries = bytearray()
     for b in range(my_blocks):
         blk_syms = per_block[b]
+        ctx_tail = b""
         if version in (5, 6):
             payload, _bits = pack_symbols(blk_syms, books[0])
+        elif version == 7:
+            from ..format.vcfz import _split_ctx_streams
+
+            subs = _split_ctx_streams(blk_syms, classes)
+            parts = [pack_symbols(sub, books[c])[0] for c, sub in enumerate(subs)]
+            payload = b"".join(parts)
+            ctx_tail = (
+                np.array([len(sub) for sub in subs], np.uint32).tobytes()
+                + np.array([len(p) for p in parts], np.uint32).tobytes()
+            )
         else:
             payload, _bits = pack_symbols_ctx(blk_syms, books, classes)
         l0, l1 = b * block_lines, min(b * block_lines + block_lines, my_lines)
@@ -835,6 +846,7 @@ def compress_multihost_vcfz(
             int(positions[l1 - 1]),
             int(ends[l0:l1].max()),
         )
+        entries += ctx_tail  # v7: per-context sub-stream framing
         payloads.append(payload)
         req_payloads.append(rp)
     payload_blob = b"".join(payloads)
@@ -853,7 +865,8 @@ def compress_multihost_vcfz(
     total_req = int(req_sizes.sum())
     total_payload = int(payload_sizes.sum())
 
-    ENTRY = 38  # v3 block entry size
+    # v3 block entry size; v7 appends the per-context sub-stream framing
+    ENTRY = 38 + (8 * N_CTX_V4 if version == 7 else 0)
     off_req_lens = len(prefix)
     off_nsym = off_req_lens + 4 * L
     off_req_blob = off_nsym + 4 * L + 8
