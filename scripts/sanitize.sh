@@ -44,6 +44,10 @@ run_legs() {
   "$bin" compress-z "$work/f.vcfc" "$work/f5.vcfz" 5
   "$bin" decompress-z "$work/f5.vcfz" "$work/f5.z.vcf"
   cmp -s "$work/f.vcf" "$work/f5.z.vcf"
+  "$bin" compress-z "$work/f.vcfc" "$work/f7.vcfz" 7
+  "$bin" decompress-z "$work/f7.vcfz" "$work/f7.z.vcf"
+  cmp -s "$work/f.vcf" "$work/f7.z.vcf"
+  "$bin" query-z "$work/f7.vcfz" "1:10500-11500" > /dev/null
 }
 
 run_minihts_legs() {
@@ -114,7 +118,7 @@ run_vcfcq_corrupt_probes() {
 import random, shutil, sys
 work, cw, seed = sys.argv[1], sys.argv[2], int(sys.argv[3])
 random.seed(seed + 1)
-for src, dst in [("f.vcfc", "c.vcfc"), ("f.vcfc.vcfci", "c.vcfc.vcfci"), ("f.vcfz", "c.vcfz")]:
+for src, dst in [("f.vcfc", "c.vcfc"), ("f.vcfc.vcfci", "c.vcfc.vcfci"), ("f.vcfz", "c.vcfz"), ("f7.vcfz", "c7.vcfz")]:
     data = bytearray(open(f"{work}/{src}", "rb").read())
     for _ in range(48):
         data[random.randrange(len(data))] = random.randrange(256)
@@ -130,7 +134,9 @@ PYEOF
                "create-binned-index 50 $cw/c.vcfc" \
                "gap-analysis $cw/c.vcfc" \
                "decompress-z $cw/c.vcfz /dev/null" \
-               "query-z $cw/c.vcfz 1:10000-99999"; do
+               "query-z $cw/c.vcfz 1:10000-99999" \
+               "decompress-z $cw/c7.vcfz /dev/null" \
+               "query-z $cw/c7.vcfz 1:10000-99999"; do
     (cd "$cw" && "$bin" $probe >/dev/null 2>"$cw/err") || true
     if grep -q "AddressSanitizer\|runtime error\|ThreadSanitizer" "$cw/err"; then
       echo "FAIL: sanitizer report on corrupt input: vcfcq $probe"
