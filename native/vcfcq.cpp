@@ -1082,7 +1082,7 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   uint8_t max_len = raw[off + 4];
   z.block_lines = rd_u32(raw + off + 5);
   off += 9;
-  if ((z.version < 1 || z.version > 7) || max_len != kMaxCodeLen)
+  if ((z.version < 1 || z.version > 8) || max_len != kMaxCodeLen)
     die("unsupported .vcfz version");
   if (z.block_lines == 0) die("invalid .vcfz block_lines");
   need(12);
@@ -1167,7 +1167,10 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   if (n_blocks != (z.n_lines + z.block_lines - 1) / z.block_lines)
     die("corrupt .vcfz block count");
   uint64_t poff = 0, rpoff = 0;
-  const size_t entry_size = z.version == 7 ? 38 + 8 * kNCtxV4
+  // v7/v8 append the context sub-stream framing (u32 counts + u32 byte
+  // lengths per context: 5 contexts for v7's match band, 4 for v8)
+  const int n_split = z.version == 7 ? kNCtxV4 : z.version == 8 ? kNCtx : 0;
+  const size_t entry_size = n_split     ? 38 + 8 * size_t(n_split)
                             : z.version >= 3 ? 38
                                              : 30;
   for (uint32_t b = 0; b < n_blocks; b++) {
@@ -1186,13 +1189,13 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
     blk.ref_last = raw[e + 5];
     blk.pos_last = rd_u32(raw + e + 6);
     blk.cummax_end = rd_u32(raw + e + 10);
-    if (z.version == 7) {
-      // v7: the sub-stream framing must tile the block's totals — a
+    if (n_split) {
+      // v7/v8: the sub-stream framing must tile the block's totals — a
       // corrupt split would mis-slice payload bytes / drive bad decodes
       uint64_t tn = 0, tp = 0;
-      for (int c = 0; c < kNCtxV4; c++) {
+      for (int c = 0; c < n_split; c++) {
         blk.ctx_nsym[c] = rd_u32(raw + e + 14 + 4 * c);
-        blk.ctx_plen[c] = rd_u32(raw + e + 14 + 4 * kNCtxV4 + 4 * c);
+        blk.ctx_plen[c] = rd_u32(raw + e + 14 + 4 * n_split + 4 * c);
         tn += blk.ctx_nsym[c];
         tp += blk.ctx_plen[c];
       }
@@ -1244,9 +1247,10 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
   if (n_take > blk.payload_len * 8)
     die("corrupt .vcfz: symbol count exceeds payload capacity");
   syms->resize(n_take);
-  if (z.version == 7) {
+  if (z.version == 7 || z.version == 8) {
+    const int NS = z.version == 7 ? kNCtxV4 : kNCtx;
     // context-SPLIT sub-payloads: every sub-stream is order-0 under its
-    // own book, so a FULL-block decode runs five tight single-table
+    // own book, so a FULL-block decode runs NS tight single-table
     // loops (one book hot in cache per loop, no cross-context cursor
     // state) and then the branch-free automaton merge — measurably
     // faster than v4's interleaved chained decode.  Partial decodes
@@ -1256,12 +1260,12 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
     if (n_take == blk.n_symbols) {
       static thread_local std::vector<int32_t> sub_buf;
       static thread_local std::vector<uint64_t> sub_off;
-      sub_off.assign(kNCtxV4 + 1, 0);
-      for (int c = 0; c < kNCtxV4; c++)
+      sub_off.assign(size_t(NS) + 1, 0);
+      for (int c = 0; c < NS; c++)
         sub_off[c + 1] = sub_off[c] + blk.ctx_nsym[c];
-      sub_buf.resize(sub_off[kNCtxV4]);
+      sub_buf.resize(sub_off[size_t(NS)]);
       uint64_t poff2 = 0;
-      for (int c = 0; c < kNCtxV4; c++) {
+      for (int c = 0; c < NS; c++) {
         BitReader br{z.payload_base + blk.payload_off + poff2,
                      blk.ctx_plen[c]};
         poff2 += blk.ctx_plen[c];
@@ -1278,7 +1282,7 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
         }
       }
       uint64_t cur[kNCtxV4];
-      for (int c = 0; c < kNCtxV4; c++) cur[c] = sub_off[c];
+      for (int c = 0; c < NS; c++) cur[c] = sub_off[c];
       int ctx = kCtxInit;
       for (uint64_t i = 0; i < n_take; i++) {
         if (cur[ctx] >= sub_off[ctx + 1])
@@ -1292,7 +1296,7 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
     BitReader brs[kNCtxV4];
     uint64_t left[kNCtxV4];
     uint64_t off2 = 0;
-    for (int c = 0; c < kNCtxV4; c++) {
+    for (int c = 0; c < NS; c++) {
       brs[c] = BitReader{z.payload_base + blk.payload_off + off2,
                          blk.ctx_plen[c]};
       left[c] = blk.ctx_nsym[c];
@@ -1702,8 +1706,8 @@ int class_of_sym(int64_t s) {
 // format/vcfz.py::vcfz_from_vcfc, natively (writes v3).  in-memory vcfc in.
 std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
                        int version = 3) {
-  if (version < 3 || version > 7)
-    die("vcfz_write supports versions 3-7");
+  if (version < 3 || version > 8)
+    die("vcfz_write supports versions 3-8");
   Header h = parse_meta(vcfc, n);
   // walk lines: geometry + required cols + symbol streams + escapes
   std::vector<LineView> lvs;
@@ -1932,10 +1936,12 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
       std::string payload;
       uint32_t c_nsym[kNCtxV4] = {0};
       uint32_t c_plen[kNCtxV4] = {0};
-      if (version == 7) {
+      if (version == 7 || version == 8) {
         // context-SPLIT packing: same books + per-symbol codes as v4
-        // (identical context chain), one bit sink per context so each
-        // sub-payload is independently (device-)decodable
+        // (v7) / v3 (v8) — identical context chain — one bit sink per
+        // context so each sub-payload is independently
+        // (device-)decodable
+        const int NS = version == 7 ? kNCtxV4 : kNCtx;
         BitSink sinks[kNCtxV4];
         int ctx = kCtxInit;
         for (uint64_t s = sym_base[lo]; s < sym_base[hi]; s++) {
@@ -1946,7 +1952,7 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
           c_nsym[ctx]++;
           ctx = sym_cls[size_t(sym)];
         }
-        for (int c = 0; c < kNCtxV4; c++) {
+        for (int c = 0; c < NS; c++) {
           std::string part = sinks[c].finish();
           c_plen[c] = uint32_t(part.size());
           payload += part;
@@ -1992,9 +1998,10 @@ std::string vcfz_write(const uint8_t* vcfc, size_t n, uint32_t block_lines,
       uint32_t pl = uint32_t(lvs[size_t(hi - 1)].pos);
       eb.append(reinterpret_cast<char*>(&pl), 4);
       eb.append(reinterpret_cast<char*>(&cme), 4);
-      if (version == 7) {
-        eb.append(reinterpret_cast<const char*>(c_nsym), 4 * kNCtxV4);
-        eb.append(reinterpret_cast<const char*>(c_plen), 4 * kNCtxV4);
+      if (version == 7 || version == 8) {
+        const int NS = version == 7 ? kNCtxV4 : kNCtx;
+        eb.append(reinterpret_cast<const char*>(c_nsym), 4 * NS);
+        eb.append(reinterpret_cast<const char*>(c_plen), 4 * NS);
       }
       payloads[size_t(b)] = std::move(payload);
       req_payloads[size_t(b)] = std::move(rp);
@@ -2486,7 +2493,7 @@ int main(int argc, char** argv) {
   if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
   if (action == "compress-z" && (argc == 4 || argc == 5)) {
     int zv = argc == 5 ? atoi(argv[4]) : 3;
-    if (zv < 3 || zv > 7) die("vcfz version must be 3-7");
+    if (zv < 3 || zv > 8) die("vcfz version must be 3-8");
     return do_compress_z(argv[2], argv[3], zv);
   }
   if (action == "create-manifest" && argc == 3) return do_create_manifest(argv[2]);

@@ -48,6 +48,10 @@ run_legs() {
   "$bin" decompress-z "$work/f7.vcfz" "$work/f7.z.vcf"
   cmp -s "$work/f.vcf" "$work/f7.z.vcf"
   "$bin" query-z "$work/f7.vcfz" "1:10500-11500" > /dev/null
+  "$bin" compress-z "$work/f.vcfc" "$work/f8.vcfz" 8
+  "$bin" decompress-z "$work/f8.vcfz" "$work/f8.z.vcf"
+  cmp -s "$work/f.vcf" "$work/f8.z.vcf"
+  "$bin" query-z "$work/f8.vcfz" "1:10500-11500" > /dev/null
 }
 
 run_minihts_legs() {
@@ -118,7 +122,7 @@ run_vcfcq_corrupt_probes() {
 import random, shutil, sys
 work, cw, seed = sys.argv[1], sys.argv[2], int(sys.argv[3])
 random.seed(seed + 1)
-for src, dst in [("f.vcfc", "c.vcfc"), ("f.vcfc.vcfci", "c.vcfc.vcfci"), ("f.vcfz", "c.vcfz"), ("f7.vcfz", "c7.vcfz")]:
+for src, dst in [("f.vcfc", "c.vcfc"), ("f.vcfc.vcfci", "c.vcfc.vcfci"), ("f.vcfz", "c.vcfz"), ("f7.vcfz", "c7.vcfz"), ("f8.vcfz", "c8.vcfz")]:
     data = bytearray(open(f"{work}/{src}", "rb").read())
     for _ in range(48):
         data[random.randrange(len(data))] = random.randrange(256)
@@ -136,7 +140,9 @@ PYEOF
                "decompress-z $cw/c.vcfz /dev/null" \
                "query-z $cw/c.vcfz 1:10000-99999" \
                "decompress-z $cw/c7.vcfz /dev/null" \
-               "query-z $cw/c7.vcfz 1:10000-99999"; do
+               "query-z $cw/c7.vcfz 1:10000-99999" \
+               "decompress-z $cw/c8.vcfz /dev/null" \
+               "query-z $cw/c8.vcfz 1:10000-99999"; do
     (cd "$cw" && "$bin" $probe >/dev/null 2>"$cw/err") || true
     if grep -q "AddressSanitizer\|runtime error\|ThreadSanitizer" "$cw/err"; then
       echo "FAIL: sanitizer report on corrupt input: vcfcq $probe"

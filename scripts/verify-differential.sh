@@ -151,6 +151,19 @@ check cmp -s p7d.vcfz p7.vcfz
 VCFZ_PACK=device "${P[@]}" decompress-z p7.vcfz z7d.rt
 check cmp -s z7d.rt f.vcf
 
+# v8 (literal streams + context-SPLIT sub-payloads — v3's ratio,
+# device-decodable): writers byte-equal, readers invert, device
+# encode/decode byte-identical, query matches
+"${P[@]}" compress-z p.vcfc p8.vcfz 8
+"$V" compress-z v.vcfc v8.vcfz 8;      check cmp -s p8.vcfz v8.vcfz
+"$V" decompress-z p8.vcfz z8.rt;       check cmp -s z8.rt f.vcf
+"${P[@]}" decompress-z p8.vcfz z8p.rt; check cmp -s z8p.rt f.vcf
+"$V" query-z p8.vcfz "21:1000-99999" > b8; check cmp -s a b8
+VCFZ_PACK=device "${P[@]}" compress-z p.vcfc p8d.vcfz 8
+check cmp -s p8d.vcfz p8.vcfz
+VCFZ_PACK=device "${P[@]}" decompress-z p8.vcfz z8d.rt
+check cmp -s z8d.rt f.vcf
+
 # --- .vcfcm manifest (no reference analog): native and Python writers
 # byte-equal; query-manifest output equals the binned-index query (same
 # SV-aware overlap semantics) on hit, SV-overlap, and miss regions

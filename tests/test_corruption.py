@@ -56,7 +56,7 @@ def artifacts():
     vcf = make_vcf(4242, 20, 60, sv_every=9)
     vcfc = compress_bytes(vcf)
     art = {"vcfc": vcfc}
-    for v in range(1, 8):
+    for v in range(1, 9):
         art[f"vcfz{v}"] = vcfz_from_vcfc(vcfc, version=v)
     art["vcfci"] = build_binned_index(vcfc, BinnedIndexConfig(entries_per_bin=10))
     art["vcfcm"] = build_manifest(vcfc)
@@ -150,14 +150,14 @@ class TestPythonReaders:
             bad = _mutate(artifacts["vcfc"], rng)
             _probe(lambda: list(query_full_scan(bad, QUERY)))
 
-    @pytest.mark.parametrize("version", range(1, 8))
+    @pytest.mark.parametrize("version", range(1, 9))
     def test_vcfz_decompress(self, artifacts, version):
         rng = np.random.default_rng(10 + version)
         for _ in range(N_MUTATIONS):
             bad = _mutate(artifacts[f"vcfz{version}"], rng)
             _probe(lambda: decompress_vcfz(bad))
 
-    @pytest.mark.parametrize("version", [4, 5, 6, 7])
+    @pytest.mark.parametrize("version", [4, 5, 6, 7, 8])
     def test_vcfz_device_route(self, artifacts, version):
         """The device decode route (entropy kernels + vertical-match
         resolve) must fail as cleanly as the host path — its own

@@ -384,3 +384,84 @@ class TestVcfzV7:
         )
         assert r.returncode == 0, r.stderr
         assert out.read_bytes() == decompress_bytes(vcfc)
+
+
+class TestVcfzV8:
+    """v8 = v3's compression (same literal streams, same context books,
+    same per-symbol codes — no vertical transform) with each block's
+    stream split into per-context order-0 sub-payloads — device-
+    decodable at v3's ratio, retiring v5's order-0 tax on uncorrelated
+    data (the last cell of the {literal, vertical} x {context, order-0,
+    split} matrix)."""
+
+    def test_matches_v3_size_within_framing(self):
+        vcfc = _vcfc(91, 120, 400)
+        z3 = vcfz_from_vcfc(vcfc, version=3)
+        z8 = vcfz_from_vcfc(vcfc, version=8)
+        r = VcfzReader.parse(z8)
+        # identical per-symbol codes; only the per-block framing (4+4 u32)
+        # and per-sub-payload byte padding (<= 4 B/block) can differ
+        assert len(z8) - len(z3) <= len(r.blocks) * (32 + 4)
+        assert decompress_vcfz(z8) == decompress_bytes(vcfc)
+
+    def test_beats_v5_on_uncorrelated_data(self):
+        # v5 pays the order-0 tax for device decodability; v8 keeps v3's
+        # context coding AND device-decodes — it must win on any cohort
+        # big enough to amortize the 3 extra codebooks + block framing
+        vcfc = _vcfc(92, 200, 900)
+        z5 = vcfz_from_vcfc(vcfc, version=5)
+        z8 = vcfz_from_vcfc(vcfc, version=8)
+        assert len(z8) < len(z5)
+
+    def test_full_device_cycle(self):
+        vcfc = _vcfc(93, 100, 300)
+        z = vcfz_from_vcfc(vcfc, version=8, route="device")
+        assert z == vcfz_from_vcfc(vcfc, version=8)
+        assert vcfz_to_vcfc_device(z) == vcfc
+
+    def test_non_greedy_transcodes_byte_exact(self):
+        """v8 has no re-emission (literal streams come straight from the
+        flag bytes), so non-canonical runs survive the roundtrip exactly
+        like v3 — no greedy guard."""
+        from vcfc_tpu.format.headers import encode_length_header
+
+        header = (
+            b"##m=1\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+            + b"".join(b"\tS%d" % i for i in range(10))
+            + b"\n"
+        )
+        req = b"1\t100\t.\tA\tT\t.\t.\t.\tGT\t"
+        body = bytes([0x05, 0x05])  # non-greedy: 5+5 instead of 0x0A
+        line = (
+            encode_length_header(4 + len(req) + len(body) + 1)
+            + encode_length_header(len(req))
+            + req
+            + body
+            + b"\n"
+        )
+        vcfc = header + line
+        z = vcfz_from_vcfc(vcfc, version=8)
+        assert VcfzReader.parse(z).to_vcfc() == vcfc
+
+    def test_native_writer_and_reader(self, tmp_path):
+        import subprocess
+
+        from vcfc_tpu.host.native import cli_path
+
+        if cli_path() is None:
+            pytest.skip("native CLI unavailable")
+        vcfc = _vcfc(45)
+        src = tmp_path / "a.vcfc"
+        src.write_bytes(vcfc)
+        z = tmp_path / "a.vcfz"
+        r = subprocess.run(
+            [cli_path(), "compress-z", str(src), str(z), "8"], capture_output=True
+        )
+        assert r.returncode == 0, r.stderr
+        assert z.read_bytes() == vcfz_from_vcfc(vcfc, version=8)
+        out = tmp_path / "a.vcf"
+        r = subprocess.run(
+            [cli_path(), "decompress-z", str(z), str(out)], capture_output=True
+        )
+        assert r.returncode == 0, r.stderr
+        assert out.read_bytes() == decompress_bytes(vcfc)

@@ -234,7 +234,7 @@ class TestNativeCliVcfz:
         assert r.returncode != 0
         assert b"Kraft" in r.stderr or b"corrupt codebook" in r.stderr
 
-    @pytest.mark.parametrize("version", [1, 2, 3])
+    @pytest.mark.parametrize("version", [1, 2, 3, 8])
     def test_query_z_all_versions(self, corpus, tmp_path, version):
         from vcfc_tpu.format.vcfz import query_vcfz, vcfz_from_vcfc
 

@@ -90,3 +90,78 @@ class TestAnalysis:
         assert st["lines"] == 2
         assert st["compressed_total"] == 220
         assert abs(st["ratio"] - 980 / 220) < 1e-9
+
+
+class TestRealisticGenerator:
+    """1000G-workload-faithful generator (VERDICT r4 #6): every genotype
+    class it emits must survive the full codec stack byte-exactly."""
+
+    def _vcf(self, **kw):
+        from vcfc_tpu.eval.random_vcf import generate_realistic_vcf
+
+        args = dict(
+            sample_count=80,
+            variant_count=260,
+            seed=9,
+            missing_rate=0.01,
+            unphased_rate=0.05,
+            multiallelic_rate=0.1,
+            indel_rate=0.08,
+        )
+        args.update(kw)
+        return generate_realistic_vcf(**args)
+
+    def test_genotype_classes_present(self):
+        vcf = self._vcf()
+        assert b"./." in vcf  # missing
+        assert b"0/" in vcf or b"/0" in vcf  # unphased
+        assert b"2|" in vcf or b"|2" in vcf  # multi-allelic carrier
+        assert b"AC=" in vcf and b"AF=" in vcf and b"AN=" in vcf
+        # full contig sweep: several distinct chromosomes appear
+        chroms = {l.split(b"\t", 1)[0] for l in vcf.splitlines() if l and not l.startswith(b"#")}
+        assert len(chroms) >= 10
+
+    def test_codec_roundtrip_all_containers(self):
+        from vcfc_tpu import engine
+        from vcfc_tpu.format.vcfz import decompress_vcfz, vcfz_from_vcfc
+
+        vcf = self._vcf()
+        vcfc = engine.compress(vcf)
+        assert engine.decompress(vcfc) == vcf
+        for v in (3, 4, 7, 8):
+            assert decompress_vcfz(vcfz_from_vcfc(vcfc, version=v)) == vcf
+
+    def test_unknown_contig_ordinal_zero(self):
+        """Unknown contigs lead the file (ordinal 0) and full-scan
+        queries return them; the binned index keeps the reference's
+        unknown->0 behavior without crashing at scale."""
+        from vcfc_tpu import engine
+        from vcfc_tpu.index.binned import BinnedIndexConfig, build_binned_index, query_binned_index
+        from vcfc_tpu.query.coordinate import parse_coordinate_string
+        from vcfc_tpu.query.engine import query_full_scan
+
+        vcf = self._vcf(unknown_contigs=("GL000226.1", "GL000229.1"))
+        vcfc = engine.compress(vcf)
+        hits = list(query_full_scan(vcfc, parse_coordinate_string("GL000226.1")))
+        assert hits and all(h.startswith(b"GL000226.1\t") for h in hits)
+        idx = build_binned_index(vcfc, BinnedIndexConfig(entries_per_bin=16))
+        # both unknown contigs collapse to ordinal 0: a binned query for
+        # either scans the ordinal-0 span (the reference's footgun kept)
+        got = list(query_binned_index(vcfc, idx, parse_coordinate_string("GL000229.1")))
+        assert all(
+            h.split(b"\t", 1)[0] in (b"GL000226.1", b"GL000229.1") for h in got
+        )
+
+    def test_ld_mode_composes(self):
+        from vcfc_tpu import engine
+        from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+
+        vcf = self._vcf(mutation_rate=0.05, contigs=(("1", 1.0),))
+        vcfc = engine.compress(vcf)
+        assert engine.decompress(vcfc) == vcf
+        z4 = vcfz_from_vcfc(vcfc, version=4)
+        z3 = vcfz_from_vcfc(vcfc, version=3)
+        assert len(z4) < len(z3)  # vertical prediction wins under LD
+
+    def test_deterministic(self):
+        assert self._vcf() == self._vcf()

@@ -162,7 +162,7 @@ class TestVcfzVersions:
         z_fallback = vcfz_from_vcfc(vcfc)
         assert z_native == z_fallback
 
-    @pytest.mark.parametrize("version", [1, 2, 3, 4, 5, 6, 7])
+    @pytest.mark.parametrize("version", [1, 2, 3, 4, 5, 6, 7, 8])
     def test_all_versions_roundtrip_and_query(self, version):
         from vcfc_tpu.format import decompress_bytes
         from vcfc_tpu.format.vcfz import decompress_vcfz, query_vcfz, vcfz_from_vcfc

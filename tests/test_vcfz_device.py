@@ -29,7 +29,7 @@ def _correlated_vcfc(samples=120, variants=300, mu=0.03):
 
 
 class TestDeviceRouteBytes:
-    @pytest.mark.parametrize("version", [1, 2, 3, 4, 5, 6, 7])
+    @pytest.mark.parametrize("version", [1, 2, 3, 4, 5, 6, 7, 8])
     def test_byte_identical_to_host(self, version):
         vcfc = _fuzz_vcfc()
         host = vcfz_from_vcfc(vcfc, version=version)

@@ -271,8 +271,8 @@ def main(argv: list[str] | None = None) -> int:
             z_version = int(args[2]) if len(args) == 3 else VERSION
         except ValueError:
             z_version = 0
-        if z_version not in (1, 2, 3, 4, 5, 6, 7):
-            print("vcfz version must be 1-7")
+        if z_version not in (1, 2, 3, 4, 5, 6, 7, 8):
+            print("vcfz version must be 1-8")
             return 1
         data = _read(args[0])
         # accept plain VCF (compress first) or an existing .vcfc: a .vcfc

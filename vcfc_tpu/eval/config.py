@@ -69,6 +69,7 @@ class HarnessConfig:
         "vcfz-v5",
         "vcfz-v6",
         "vcfz-v7",
+        "vcfz-v8",
         "tabix-bgzip",
         "tabix-bcf",
     )

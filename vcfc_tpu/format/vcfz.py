@@ -23,14 +23,14 @@ collectives" path of BASELINE.json: histograms come from the device mesh
 
 Layout (little-endian):
 
-  magic "VCFZ" | u32 version (1-7) | u8 max_code_len | u32 block_lines
+  magic "VCFZ" | u32 version (1-8) | u8 max_code_len | u32 block_lines
   u64 n_lines | u32 n_samples
   u64 header_len | header blob (meta + #CHROM lines verbatim)
   u32 n_escapes | per escape: u16 len | bytes
-  u32 n_symbols (v1-v3/v5: 256 + n_escapes; v4/v6/v7: 256 + n_escapes +
+  u32 n_symbols (v1-v3/v5/v8: 256 + n_escapes; v4/v6/v7: 256 + n_escapes +
                  n_samples + 1 — the vertical-match band)
   u8 lengths[n_symbols] x n_books                (canonical symbol codebooks;
-                 n_books = 1 for v1/v5/v6, N_CTX=4 for v2/v3,
+                 n_books = 1 for v1/v5/v6, N_CTX=4 for v2/v3/v8,
                  N_CTX_V4=5 for v4/v7)
   [v3+] u8 req_lengths[256]                      (order-0 required-bytes book)
   u32 req_len[n_lines]                           (required-cols length)
@@ -42,7 +42,8 @@ Layout (little-endian):
       u64 payload_len | u64 n_block_symbols | [v3+] u64 req_payload_len
       u8 ref_first | u32 pos_first | u8 ref_last | u32 pos_last | u32 cummax_end
       [v7] u32 ctx_nsym[5] | u32 ctx_plen[5]     (context sub-stream framing)
-  symbol payloads (bit-packed, byte-aligned per block; v7: each block's
+      [v8] u32 ctx_nsym[4] | u32 ctx_plen[4]     (literal-context framing)
+  symbol payloads (bit-packed, byte-aligned per block; v7/v8: each block's
       payload is the concatenation of its per-context sub-payloads)
 """
 
@@ -90,7 +91,12 @@ MAGIC = b"VCFZ"
 # i-1 is an elementwise shift, so the split is free at encode; decode
 # re-merges with an O(symbols) automaton walk) — every sub-payload
 # entropy-decodes block-parallel on device, eliminating v6's ~13% ratio
-# price for device decodability at ~44 bytes/block of framing.  All
+# price for device decodability at ~44 bytes/block of framing; v8 = the
+# SAME context-split trick applied to v3's LITERAL streams (v3's books,
+# per-symbol codes, and ratio — no vertical transform), so uncorrelated
+# data keeps v3's ratio with block-parallel device decode, retiring v5's
+# order-0 tax — the last cell of the {literal, vertical} x {context,
+# order-0, split} matrix.  All
 # versions read everywhere (incl.
 # the native CLI); VERSION is the default write (v4 is opt-in: it wins
 # big on LD-correlated cohorts but costs ~18% on uncorrelated data).
@@ -694,13 +700,15 @@ def vcfz_from_vcfc(
     MATCH-run symbols — a large win on LD-correlated cohorts, a small
     cost on uncorrelated data (see _v4_transform_block).  version 7 =
     v4's books and transform with context-SPLIT per-block sub-payloads
-    (device-decodable at v4's ratio; _split_ctx_streams).
+    (device-decodable at v4's ratio; _split_ctx_streams); version 8 =
+    the same split applied to v3's literal streams (device-decodable at
+    v3's ratio — no vertical transform).
 
     ``route`` (default: the VCFZ_PACK env var) selects the entropy-coding
     backend: "device" runs symbol emission and Huffman bit packing as TPU
     kernels (ops/vcfz_device.py), byte-identical to the host writer;
     structurally unsupported inputs fall back to the host path."""
-    if version not in (1, 2, 3, 4, 5, 6, 7):
+    if version not in (1, 2, 3, 4, 5, 6, 7, 8):
         raise ValueError(f"unsupported .vcfz version {version}")
     block_lines = block_lines or default_block_lines(version)
     if (route or os.environ.get("VCFZ_PACK")) == "device":
@@ -763,6 +771,8 @@ def vcfz_from_vcfc(
             ]
         else:
             books = context_codebooks(per_block_syms, n_symbols)
+            if version == 8:
+                classes = symbol_classes(n_symbols)
     req_book = req_codebook(req_blob) if version >= 3 else None
 
     req_starts = np.zeros(L + 1, np.int64)
@@ -770,17 +780,20 @@ def vcfz_from_vcfc(
 
     payloads = []
     req_payloads = []
-    ctx_meta: list[bytes] | None = [] if version == 7 else None
+    ctx_meta: list[bytes] | None = [] if version in (7, 8) else None
     for bi, (lo, hi) in enumerate(block_ranges):
         blk_syms = per_block_syms[bi]
         if version in (1, 5, 6):
             payload, _bits = pack_symbols(blk_syms, books[0])
-        elif version == 7:
+        elif version in (7, 8):
             # context-SPLIT streams: same books and per-symbol codes as
-            # v4 (the context chain is identical), but each context's
-            # symbols pack into their own order-0 sub-payload so every
-            # one decodes block-parallel on device (_split_ctx_streams)
-            subs = _split_ctx_streams(blk_syms, classes)
+            # v4 (v7) / v3 (v8) — the context chain is identical — but
+            # each context's symbols pack into their own order-0
+            # sub-payload so every one decodes block-parallel on device
+            # (_split_ctx_streams)
+            subs = _split_ctx_streams(
+                blk_syms, classes, n_ctx=N_CTX_V4 if version == 7 else N_CTX
+            )
             parts = [pack_symbols(s, books[c])[0] for c, s in enumerate(subs)]
             payload = b"".join(parts)
             ctx_meta.append(
@@ -942,7 +955,7 @@ class VcfzReader:
         if cur.take(4) != MAGIC:
             raise ValueError("not a .vcfz container")
         version, max_len, block_lines = cur.unpack("<IBI")
-        if version not in (1, 2, 3, 4, 5, 6, 7) or max_len != MAX_CODE_LEN:
+        if version not in (1, 2, 3, 4, 5, 6, 7, 8) or max_len != MAX_CODE_LEN:
             raise ValueError("unsupported .vcfz version")
         L, S = cur.unpack("<QI")
         (hlen,) = cur.unpack("<Q")
@@ -991,9 +1004,10 @@ class VcfzReader:
                 ref_last=rl, pos_last=plast, cummax_end=cme, payload_off=payload_off,
                 req_payload_len=rplen, req_payload_off=req_payload_off,
             )
-            if version == 7:
-                ctx_nsym = cur.take_np(np.uint32, N_CTX_V4).astype(np.int64)
-                ctx_plen = cur.take_np(np.uint32, N_CTX_V4).astype(np.int64)
+            if version in (7, 8):
+                n_split = N_CTX_V4 if version == 7 else N_CTX
+                ctx_nsym = cur.take_np(np.uint32, n_split).astype(np.int64)
+                ctx_plen = cur.take_np(np.uint32, n_split).astype(np.int64)
                 # the sub-stream framing must tile the block's totals —
                 # a corrupt split would otherwise mis-slice payload bytes
                 if int(ctx_nsym.sum()) != int(nsyms) or int(ctx_plen.sum()) != int(plen):
@@ -1043,13 +1057,13 @@ class VcfzReader:
                 sym_t, len_t = self._decode_tables()[0]
                 return native.huffman_decode(payload, n, sym_t, len_t)
             return unpack_symbols(payload, n, self.books[0])
-        if self.version == 7:
+        if self.version in (7, 8):
             # per-context order-0 sub-payloads (each independently
             # decodable), then the O(symbols) context-automaton merge
             subs = []
             off = 0
             tables = self._decode_tables() if native.available() else None
-            for c in range(N_CTX_V4):
+            for c in range(N_CTX_V4 if self.version == 7 else N_CTX):
                 pl = int(blk["ctx_plen"][c])
                 ns = int(blk["ctx_nsym"][c])
                 part = payload[off : off + pl]
@@ -1277,9 +1291,9 @@ def decompress_vcfz(vcfz: bytes, route: str | None = None) -> bytes:
     """`.vcfz` -> VCF text (reconstruct the .vcfc, then the engine fast
     path decodes it; the oracle decoder remains the conformance anchor
     in tests).  ``route`` (default: the VCFZ_PACK env var) = "device"
-    entropy-decodes order-0 streams (v1/v5/v6 payloads, v7's per-context
-    sub-payloads) block-parallel on chip and resolves v4/v6/v7
-    vertical-match runs with the device scan middle
+    entropy-decodes order-0 streams (v1/v5/v6 payloads, v7/v8
+    per-context sub-payloads) block-parallel on chip and resolves
+    v4/v6/v7 vertical-match runs with the device scan middle
     (format/vcfz_device.py); v2/v3 fall back to the host path."""
     from .. import engine
 

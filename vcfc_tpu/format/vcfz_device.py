@@ -29,7 +29,8 @@ native parser routes to the oracle (escape flags with count != 1 —
 never produced by any of our encoders or the reference's).
 
 The DECODE direction lives here too (`vcfz_to_vcfc_device`): v1/v5/v6
-symbol payloads and v3+ required-columns payloads entropy-decode
+symbol payloads, v7/v8 per-context sub-payloads, and v3+
+required-columns payloads entropy-decode
 block-parallel on device (ops/huffman_device.py), and v4/v6
 vertical-match runs resolve on device
 (`_resolve_blocks_device` -> ops/vcfz_device.py::resolve_match_grid),
@@ -253,8 +254,9 @@ def vcfz_from_vcfc_device(
 
     # ---- pass 2 (device): Huffman bit packing of every block's cells
     payloads: list[bytes] = []
-    ctx_meta: list[bytes] | None = [] if version == 7 else None
-    if version == 7:
+    ctx_meta: list[bytes] | None = [] if version in (7, 8) else None
+    n_split = N_CTX_V4 if version == 7 else (4 if version == 8 else 0)
+    if n_split:
         from ..ops.vcfz_device import ctx_plane
 
         entries_by_ctx = [jnp.asarray(pack_entries([bk])) for bk in books]
@@ -264,30 +266,30 @@ def vcfz_from_vcfc_device(
         sp = sym_grids[gi] if keep_resident else emit(b0)[0]
         cells = sp.reshape(bpb, block_lines * S_pad)
         take = min(n_blocks - gi * bpb, bpb)
-        if version == 7:
+        if n_split:
             # context-SPLIT packing: the ctx plane (same cummax pack_cells
             # uses) masks one pack per context, so each sub-payload is an
             # independent bitstream under its own (order-0) book
             present = cells != 0
-            ctxp = ctx_plane(cells, present, m_base, CTX_INIT, v4=True)
+            ctxp = ctx_plane(cells, present, m_base, CTX_INIT, v4=(version == 7))
             parts_by_ctx = []
             counts_by_ctx = []
-            for c in range(N_CTX_V4):
+            for c in range(n_split):
                 mask = present & (ctxp == c)
                 wv, emit_mask, tb, bad = pack_cells(
                     cells, mask, entries_by_ctx[c], m_base, 0,
-                    n_ctx=1, v4=True,
+                    n_ctx=1, v4=(version == 7),
                 )
                 if bool(np.asarray(bad).any()):  # pragma: no cover
                     raise RuntimeError("device packer: symbol without codeword")
                 parts_by_ctx.append(compact_payloads(wv, emit_mask, tb))
                 counts_by_ctx.append(np.asarray(mask.sum(axis=1)))
             for k in range(take):
-                parts = [parts_by_ctx[c][k] for c in range(N_CTX_V4)]
+                parts = [parts_by_ctx[c][k] for c in range(n_split)]
                 payloads.append(b"".join(parts))
                 ctx_meta.append(
                     np.array(
-                        [int(counts_by_ctx[c][k]) for c in range(N_CTX_V4)],
+                        [int(counts_by_ctx[c][k]) for c in range(n_split)],
                         np.uint32,
                     ).tobytes()
                     + np.array([len(p) for p in parts], np.uint32).tobytes()
@@ -365,7 +367,7 @@ def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
     from .vcfz import VcfzReader
 
     reader = VcfzReader.parse(vcfz)
-    if reader.version not in (1, 4, 5, 6, 7):
+    if reader.version not in (1, 4, 5, 6, 7, 8):
         return None
     if reader.version == 4:
         # context-coded stream: host entropy decode, device resolve
@@ -373,14 +375,15 @@ def vcfz_to_vcfc_device(vcfz: bytes) -> bytes | None:
             np.asarray(reader._decode_block_symbols(b), np.int64)
             for b in range(len(reader.blocks))
         ]
-    elif reader.version == 7:
+    elif reader.version in (7, 8):
         # context-SPLIT streams: every (block, context) sub-payload is
         # order-0 under its own book, so ALL of them entropy-decode
         # block-parallel on device (grouped per book); the O(symbols)
         # context-automaton merge rejoins them on host
         from .vcfz import _merge_ctx_streams
-        from ..ops.huffman import N_CTX_V4 as _NCTX7
+        from ..ops.huffman import N_CTX as _NCTX8, N_CTX_V4 as _NCTX7A
 
+        _NCTX7 = _NCTX7A if reader.version == 7 else _NCTX8
         classes = reader._classes()
         base = reader.payload_base
         per_ctx_payloads: list[list[bytes]] = [[] for _ in range(_NCTX7)]

@@ -660,8 +660,8 @@ def compress_multihost_vcfz(
     """
     # the layout below needs the v3+ sections (38-byte entries, req
     # codebook, coded req region): v1/v2 are single-process formats
-    if version not in (3, 4, 5, 6, 7):
-        raise ValueError("multihost .vcfz transcode writes versions 3-7")
+    if version not in (3, 4, 5, 6, 7, 8):
+        raise ValueError("multihost .vcfz transcode writes versions 3-8")
     from ..format.vcfz import (
         _v4_transform_block,
         default_block_lines,
@@ -819,10 +819,12 @@ def compress_multihost_vcfz(
         ctx_tail = b""
         if version in (5, 6):
             payload, _bits = pack_symbols(blk_syms, books[0])
-        elif version == 7:
+        elif version in (7, 8):
             from ..format.vcfz import _split_ctx_streams
 
-            subs = _split_ctx_streams(blk_syms, classes)
+            subs = _split_ctx_streams(
+                blk_syms, classes, n_ctx=N_CTX_V4 if version == 7 else N_CTX
+            )
             parts = [pack_symbols(sub, books[c])[0] for c, sub in enumerate(subs)]
             payload = b"".join(parts)
             ctx_tail = (
@@ -846,7 +848,7 @@ def compress_multihost_vcfz(
             int(positions[l1 - 1]),
             int(ends[l0:l1].max()),
         )
-        entries += ctx_tail  # v7: per-context sub-stream framing
+        entries += ctx_tail  # v7/v8: per-context sub-stream framing
         payloads.append(payload)
         req_payloads.append(rp)
     payload_blob = b"".join(payloads)
@@ -865,8 +867,10 @@ def compress_multihost_vcfz(
     total_req = int(req_sizes.sum())
     total_payload = int(payload_sizes.sum())
 
-    # v3 block entry size; v7 appends the per-context sub-stream framing
-    ENTRY = 38 + (8 * N_CTX_V4 if version == 7 else 0)
+    # v3 block entry size; v7/v8 append the per-context sub-stream framing
+    ENTRY = 38 + (
+        8 * N_CTX_V4 if version == 7 else 8 * N_CTX if version == 8 else 0
+    )
     off_req_lens = len(prefix)
     off_nsym = off_req_lens + 4 * L
     off_req_blob = off_nsym + 4 * L + 8
