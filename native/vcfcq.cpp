@@ -1216,6 +1216,27 @@ Vcfz parse_vcfz(const uint8_t* raw, size_t n) {
   return z;
 }
 
+// Phase accumulators for the bench-decode-syms probe: per-call clock reads
+// only when g_prof is set (the probe action), so the hot decode loops stay
+// branch-on-bool cheap in production runs.
+bool g_prof = false;
+// 0=per-ctx tight loops 1=merge walk 2=interleaved/chained 3=req decode
+// 4=line reconstruct 5=text render 6=vertical expand+resolve
+uint64_t g_prof_ns[7] = {0, 0, 0, 0, 0, 0, 0};
+struct ProfPhase {
+  int idx;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfPhase(int i) : idx(i) {
+    if (g_prof) t0 = std::chrono::steady_clock::now();
+  }
+  ~ProfPhase() {
+    if (g_prof)
+      g_prof_ns[idx] += uint64_t(std::chrono::duration_cast<std::chrono::nanoseconds>(
+                                     std::chrono::steady_clock::now() - t0)
+                                     .count());
+  }
+};
+
 // MSB-first canonical-Huffman bit reader over a byte-aligned payload
 // (shared by the symbol and required-bytes decode loops).
 struct BitReader {
@@ -1264,35 +1285,42 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
       for (int c = 0; c < NS; c++)
         sub_off[c + 1] = sub_off[c] + blk.ctx_nsym[c];
       sub_buf.resize(sub_off[size_t(NS)]);
-      uint64_t poff2 = 0;
-      for (int c = 0; c < NS; c++) {
-        BitReader br{z.payload_base + blk.payload_off + poff2,
-                     blk.ctx_plen[c]};
-        poff2 += blk.ctx_plen[c];
-        const int32_t* st = z.sym_tables[c].data();
-        const uint8_t* lt = z.len_tables[c].data();
-        int32_t* out = sub_buf.data() + sub_off[c];
-        const uint64_t nc = blk.ctx_nsym[c];
-        for (uint64_t i = 0; i < nc; i++) {
-          uint32_t prefix = br.peek();
-          uint8_t ln = lt[prefix];
-          if (ln == 0) die("invalid Huffman stream");
-          out[i] = st[prefix];
-          br.take(ln);
+      {
+        ProfPhase pp1(0);
+        uint64_t poff2 = 0;
+        for (int c = 0; c < NS; c++) {
+          BitReader br{z.payload_base + blk.payload_off + poff2,
+                       blk.ctx_plen[c]};
+          poff2 += blk.ctx_plen[c];
+          const int32_t* st = z.sym_tables[c].data();
+          const uint8_t* lt = z.len_tables[c].data();
+          int32_t* out = sub_buf.data() + sub_off[c];
+          const uint64_t nc = blk.ctx_nsym[c];
+          for (uint64_t i = 0; i < nc; i++) {
+            uint32_t prefix = br.peek();
+            uint8_t ln = lt[prefix];
+            if (ln == 0) die("invalid Huffman stream");
+            out[i] = st[prefix];
+            br.take(ln);
+          }
         }
       }
-      uint64_t cur[kNCtxV4];
-      for (int c = 0; c < NS; c++) cur[c] = sub_off[c];
-      int ctx = kCtxInit;
-      for (uint64_t i = 0; i < n_take; i++) {
-        if (cur[ctx] >= sub_off[ctx + 1])
-          die("corrupt .vcfz v7: context sub-stream underrun");
-        const int32_t sym = sub_buf[cur[ctx]++];
-        (*syms)[i] = sym;
-        ctx = z.class_of[sym];
+      {
+        ProfPhase pp2(1);
+        uint64_t cur[kNCtxV4];
+        for (int c = 0; c < NS; c++) cur[c] = sub_off[c];
+        int ctx = kCtxInit;
+        for (uint64_t i = 0; i < n_take; i++) {
+          if (cur[ctx] >= sub_off[ctx + 1])
+            die("corrupt .vcfz v7: context sub-stream underrun");
+          const int32_t sym = sub_buf[cur[ctx]++];
+          (*syms)[i] = sym;
+          ctx = z.class_of[sym];
+        }
       }
       return;
     }
+    ProfPhase pp3(2);
     BitReader brs[kNCtxV4];
     uint64_t left[kNCtxV4];
     uint64_t off2 = 0;
@@ -1316,6 +1344,7 @@ void vcfz_decode_syms(const Vcfz& z, const VcfzBlock& blk, uint64_t n_take,
     }
     return;
   }
+  ProfPhase pp4(2);
   BitReader br{z.payload_base + blk.payload_off, blk.payload_len};
   // v1 and v5 are order-0 (one book, fixed ctx); v2-v4 switch on the
   // class of the previous symbol
@@ -1386,57 +1415,27 @@ void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
   std::vector<int32_t> syms;
   vcfz_decode_syms(z, blk, n_take, &syms);
 
-  // v4: expand the block's residual streams into literal code rows
-  // (format/vcfz.py::_v4_block_to_v3): MATCH-run symbols (>= m_base)
-  // copy cells from the line above; block-first lines are literal.
+  // v4/v6/v7: vertical prediction resolves row-by-row AS the per-line
+  // loop walks the block (format/vcfz.py::_v4_block_to_v3 contract).
+  // Rows are kept as SEGMENT LISTS — (len, code, escape id) runs — not
+  // materialized cells: a MATCH run splices the previous row's resolved
+  // segments clipped to its span (two monotone cursors, O(prev+cur)
+  // segments per row), so the whole resolve+re-emission is O(symbols),
+  // not O(lines x samples).  The old dense grid walked ~3x the cell
+  // count in memsets, byte-select resolves, and run re-scans; on
+  // LD-correlated data segments are ~10x fewer than cells (VCFC_PROF
+  // breakdown in docs/KERNEL_CEILING.md).
   const uint64_t S = z.n_samples;
   const uint32_t m_base = uint32_t(z.n_symbols - S - 1);  // v4/v6 only
-  std::vector<uint8_t> rows;       // (hi-lo) x S codes 0-4 after resolve
-  std::vector<int32_t> esc_cells;  // escape id per cell, -1 elsewhere
   bool vertical = z.version == 4 || z.version == 6 || z.version == 7;
-  if (vertical) {
-    uint64_t nrows = hi - lo;
-    // grid-size sanity BEFORE allocating: every cell comes from a symbol
-    // covering <= max(127, S) samples and every symbol costs >= 1 payload
-    // bit, so a crafted header (huge claimed n_samples, tiny payload)
-    // dies cleanly here instead of attempting a multi-GB allocation
-    uint64_t max_run = S > 127 ? S : 127;
-    if (S && nrows * S > blk.payload_len * 8 * max_run)
-      die("corrupt .vcfz v4: sample grid exceeds payload capacity");
-    rows.assign(size_t(nrows * S), 0);
-    esc_cells.assign(size_t(nrows * S), -1);
-    size_t sp = 0;
-    for (uint64_t i = 0; i < nrows; i++) {
-      uint32_t n = rd_u32(reinterpret_cast<const uint8_t*>(z.nsym + lo + i));
-      if (sp + n > syms.size()) die("corrupt .vcfz per-line symbol counts");
-      uint8_t* row = rows.data() + i * S;
-      int32_t* eg = esc_cells.data() + i * S;
-      uint64_t j = 0;
-      for (uint32_t k = 0; k < n; k++) {
-        int32_t s = syms[sp + k];
-        uint64_t rl;
-        uint8_t c;
-        if (!sym_run(s, m_base, &rl, &c))
-          die("corrupt .vcfz v4: raw escape byte in symbol stream");
-        if (rl == 0 || j + rl > S) die("corrupt .vcfz v4 line coverage");
-        memset(row + j, c, size_t(rl));
-        if (c == 4) eg[j] = s - 256;
-        j += rl;
-      }
-      if (j != S) die("corrupt .vcfz v4 line coverage");
-      sp += n;
-    }
-    if (nrows && S) {
-      for (uint64_t jj = 0; jj < S; jj++)
-        if (rows[jj] == 5) die("corrupt .vcfz v4: MATCH in first block line");
-      for (uint64_t i = 1; i < nrows; i++) {
-        uint8_t* cur = rows.data() + i * S;
-        const uint8_t* prv = rows.data() + (i - 1) * S;
-        for (uint64_t jj = 0; jj < S; jj++)
-          if (cur[jj] == 5) cur[jj] = prv[jj];
-      }
-    }
-  }
+  struct VSeg {
+    uint32_t len;
+    uint8_t code;     // 0-4 (literal classes + escape); never 5 once resolved
+    int32_t esc;      // escape id when code == 4
+  };
+  static thread_local std::vector<VSeg> vprev, vcur;
+  vprev.clear();
+  vcur.clear();
 
   // v3: required-column bytes are order-0 coded per block; the query
   // path hands us its pass-1 decode (a superset range) so the
@@ -1444,28 +1443,104 @@ void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
   std::string req_decoded;
   const uint8_t* req_ptr = pre_req;
   uint64_t req_base = pre_req_base;
-  if (req_ptr == nullptr)
+  if (req_ptr == nullptr) {
+    ProfPhase ppr(3);
     vcfz_block_req(z, b, lo, hi, &req_decoded, &req_ptr, &req_base);
+  }
+  ProfPhase ppc(4);
   size_t spos = 0;
   for (uint64_t i = lo; i < hi; i++) {
     uint32_t n = rd_u32(reinterpret_cast<const uint8_t*>(z.nsym + i));
     if (spos + n > syms.size()) die("corrupt .vcfz per-line symbol counts");
+    if (vertical) {
+      // resolve row i into vcur (even for want-skipped lines — later
+      // rows' MATCH runs depend on it), splicing MATCH spans from the
+      // previous row's resolved segments with two monotone cursors
+      ProfPhase ppv(6);
+      vcur.clear();
+      uint64_t j = 0;
+      size_t pi = 0;
+      uint64_t ppos = 0;
+      auto push_seg = [&](uint8_t c, uint32_t l, int32_t e) {
+        if (c != 4 && !vcur.empty() && vcur.back().code == c)
+          vcur.back().len += l;
+        else
+          vcur.push_back(VSeg{l, c, e});
+      };
+      for (uint32_t k = 0; k < n; k++) {
+        int32_t s = syms[spos + k];
+        uint64_t rl;
+        uint8_t c;
+        if (!sym_run(s, m_base, &rl, &c))
+          die("corrupt .vcfz v4: raw escape byte in symbol stream");
+        if (rl == 0 || j + rl > S) die("corrupt .vcfz v4 line coverage");
+        if (c == 5) {  // MATCH: splice prev row's segments over [j, j+rl)
+          if (i == lo) die("corrupt .vcfz v4: MATCH in first block line");
+          uint64_t a = j;
+          const uint64_t b2 = j + rl;
+          while (pi < vprev.size() && ppos + vprev[pi].len <= a) {
+            ppos += vprev[pi].len;
+            pi++;
+          }
+          size_t qi = pi;
+          uint64_t qpos = ppos;
+          while (a < b2) {
+            if (qi >= vprev.size()) die("corrupt .vcfz v4 line coverage");
+            const VSeg& ps = vprev[qi];
+            // escape cells are non-matchable (encoder contract); a MATCH
+            // over one means the stream is corrupt, same as the dense
+            // path's unmatched-escape-id death
+            if (ps.code == 4) die("corrupt .vcfz v4 escape cell");
+            uint64_t seg_end = qpos + ps.len;
+            uint64_t take = (b2 < seg_end ? b2 : seg_end) - a;
+            push_seg(ps.code, uint32_t(take), -1);
+            a += take;
+            if (a >= seg_end) {
+              qpos = seg_end;
+              qi++;
+            }
+          }
+          j = b2;
+        } else if (c == 4) {
+          if (rl != 1) die("corrupt .vcfz v4 escape cell");
+          push_seg(4, 1, s - 256);
+          j += 1;
+        } else {
+          push_seg(c, uint32_t(rl), -1);
+          j += rl;
+        }
+      }
+      if (j != S) die("corrupt .vcfz v4 line coverage");
+      vprev.swap(vcur);
+    }
     if (want && !want[i - lo]) {  // unmatched line: cursor advance only
       spos += n;
       continue;
     }
     // body: flag bytes; escapes expand to 0xE1 + text + '\t' unless the
-    // line's final sample (compress.cpp:182-184 tab rule)
-    std::string body;
+    // line's final sample (compress.cpp:182-184 tab rule).  The body is
+    // emitted DIRECTLY into the line buffer after the 8 header bytes +
+    // required columns, and the total-length header is patched once the
+    // body size is known — the old separate `body` string cost an extra
+    // allocation and full copy per line (VCFC_PROF `reconstruct` leg).
+    uint32_t rlen = rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + i));
+    std::string line;
+    line.resize(8);
+    line[4] = char(0xC0 | ((rlen >> 24) & 0x3F));
+    line[5] = char((rlen >> 16) & 0xFF);
+    line[6] = char((rlen >> 8) & 0xFF);
+    line[7] = char(rlen & 0xFF);
+    line.append(reinterpret_cast<const char*>(req_ptr + (z.req_start[size_t(i)] - req_base)),
+                rlen);
+    std::string& body = line;  // emission below appends body bytes in place
     if (vertical) {
-      // re-emit greedy capped runs from the resolved code row
-      const uint8_t* row = rows.data() + (i - lo) * S;
-      const int32_t* eg = esc_cells.data() + (i - lo) * S;
+      // re-emit greedy capped runs straight from the resolved segments
+      // (adjacent same-code segments were merged during the splice, so
+      // each non-escape segment IS a maximal run)
       uint64_t j = 0;
-      while (j < S) {
-        uint8_t c = row[j];
-        if (c == 4) {
-          int32_t id = eg[j];
+      for (const VSeg& sg : vprev) {
+        if (sg.code == 4) {
+          int32_t id = sg.esc;
           if (id < 0 || size_t(id) >= z.escapes.size())
             die("corrupt .vcfz v4 escape cell");
           body.push_back(char(0xE1));
@@ -1474,10 +1549,8 @@ void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
           j += 1;
           if (j < S) body.push_back('\t');
         } else {
-          uint64_t end = j + 1;
-          while (end < S && row[end] == c) end++;
-          emit_capped_run(c, end - j, [&](uint8_t f) { body.push_back(char(f)); });
-          j = end;
+          emit_capped_run(sg.code, sg.len, [&](uint8_t f) { body.push_back(char(f)); });
+          j += sg.len;
         }
       }
     } else {
@@ -1497,22 +1570,12 @@ void vcfz_block_lines_sel(const Vcfz& z, size_t b, const uint8_t* want,
       }
     }
     spos += n;
-    uint32_t rlen = rd_u32(reinterpret_cast<const uint8_t*>(z.req_len + i));
-    std::string line;
-    line.resize(8);
-    uint32_t total = 4 + rlen + uint32_t(body.size()) + 1;
+    line.push_back('\n');
+    uint32_t total = uint32_t(line.size()) - 4;  // 4 + rlen + body + '\n'
     line[0] = char(0xC0 | ((total >> 24) & 0x3F));
     line[1] = char((total >> 16) & 0xFF);
     line[2] = char((total >> 8) & 0xFF);
     line[3] = char(total & 0xFF);
-    line[4] = char(0xC0 | ((rlen >> 24) & 0x3F));
-    line[5] = char((rlen >> 16) & 0xFF);
-    line[6] = char((rlen >> 8) & 0xFF);
-    line[7] = char(rlen & 0xFF);
-    line.append(reinterpret_cast<const char*>(req_ptr + (z.req_start[size_t(i)] - req_base)),
-                rlen);
-    line += body;
-    line.push_back('\n');
     out_lines->push_back(std::move(line));
   }
 }
@@ -2151,9 +2214,12 @@ int do_decompress_z(const char* in_path, const char* out_path) {
     for (size_t b = 0; b < z.blocks.size(); b++) {
       lines.clear();
       vcfz_block_lines(z, b, &lines);
-      for (const std::string& lb : lines)
-        decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
-                         z.n_samples, &out);
+      {
+        ProfPhase ppr(5);
+        for (const std::string& lb : lines)
+          decode_data_line(reinterpret_cast<const uint8_t*>(lb.data()), lb.size(), 0,
+                           z.n_samples, &out);
+      }
       if (out.size() > (8u << 20)) {
         if (fwrite(out.data(), 1, out.size(), f) != out.size()) die("write failed");
         out.clear();
@@ -2178,6 +2244,40 @@ int do_decompress_z(const char* in_path, const char* out_path) {
       if (fwrite(p.data(), 1, p.size(), f) != p.size()) die("write failed");
   }
   if (fclose(f) != 0) die("write failed");
+  if (g_prof)
+    fprintf(stderr,
+            "PROF decompress-z: subloops=%.3f merge=%.3f chained=%.3f "
+            "req=%.3f vexpand=%.3f reconstruct=%.3f render=%.3f (s)\n",
+            g_prof_ns[0] / 1e9, g_prof_ns[1] / 1e9, g_prof_ns[2] / 1e9,
+            g_prof_ns[3] / 1e9, g_prof_ns[6] / 1e9, g_prof_ns[4] / 1e9,
+            g_prof_ns[5] / 1e9);
+  return 0;
+}
+
+// Perf probe: time the entropy-decode stage alone (full-block symbol
+// decode over every block, no line reconstruction / render / IO), with
+// a per-phase split for the v7/v8 two-phase path.  Output is one JSON
+// line; this is the isolation harness behind docs/KERNEL_CEILING.md's
+// host-decode breakdown, not a user-facing verb.
+int do_bench_decode_syms(const char* in_path) {
+  Mapped m;
+  if (!map_file(in_path, &m)) die(std::string("cannot open ") + in_path);
+  Vcfz z = parse_vcfz(m.data, m.size);
+  g_prof = true;
+  uint64_t total_syms = 0;
+  std::vector<int32_t> syms;
+  auto t0 = std::chrono::steady_clock::now();
+  for (size_t b = 0; b < z.blocks.size(); b++) {
+    vcfz_decode_syms(z, z.blocks[b], z.blocks[b].n_symbols, &syms);
+    total_syms += z.blocks[b].n_symbols;
+  }
+  auto ns = std::chrono::duration_cast<std::chrono::nanoseconds>(
+                std::chrono::steady_clock::now() - t0)
+                .count();
+  printf("{\"version\": %d, \"symbols\": %llu, \"total_s\": %.3f, "
+         "\"subloops_s\": %.3f, \"merge_s\": %.3f, \"chained_s\": %.3f}\n",
+         z.version, (unsigned long long)total_syms, ns / 1e9,
+         g_prof_ns[0] / 1e9, g_prof_ns[1] / 1e9, g_prof_ns[2] / 1e9);
   return 0;
 }
 
@@ -2467,6 +2567,8 @@ int do_gap_analysis(const char* path) {
 int main(int argc, char** argv) {
   const char* t = getenv("VCFC_TIMING");
   g_timing = t && *t && strcmp(t, "0") != 0 && strcmp(t, "false") != 0;
+  const char* pr = getenv("VCFC_PROF");
+  g_prof = pr && *pr && strcmp(pr, "0") != 0 && strcmp(pr, "false") != 0;
   if (argc < 2) {
     fprintf(stderr,
             "usage: vcfcq <compress|decompress|query|create-binned-index|"
@@ -2491,6 +2593,7 @@ int main(int argc, char** argv) {
   if (action == "gap-analysis" && argc == 3) return do_gap_analysis(argv[2]);
   if (action == "query-z" && argc == 4) return do_query_z(argv[2], argv[3]);
   if (action == "decompress-z" && argc == 4) return do_decompress_z(argv[2], argv[3]);
+  if (action == "bench-decode-syms" && argc == 3) return do_bench_decode_syms(argv[2]);
   if (action == "compress-z" && (argc == 4 || argc == 5)) {
     int zv = argc == 5 ? atoi(argv[4]) : 3;
     if (zv < 3 || zv > 8) die("vcfz version must be 3-8");
