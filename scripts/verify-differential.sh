@@ -164,6 +164,16 @@ check cmp -s p8d.vcfz p8.vcfz
 VCFZ_PACK=device "${P[@]}" decompress-z p8.vcfz z8d.rt
 check cmp -s z8d.rt f.vcf
 
+# --- VCFZ_COMPACT=device (r5): on-device sort_compact compaction +
+# sparse escape scatter — same bytes through encode AND decode for the
+# heaviest containers (v4 resolve, v7 split, v8 literal split)
+for zv in 4 7 8; do
+  VCFZ_PACK=device VCFZ_COMPACT=device "${P[@]}" compress-z p.vcfc pc$zv.vcfz $zv
+  check cmp -s pc$zv.vcfz p$zv.vcfz
+  VCFZ_PACK=device VCFZ_COMPACT=device "${P[@]}" decompress-z p$zv.vcfz zc$zv.rt
+  check cmp -s zc$zv.rt f.vcf
+done
+
 # --- .vcfcm manifest (no reference analog): native and Python writers
 # byte-equal; query-manifest output equals the binned-index query (same
 # SV-aware overlap semantics) on hit, SV-overlap, and miss regions

@@ -176,6 +176,36 @@ class TestDeviceDecodeRoute:
         with pytest.raises(ValueError, match="invalid Huffman"):
             vcfz_to_vcfc_device(bytes(z))
 
+    def test_truncated_stream_gate_under_device_compact(self, monkeypatch):
+        """VCFZ_COMPACT=device masks each stream's positional plane to
+        its true bit length before compacting, so a truncated payload
+        still dies with 'invalid Huffman stream' — spurious starts in
+        the zero padding beyond the stream must not satisfy the symbol
+        count."""
+        from vcfc_tpu.ops.huffman_device import device_unpack_symbols
+
+        vcfc = _vcfc(44, 40, 120)
+        z = vcfz_from_vcfc(vcfc, version=5)
+        r = VcfzReader.parse(z)
+        blk = r.blocks[0]
+        start = r.payload_base + blk["payload_off"]
+        payload = bytes(r.raw[start : start + blk["payload_len"]])
+        n = int(blk["n_symbols"])
+        monkeypatch.setenv("VCFZ_COMPACT", "device")
+        with pytest.raises(ValueError, match="invalid Huffman"):
+            device_unpack_symbols([payload[: len(payload) // 2]], [n], r.books[0])
+        # the untruncated stream still decodes under the flag
+        syms = device_unpack_symbols([payload], [n], r.books[0])[0]
+        assert len(syms) == n
+
+    def test_device_compact_matches_host_compact(self, monkeypatch):
+        vcfc = _vcfc(45, 70, 350)
+        for version in (1, 5, 6):
+            zc = vcfz_from_vcfc(vcfc, version=version, block_lines=32)
+            monkeypatch.setenv("VCFZ_COMPACT", "device")
+            assert vcfz_to_vcfc_device(zc) == vcfc
+            monkeypatch.delenv("VCFZ_COMPACT")
+
 
 class TestVcfzV6:
     """v6 = v4's vertical prediction + v5's single order-0 book: the

@@ -126,6 +126,56 @@ class TestDeviceRouteBytes:
         assert vcfz_from_vcfc_device(vcfc, 16, 3) == want3
 
 
+class TestDeviceCompact:
+    """VCFZ_COMPACT=device: on-device sort_compact compaction + sparse
+    escape-plane scatter (VERDICT r4 #2 — O(outputs) transfers instead
+    of dense planes).  Bytes must be identical to BOTH the host-compact
+    device route and the host writer."""
+
+    @pytest.mark.parametrize("version", [1, 2, 3, 4, 5, 6, 7, 8])
+    def test_encode_byte_identical(self, version, monkeypatch):
+        vcfc = _fuzz_vcfc()
+        host = vcfz_from_vcfc(vcfc, version=version)
+        monkeypatch.setenv("VCFZ_COMPACT", "device")
+        assert vcfz_from_vcfc(vcfc, version=version, route="device") == host
+
+    @pytest.mark.parametrize("version", [4, 5, 7, 8])
+    def test_decode_roundtrip(self, version, monkeypatch):
+        from vcfc_tpu.format.vcfz_device import vcfz_to_vcfc_device
+
+        vcfc = _correlated_vcfc(60, 250)
+        z = vcfz_from_vcfc(vcfc, version=version, block_lines=32)
+        monkeypatch.setenv("VCFZ_COMPACT", "device")
+        assert vcfz_to_vcfc_device(z) == vcfc
+
+    def test_partial_block_and_multi_batch(self, monkeypatch):
+        """Tiny batches + a trailing partial block: the bucketed slices,
+        pad-row garbage stepping, and per-batch escape scatter all hit
+        their edge paths."""
+        import vcfc_tpu.format.vcfz_device as zdev
+        from vcfc_tpu.format.vcfz_device import vcfz_to_vcfc_device
+
+        vcfc = _fuzz_vcfc(503, 50, 203)  # 203 % 16 != 0
+        monkeypatch.setenv("VCFZ_COMPACT", "device")
+        monkeypatch.setattr(zdev, "_MAX_CELLS", 16 * 128 * 4)
+        for version in (4, 7):
+            want = vcfz_from_vcfc(vcfc, block_lines=16, version=version)
+            assert vcfz_from_vcfc_device(vcfc, 16, version) == want
+            assert vcfz_to_vcfc_device(want) == vcfc
+
+    def test_escape_order_preserved(self, monkeypatch):
+        """sort_compact keeps row-major order, so escape ids must still
+        rejoin their cells in first-occurrence order."""
+        from vcfc_tpu.format.vcfz_device import vcfz_to_vcfc_device
+
+        vcfc = _fuzz_vcfc(504, 30, 60, sv_every=3)  # escape-dense
+        monkeypatch.setenv("VCFZ_COMPACT", "device")
+        for version in (4, 7, 8):
+            host = vcfz_from_vcfc(vcfc, version=version)
+            assert vcfz_from_vcfc(vcfc, version=version, route="device") == host
+            assert vcfz_to_vcfc_device(host) == vcfc
+
+
 class TestKernelsVsOracle:
     """Kernel-level equality against the host oracle transforms,
     independent of container assembly."""

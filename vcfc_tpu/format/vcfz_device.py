@@ -40,6 +40,8 @@ host for those containers.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..ops.huffman import (
@@ -81,12 +83,16 @@ class _BatchFeed:
     byte contract), positions from the native escape side channel, both
     enumerated in (line, sample) order."""
 
-    def __init__(self, parsed, all_syms: np.ndarray, S_pad: int, lpb: int):
+    def __init__(
+        self, parsed, all_syms: np.ndarray, S_pad: int, lpb: int,
+        device_eb: bool = False,
+    ):
         self.flags = parsed.flags
         self.W = parsed.flags.shape[1]
         self.S_pad = S_pad
         self.lpb = lpb
         self.L = parsed.n_lines
+        self.device_eb = device_eb
         self.esc_lines = np.repeat(
             np.arange(self.L, dtype=np.int64),
             parsed.esc_count.astype(np.int64),
@@ -94,13 +100,28 @@ class _BatchFeed:
         self.esc_samples = parsed.esc_sample
         self.esc_ids = (all_syms[all_syms >= 256] - 256).astype(np.int32)
 
-    def batch(self, b0: int) -> tuple[np.ndarray, np.ndarray, int]:
+    def batch(self, b0: int):
+        """(flag plane, escape-id plane, rows).  With ``device_eb`` the
+        escape plane is scattered ON DEVICE from the sparse triples
+        (O(escapes) H2D) instead of materializing + shipping a dense
+        int32 plane (4 B/cell — the route's largest H2D transfer)."""
         b1 = min(b0 + self.lpb, self.L)
         n = b1 - b0
         fb = np.zeros((self.lpb, self.S_pad), np.uint8)
         fb[:n, : self.W] = self.flags[b0:b1]
-        eb = np.zeros((self.lpb, self.S_pad), np.int32)
         k0, k1 = np.searchsorted(self.esc_lines, [b0, b1])
+        if self.device_eb:
+            from ..ops.vcfz_device import esc_plane_device
+
+            eb = esc_plane_device(
+                (self.esc_lines[k0:k1] - b0).astype(np.int32),
+                self.esc_samples[k0:k1].astype(np.int32),
+                self.esc_ids[k0:k1],
+                self.lpb,
+                self.S_pad,
+            )
+            return fb, eb, n
+        eb = np.zeros((self.lpb, self.S_pad), np.int32)
         if k1 > k0:
             eb[
                 self.esc_lines[k0:k1] - b0, self.esc_samples[k0:k1]
@@ -120,12 +141,31 @@ def vcfz_from_vcfc_device(
     from ..host.fast import parse_vcfc_native
     from ..ops.vcfz_device import (
         compact_payloads,
+        compact_payloads_device,
         compact_symbols,
+        compact_symbols_device,
         pack_cells,
         pack_entries,
         sympos_v3,
         sympos_v4,
     )
+
+    # VCFZ_COMPACT=device: compaction runs on-chip (sort_compact) so the
+    # device->host transfer is O(outputs) — payload words and symbol
+    # streams — instead of the dense O(cells) word/symbol planes, and
+    # the escape plane is scattered on-device from sparse triples.
+    # Byte-identical either way; the host path stays default until the
+    # on-chip A/B adjudicates (docs/KERNEL_CEILING.md).
+    dev_compact = os.environ.get("VCFZ_COMPACT") == "device"
+    if dev_compact:
+        compact_payloads = compact_payloads_device
+
+        def _compact_syms(sp_rows):
+            return compact_symbols_device(sp_rows)
+    else:
+
+        def _compact_syms(sp_rows):
+            return compact_symbols(np.asarray(sp_rows))
     from .vcfz import (
         _assemble_container,
         _require_greedy,
@@ -159,7 +199,7 @@ def vcfz_from_vcfc_device(
     lpb = _lines_per_batch(block_lines, S_pad)
     bpb = lpb // block_lines  # blocks per batch
     batch_starts = list(range(0, L, lpb))
-    feed = _BatchFeed(parsed, all_syms3, S_pad, lpb)
+    feed = _BatchFeed(parsed, all_syms3, S_pad, lpb, device_eb=dev_compact)
 
     m_base = 256 + len(esc_list)
     if version in (4, 6, 7):
@@ -206,7 +246,7 @@ def vcfz_from_vcfc_device(
             nsym[b0:b1] = ns
             if keep_resident:
                 sym_grids.append(sp)
-            syms, _counts = compact_symbols(np.asarray(sp)[: b1 - b0])
+            syms, _counts = _compact_syms(sp[: b1 - b0])
             per_block_syms.extend(
                 _split_blocks(
                     syms,
@@ -557,6 +597,35 @@ def _resolve_blocks_device(reader, sym_lists) -> list[tuple[np.ndarray, np.ndarr
         flagpos, _, bad = resolve_match_grid(jnp.asarray(batch), S)
         if bool(np.asarray(bad)):
             raise ValueError("corrupt .vcfz v4: MATCH in a block's first line")
+        if os.environ.get("VCFZ_COMPACT") == "device":
+            # O(outputs) D2H: compact the positional flag plane on
+            # device (sort_compact) instead of shipping the dense grid
+            from ..ops.vcfz_device import compact_symbols_device
+
+            fp32 = flagpos[: len(chunk)].reshape(len(chunk) * Lb, S_pad)[
+                :, :S
+            ].astype(jnp.int32)
+            flat_syms, row_counts = compact_symbols_device(fp32)
+            row_counts = row_counts.astype(np.int64).reshape(len(chunk), Lb)
+            row_ends = np.cumsum(row_counts.reshape(-1))
+            for k in range(len(chunk)):
+                # pad rows (>= n) hold the resolve's garbage fill, same
+                # as the host path's discarded rows — the row_ends
+                # arithmetic steps OVER their symbols
+                n = nrows[b0 + k]
+                r0 = k * Lb
+                s0 = int(row_ends[r0 - 1]) if r0 else 0
+                s1 = int(row_ends[r0 + n - 1]) if n else s0
+                syms = flat_syms[s0:s1].astype(np.int64)
+                esc_ids = escs[b0 + k]
+                esc_mask = syms == 0xE1
+                if int(esc_mask.sum()) != len(esc_ids):
+                    raise ValueError(
+                        "corrupt .vcfz: escape cells diverge from the symbol stream"
+                    )
+                syms[esc_mask] = 256 + esc_ids
+                out.append((syms, row_counts[k, :n]))
+            continue
         flagpos = np.asarray(flagpos)
         for k in range(len(chunk)):
             n = nrows[b0 + k]

@@ -46,6 +46,7 @@ so that THIS kernel can decode them block-parallel on device.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -223,6 +224,36 @@ def device_unpack_symbols(
         for i, p in enumerate(chunk):
             words[i, : len(p)] = np.frombuffer(p, np.uint8)
         w32 = words.view(">u4").astype(np.uint32).view(np.int32)
+        if os.environ.get("VCFZ_COMPACT") == "device":
+            # O(symbols) D2H: mask each stream's plane to its true bit
+            # length (so the truncated-stream gate below keeps its
+            # semantics — spurious starts in the zero padding must NOT
+            # count), compact on device, transfer a bucketed slice
+            from .vcfz_device import sort_compact, _bucket
+
+            plane_dev = decode_bits(
+                jnp.asarray(w32), limits, idx_adjust, s1=s1, s2=s2
+            )
+            nbits = np.array([len(p) * 8 for p in chunk], np.int32)
+            valid = (
+                jnp.arange(plane_dev.shape[1], dtype=jnp.int32)[None, :]
+                < jnp.asarray(nbits)[:, None]
+            )
+            sorted_plane, counts_dev = sort_compact(
+                plane_dev, (plane_dev != 0) & valid
+            )
+            counts = np.asarray(counts_dev)
+            kb = _bucket(int(counts.max(initial=0)), plane_dev.shape[1])
+            host = np.asarray(sorted_plane[:, :kb])
+            for i in range(B):
+                n = n_syms[g0 + i]
+                if counts[i] < n:
+                    raise ValueError("invalid Huffman stream")
+                vals = host[i, :n] - 1
+                if len(vals) and (vals >= len(sorted_syms)).any():
+                    raise ValueError("invalid Huffman stream")
+                out.append(sorted_syms[vals])
+            continue
         plane = np.asarray(
             decode_bits(jnp.asarray(w32), limits, idx_adjust, s1=s1, s2=s2)
         )

@@ -262,6 +262,63 @@ def pack_cells(sym, valid, entries, m_base, ctx_init, *, n_ctx: int, v4: bool):
     return word_val, emit, total_bits, bad
 
 
+@jax.jit
+def sort_compact(values, mask):
+    """Order-preserving DEVICE compaction: move each row's masked values
+    to the front (original order kept) with one ``lax.sort_key_val`` —
+    sorts and scans only, per the kernel invariant (no lane gathers, no
+    2-D scatters).  The host then D2H-transfers ONLY a leading slice
+    sized by the per-row counts instead of the full dense plane — the
+    O(cells) -> O(outputs) transfer fix for the tunnel-bound `.vcfz`
+    device route (VERDICT r4 #2: per-batch compaction passes).
+
+    Returns (front-compacted values, per-row masked counts)."""
+    n = values.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, values.shape, values.ndim - 1)
+    key = jnp.where(mask, idx, jnp.int32(np.iinfo(np.int32).max))
+    _k, v = jax.lax.sort_key_val(key, values, dimension=values.ndim - 1)
+    return v, mask.sum(axis=-1, dtype=jnp.int32)
+
+
+# D2H slice widths are bucketed to multiples of this so the eager slice
+# executables (one per distinct width) stay few and cacheable
+_SLICE_BUCKET = 4096
+
+
+def _bucket(k: int, n: int) -> int:
+    return min(n, -(-max(k, 1) // _SLICE_BUCKET) * _SLICE_BUCKET)
+
+
+def compact_payloads_device(word_val, emit, total_bits) -> list[bytes]:
+    """``compact_payloads`` twin that compacts ON DEVICE (sort_compact)
+    and transfers only ceil(max_bits/32) words per block instead of the
+    dense (n_blocks, B) word plane + emit mask.  Byte-identical output
+    (tests/test_vcfz_device.py)."""
+    wsorted, _ = sort_compact(word_val, emit)
+    bits = np.asarray(total_bits)
+    nwords = (bits.astype(np.int64) + 31) >> 5
+    kb = _bucket(int(nwords.max(initial=0)), word_val.shape[1])
+    host = np.asarray(wsorted[:, :kb])
+    out = []
+    for b in range(host.shape[0]):
+        words = host[b, : nwords[b]].astype(">u4")
+        out.append(words.tobytes()[: (int(bits[b]) + 7) >> 3])
+    return out
+
+
+def compact_symbols_device(sympos):
+    """``compact_symbols`` twin with the same device-side compaction:
+    D2H is O(symbols), not O(cells)."""
+    ssorted, counts_dev = sort_compact(sympos, sympos != 0)
+    counts = np.asarray(counts_dev)
+    kb = _bucket(int(counts.max(initial=0)), sympos.shape[1])
+    host = np.asarray(ssorted[:, :kb])
+    syms = np.concatenate(
+        [host[r, : counts[r]] for r in range(host.shape[0])]
+    ).astype(np.int64) if host.shape[0] else np.zeros(0, np.int64)
+    return syms, counts.astype(np.uint32)
+
+
 def compact_payloads(word_val, emit, total_bits) -> list[bytes]:
     """Host compaction of positional words into per-block payload bytes
     (big-endian words, truncated to ceil(bits / 8)) — the O(outputs)
@@ -275,6 +332,35 @@ def compact_payloads(word_val, emit, total_bits) -> list[bytes]:
         words = word_val[b, emit[b]].astype(">u4")
         out.append(words.tobytes()[: (bits + 7) >> 3])
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _esc_scatter(lines, samples, ids, *, shape):
+    # sparse scatter of O(escapes) points — not a per-cell kernel
+    # scatter (the banned pattern); pad rows carry an out-of-range line
+    # index and drop
+    # NOTE: no unique_indices promise — the pad rows share one dropped
+    # out-of-range index
+    return jnp.zeros(shape, jnp.int32).at[lines, samples].set(ids, mode="drop")
+
+
+def esc_plane_device(lines, samples, ids, lpb: int, s_pad: int):
+    """Build one batch's (lpb, S_pad) escape-id plane ON DEVICE from the
+    sparse (line, sample, id) triples, replacing the dense int32 H2D
+    feed (4 B/cell — the encode route's largest host->device transfer).
+    Triples are padded to a bucketed count so the jit cache stays small;
+    pad entries scatter out of range and drop."""
+    k = len(lines)
+    kb = max(_bucket(k, k + _SLICE_BUCKET), _SLICE_BUCKET)
+    lp = np.full(kb, lpb, np.int32)
+    sp = np.zeros(kb, np.int32)
+    ip = np.zeros(kb, np.int32)
+    lp[:k] = lines
+    sp[:k] = samples
+    ip[:k] = ids
+    return _esc_scatter(
+        jnp.asarray(lp), jnp.asarray(sp), jnp.asarray(ip), shape=(lpb, s_pad)
+    )
 
 
 def compact_symbols(sympos, nsym=None):
