@@ -139,32 +139,69 @@ def main() -> None:
 
         return kern
 
-    # correctness gates first: every variant must emit the oracle flags
+    def scan_blocked_strided(m, S_pad, BL, block):
+        """Same blocked scheme, but the half-width relayout goes through
+        lane-strided slices + strided restore instead of a shape cast —
+        the second Mosaic-expressibility attempt (the reshape variant
+        fails infer-vector-layout on hardware, r5)."""
+        parts = [m[:, i::block] for i in range(block)]
+        agg = parts[0]
+        for p in parts[1:]:
+            agg = jnp.maximum(agg, p)
+        W = S_pad // block
+        win = min(128, W)
+        mp = jnp.concatenate([jnp.full((BL, win), -1, jnp.int32), agg], axis=1)
+        k = 1
+        while k < win:
+            mp = jnp.maximum(mp, pltpu.roll(mp, k, axis=1))
+            k *= 2
+        a = mp[:, win:]
+        while k < W:
+            a = jnp.maximum(a, P._shift_right(a, k, -1))
+            k *= 2
+        excl = P._shift_right(a, 1, -1)
+        outs = []
+        run = excl
+        for i in range(block):
+            run = jnp.maximum(run, parts[i])
+            outs.append(run)
+        # interleaved restore: widen each half by writing it into the
+        # even/odd lanes of a zero full-width plane via strided update
+        full = jnp.full((BL, S_pad), -1, jnp.int32)
+        for i, o in enumerate(outs):
+            full = full.at[:, i::block].set(o)
+        return full
+
+    # correctness gates first (oracle flags) — each variant individually,
+    # so a Mosaic lowering failure on hardware is RECORDED, not fatal
     from vcfc_tpu.ops.rle import rle_encode
 
     want_f, want_k = map(np.asarray, rle_encode(codes_np, S))
+    variants = {}
     for name, fn in (
         ("swar2", lambda m, S_pad, BL: scan_blocked(m, S_pad, BL, 2)),
         ("swar4", lambda m, S_pad, BL: scan_blocked(m, S_pad, BL, 4)),
+        ("swar2-strided", lambda m, S_pad, BL: scan_blocked_strided(m, S_pad, BL, 2)),
     ):
-        f, k = grid(full_encode_with(fn))(codes)
-        assert (np.asarray(f) == want_f).all(), f"{name} flag mismatch"
-        assert (np.asarray(k).reshape(-1) == want_k).all(), f"{name} nseg"
-    print("correctness: swar2/swar4 flags byte-identical to the oracle")
+        try:
+            f, k = grid(full_encode_with(fn))(codes)
+            assert (np.asarray(f) == want_f).all(), f"{name} flag mismatch"
+            assert (np.asarray(k).reshape(-1) == want_k).all(), f"{name} nseg"
+            variants[name] = fn
+            print(f"correctness: {name} flags byte-identical to the oracle")
+        except Exception as e:  # noqa: BLE001 - lowering failure IS the datum
+            msg = str(e).split("\n")[0][:200]
+            print(f"REJECT {name}: does not lower/run on TPU: {type(e).__name__}: {msg}")
 
     t0 = report(
         "encode full", measure(kernel_step(grid(P._encode_kernel)), codes)
     )
-    t2 = report(
-        "encode swar2",
-        measure(kernel_step(grid(full_encode_with(
-            lambda m, S_pad, BL: scan_blocked(m, S_pad, BL, 2)))), codes),
-    )
-    t4 = report(
-        "encode swar4",
-        measure(kernel_step(grid(full_encode_with(
-            lambda m, S_pad, BL: scan_blocked(m, S_pad, BL, 4)))), codes),
-    )
+    times = {}
+    for name, fn in variants.items():
+        times[name] = report(
+            f"encode {name}",
+            measure(kernel_step(grid(full_encode_with(fn))), codes),
+        )
 
     def scan_only_with(run_start_fn):
         def kern(n_ref, codes_ref, flag_ref, nseg_ref):
@@ -178,15 +215,26 @@ def main() -> None:
         return kern
 
     report("scan-only full", measure(kernel_step(grid(scan_only_with(scan_full))), codes))
-    report(
-        "scan-only swar2",
-        measure(kernel_step(grid(scan_only_with(
-            lambda m, S_pad, BL: scan_blocked(m, S_pad, BL, 2)))), codes),
-    )
+    for name, fn in variants.items():
+        try:
+            report(
+                f"scan-only {name}",
+                measure(kernel_step(grid(scan_only_with(fn))), codes),
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"scan-only {name}: failed: {type(e).__name__}")
 
-    best = min(t2, t4)
+    if not times:
+        print(
+            "ALL SWAR variants fail to lower on TPU -> REJECT: the "
+            "half-width lane relayout has no Mosaic-expressible form; "
+            "the full-width scan ceiling stands (record in KERNEL_CEILING.md)"
+        )
+        return
+    best_name = min(times, key=times.get)
+    best = times[best_name]
     verdict = "ADOPT" if best < t0 * 0.85 else "REJECT (record the negative)"
-    print(f"best SWAR vs full: {best/t0:.2f}x of baseline -> {verdict}")
+    print(f"best SWAR ({best_name}) vs full: {best/t0:.2f}x of baseline -> {verdict}")
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ import jax
 
 assert jax.devices()[0].platform == "tpu", jax.devices()
 
-from vcfc_tpu.eval.random_vcf import generate_correlated_vcf, generate_random_vcf
+from vcfc_tpu.eval.random_vcf import generate_correlated_vcf, generate_vcf
 from vcfc_tpu.format import compress_bytes
 from vcfc_tpu.format.vcfz import VcfzReader, vcfz_from_vcfc
 from vcfc_tpu.format.vcfz_device import vcfz_from_vcfc_device, vcfz_to_vcfc_device
@@ -56,7 +56,7 @@ def sweep(tag, vcfc):
             leg(f"{tag} v{version} device decode", dec)
 
 
-small = compress_bytes(generate_random_vcf(70, 150, seed=42))
+small = compress_bytes(generate_vcf(70, 150, seed=42))
 sweep("small", small)
 
 mid = compress_bytes(generate_correlated_vcf(2504, 2000, mutation_rate=0.03, seed=7))
