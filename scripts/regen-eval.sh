@@ -17,7 +17,11 @@ export VCFC_FORCE_CPU=1
 mkdir -p eval-work
 python - <<'EOF'
 import os
-from vcfc_tpu.eval.random_vcf import generate_correlated_vcf
+from vcfc_tpu.eval.random_vcf import generate_correlated_vcf, generate_vcf
+p = "eval-work/cohort.vcf"
+if not os.path.exists(p):
+    with open(p, "wb") as f:
+        f.write(generate_vcf(2504, 5000, seed=5))
 p = "eval-work/corrcohort.vcf"
 if not os.path.exists(p):
     with open(p, "wb") as f:

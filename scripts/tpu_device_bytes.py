@@ -17,6 +17,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persist remote-TPU compiles BEFORE jax reads its config from the env
+# (vcfc_tpu/__init__.py sets these too, but only helps if it runs first).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/vcfc_tpu/jax")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
+
 import jax
 
 assert jax.devices()[0].platform == "tpu", jax.devices()

@@ -16,6 +16,11 @@ cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/tpu_r5}"
 mkdir -p "$OUT"
 export PYTHONPATH="/root/repo:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
+# persist remote-TPU compiles across the sweep's processes (the scripts
+# setdefault these too, but belt-and-braces for any direct jax import)
+export JAX_COMPILATION_CACHE_DIR="$HOME/.cache/vcfc_tpu/jax"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
+export JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES=all
 
 run() { # name timeout cmd...
   local name=$1 tmo=$2; shift 2

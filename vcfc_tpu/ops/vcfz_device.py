@@ -177,6 +177,36 @@ def pack_entries(books) -> np.ndarray:
     return ((lengths << 16) | codes).reshape(-1)
 
 
+def _segmented_sum_scan(contrib, seg_start):
+    """Inclusive segmented SUM along the last axis (reset at
+    ``seg_start``), as a log-depth Hillis-Steele loop under
+    ``lax.fori_loop``.
+
+    Semantically identical to
+    ``associative_scan((v,f),(v',f') -> (f' ? v' : v+v', f|f'))`` — but
+    that lowering unrolls the recursive halving into an HLO graph the
+    remote TPU compiler took >10 minutes on at B=32769 (measured, r5);
+    this body compiles once and runs the same log2(B) combine levels.
+    Integer addition is associative, so the emitted values (and hence
+    the container bytes) are unchanged.
+    """
+    n_rows, B = contrib.shape
+    steps = max(1, int(B - 1).bit_length())
+
+    def body(k, carry):
+        val, flg = carry
+        d = jnp.int32(1) << k
+        # val[i-d] / flg[i-d]; out-of-range cells act as barriers
+        vpad = jnp.pad(val, ((0, 0), (B, 0)))
+        fpad = jnp.pad(flg, ((0, 0), (B, 0)), constant_values=True)
+        v_sh = jax.lax.dynamic_slice(vpad, (0, B - d), (n_rows, B))
+        f_sh = jax.lax.dynamic_slice(fpad, (0, B - d), (n_rows, B))
+        return jnp.where(flg, val, val + v_sh), flg | f_sh
+
+    val, _ = jax.lax.fori_loop(0, steps, body, (contrib, seg_start))
+    return val
+
+
 @functools.partial(jax.jit, static_argnames=("n_ctx", "v4"))
 def pack_cells(sym, valid, entries, m_base, ctx_init, *, n_ctx: int, v4: bool):
     """Huffman-pack each block's symbol cells into positional 32-bit words.
@@ -245,13 +275,7 @@ def pack_cells(sym, valid, entries, m_base, ctx_init, *, n_ctx: int, v4: bool):
     # per-word OR == segmented SUM over sorted word ids (bits disjoint)
     prev_w = jnp.pad(w_id[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
     seg_start = w_id != prev_w
-
-    def comb(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, va + vb), fa | fb
-
-    word_val, _ = jax.lax.associative_scan(comb, (contrib, seg_start), axis=1)
+    word_val = _segmented_sum_scan(contrib, seg_start)
     word_last = jnp.pad(
         seg_start[:, 1:], ((0, 0), (0, 1)), constant_values=True
     )
