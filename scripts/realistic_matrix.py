@@ -85,9 +85,9 @@ for v in (3, 4, 5, 6, 7, 8):
 # binned index + a cross-contig query sanity (multi-contig + unknown
 # ordinal-0 contigs are the realistic generator's new stress)
 ix = vcfc + ".vcfci"
-dt = sh(VCFCQ, "create-binned-index", vcfc)
+dt = sh(VCFCQ, "create-binned-index", "150", vcfc)
 q = subprocess.run(
-    [VCFCQ, "query-binned-index", vcfc, ix, "22:16050075-16250000"],
+    [VCFCQ, "query-binned-index", vcfc, "22:16050075-16250000"],
     capture_output=True, check=True,
 )
 emit(leg="binned-index", create_s=round(dt, 2),

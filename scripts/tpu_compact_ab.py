@@ -33,7 +33,7 @@ assert jax.devices()[0].platform == "tpu", jax.devices()
 
 from vcfc_tpu.eval.random_vcf import generate_correlated_vcf
 from vcfc_tpu.format import compress_bytes
-from vcfc_tpu.format.vcfz import vcfz_from_vcfc
+from vcfc_tpu.format.vcfz import default_block_lines, vcfz_from_vcfc
 from vcfc_tpu.format.vcfz_device import vcfz_from_vcfc_device, vcfz_to_vcfc_device
 
 vcf = generate_correlated_vcf(2504, 4000, mutation_rate=0.03, seed=9)
@@ -58,7 +58,10 @@ for version in (5, 7):
             os.environ["VCFZ_COMPACT"] = "device"
         else:
             os.environ.pop("VCFZ_COMPACT", None)
-        dt_e, enc = best2(lambda: vcfz_from_vcfc_device(vcfc, 64, version))
+        # the version's own default block height — what the host writer
+        # used for host_bytes (v5: 256, v7: 64)
+        blk = default_block_lines(version)
+        dt_e, enc = best2(lambda: vcfz_from_vcfc_device(vcfc, blk, version))
         assert enc == host_bytes, f"v{version} {mode}-compact encode mismatch"
         dt_d, dec = best2(lambda: vcfz_to_vcfc_device(host_bytes))
         assert dec == vcfc, f"v{version} {mode}-compact decode mismatch"

@@ -150,13 +150,16 @@ def vcfz_from_vcfc_device(
         sympos_v4,
     )
 
-    # VCFZ_COMPACT=device: compaction runs on-chip (sort_compact) so the
-    # device->host transfer is O(outputs) — payload words and symbol
-    # streams — instead of the dense O(cells) word/symbol planes, and
-    # the escape plane is scattered on-device from sparse triples.
-    # Byte-identical either way; the host path stays default until the
-    # on-chip A/B adjudicates (docs/KERNEL_CEILING.md).
-    dev_compact = os.environ.get("VCFZ_COMPACT") == "device"
+    # On-chip compaction (sort_compact) makes the device->host transfer
+    # O(outputs) — payload words and symbol streams — instead of the
+    # dense O(cells) word/symbol planes, and the escape plane is
+    # scattered on-device from sparse triples.  Byte-identical either
+    # way; default ON for the TPU backend per the on-chip A/B
+    # (scripts/tpu_compact_ab.py, docs/KERNEL_CEILING.md), overridable
+    # with VCFZ_COMPACT=device|host.
+    from ..ops.vcfz_device import device_compaction
+
+    dev_compact = device_compaction()
     if dev_compact:
         compact_payloads = compact_payloads_device
 
@@ -597,7 +600,9 @@ def _resolve_blocks_device(reader, sym_lists) -> list[tuple[np.ndarray, np.ndarr
         flagpos, _, bad = resolve_match_grid(jnp.asarray(batch), S)
         if bool(np.asarray(bad)):
             raise ValueError("corrupt .vcfz v4: MATCH in a block's first line")
-        if os.environ.get("VCFZ_COMPACT") == "device":
+        from ..ops.vcfz_device import device_compaction
+
+        if device_compaction():
             # O(outputs) D2H: compact the positional flag plane on
             # device (sort_compact) instead of shipping the dense grid
             from ..ops.vcfz_device import compact_symbols_device

@@ -224,7 +224,9 @@ def device_unpack_symbols(
         for i, p in enumerate(chunk):
             words[i, : len(p)] = np.frombuffer(p, np.uint8)
         w32 = words.view(">u4").astype(np.uint32).view(np.int32)
-        if os.environ.get("VCFZ_COMPACT") == "device":
+        from .vcfz_device import device_compaction
+
+        if device_compaction():
             # O(symbols) D2H: mask each stream's plane to its true bit
             # length (so the truncated-stream gate below keeps its
             # semantics — spurious starts in the zero padding must NOT

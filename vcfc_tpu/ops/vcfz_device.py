@@ -38,6 +38,7 @@ Two kernels move the container's host-bound hot loops onto the chip:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -284,6 +285,24 @@ def pack_cells(sym, valid, entries, m_base, ctx_init, *, n_ctx: int, v4: bool):
     # the host compaction is a bare flatnonzero
     emit = word_last & (w_id * 32 < total_bits[:, None])
     return word_val, emit, total_bits, bad
+
+
+def device_compaction() -> bool:
+    """Whether `.vcfz` device routes compact on-chip (sort_compact,
+    O(outputs) transfers) instead of shipping dense planes to the host.
+
+    `VCFZ_COMPACT=device|host` forces it either way; unset, the default
+    follows the backend: ON for TPU (adjudicated on the v5e —
+    scripts/tpu_compact_ab.py, 2026-08-19: end-to-end transcode 2.3x
+    (v5) / 2.4x (v7) faster with device compaction, byte-identical),
+    OFF for the CPU backend where the dense copy is free and the
+    lax.sort dominates."""
+    mode = os.environ.get("VCFZ_COMPACT")
+    if mode == "device":
+        return True
+    if mode == "host":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 @jax.jit
