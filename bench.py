@@ -232,10 +232,12 @@ def _vcfz_loop_gbps(jax, jnp, L, S, codes_np, K=21):
     )
     from vcfc_tpu.ops.rle import rle_encode
     from vcfc_tpu.ops.vcfz_device import (
+        _bucket,
         compact_payloads,
         compact_symbols,
-        pack_cells,
+        pack_cells_compact,
         pack_entries,
+        sort_compact,
         sympos_v4,
     )
 
@@ -261,11 +263,18 @@ def _vcfz_loop_gbps(jax, jnp, L, S, codes_np, K=21):
     books = context_codebooks(per_block, n_symbols, classes, N_CTX_V4)
     entries = jnp.asarray(pack_entries(books))
 
+    # compact-space pipeline (the TPU route default, device_compaction):
+    # sort front-compacts each block's symbols, the codeword lookup runs
+    # over O(symbols) lanes; KB is static for the timing loop (the loop
+    # recycles the same stream, so counts are iteration-invariant)
+    KB = _bucket(int(blk_counts.max(initial=0)), block_lines * S)
+
     def step(f_in, i):
         sp, ns, _d = sympos_v4(f_in, esc0, jnp.int32(S), bf, m_base, L)
         cells = sp.reshape(n_blocks, block_lines * S)
-        _wv, _emit, tb, _bad = pack_cells(
-            cells, cells != 0, entries, m_base, CTX_INIT,
+        sc, cnt = sort_compact(cells, cells != 0)
+        _wv, _emit, tb, _bad = pack_cells_compact(
+            sc[:, :KB], cnt, entries, m_base, CTX_INIT,
             n_ctx=N_CTX_V4, v4=True,
         )
         f_next = (f_in ^ _opaque_mask(jnp, tb[0])).astype(jnp.uint8)
@@ -276,8 +285,9 @@ def _vcfz_loop_gbps(jax, jnp, L, S, codes_np, K=21):
     # correctness gate AFTER timing: device payload bytes must equal the
     # host context packer on every block
     cells = sp0.reshape(n_blocks, block_lines * S)
-    wv, emit, tb, bad = pack_cells(
-        cells, cells != 0, entries, m_base, CTX_INIT, n_ctx=N_CTX_V4, v4=True
+    sc, cnt = sort_compact(cells, cells != 0)
+    wv, emit, tb, bad = pack_cells_compact(
+        sc[:, :KB], cnt, entries, m_base, CTX_INIT, n_ctx=N_CTX_V4, v4=True
     )
     assert not bool(np.asarray(bad).any())
     payloads = compact_payloads(wv, emit, tb)

@@ -307,3 +307,66 @@ class TestKernelsVsOracle:
         want, bits = pack_symbols(syms[0].astype(np.int64), book)
         assert int(np.asarray(tb)[0]) == bits == 35
         assert compact_payloads(wv, emit, tb)[0] == want
+
+
+class TestPackCellsCompact:
+    """pack_cells_compact: the compact-space packer must emit bit-for-bit
+    the dense packer's word stream from front-compacted symbols (the
+    route pairs it with sort_compact under device compaction — the dense
+    codeword lookup was 91% of the on-chip packer wall)."""
+
+    @pytest.mark.parametrize("n_ctx", [1, 4])
+    def test_matches_dense_packer(self, n_ctx):
+        import jax.numpy as jnp
+
+        from vcfc_tpu.ops.huffman import (
+            CTX_INIT,
+            Codebook,
+            context_codebooks,
+            symbol_classes,
+        )
+        from vcfc_tpu.ops.vcfz_device import (
+            compact_payloads,
+            pack_cells,
+            pack_cells_compact,
+            pack_entries,
+            sort_compact,
+        )
+
+        rng = np.random.default_rng(11)
+        alphabet = 300
+        n_blocks, B = 5, 4096
+        grid = np.where(
+            rng.random((n_blocks, B)) < 0.18,
+            rng.integers(1, alphabet, size=(n_blocks, B)),
+            0,
+        ).astype(np.int32)
+        # one empty row: counts=0 must yield an empty payload
+        grid[3] = 0
+        streams = [g[g != 0].astype(np.int64) for g in grid]
+        classes = symbol_classes(alphabet)
+        if n_ctx == 1:
+            freqs = np.bincount(
+                np.concatenate(streams), minlength=alphabet
+            )
+            books = [Codebook.from_frequencies(freqs)]
+        else:
+            books = context_codebooks(streams, alphabet, classes, n_ctx)
+        entries = jnp.asarray(pack_entries(books))
+
+        wv_d, emit_d, tb_d, bad_d = pack_cells(
+            jnp.asarray(grid), jnp.asarray(grid != 0), entries,
+            10**9, CTX_INIT, n_ctx=n_ctx, v4=False,
+        )
+        assert not bool(np.asarray(bad_d).any())
+        want = compact_payloads(wv_d, emit_d, tb_d)
+
+        sc, cnt = sort_compact(jnp.asarray(grid), jnp.asarray(grid != 0))
+        kb = int(np.asarray(cnt).max()) + 3  # deliberately untidy width
+        wv, emit, tb, bad = pack_cells_compact(
+            sc[:, :kb], cnt, entries, 10**9, CTX_INIT,
+            n_ctx=n_ctx, v4=False,
+        )
+        assert not bool(np.asarray(bad).any())
+        np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb_d))
+        assert compact_payloads(wv, emit, tb) == want

@@ -319,14 +319,35 @@ def vcfz_from_vcfc_device(
             counts_by_ctx = []
             for c in range(n_split):
                 mask = present & (ctxp == c)
-                wv, emit_mask, tb, bad = pack_cells(
-                    cells, mask, entries_by_ctx[c], m_base, 0,
-                    n_ctx=1, v4=(version == 7),
-                )
+                if dev_compact:
+                    # compact-space pack per sub-stream (order-0, so no
+                    # context carry): sort brings context-c symbols to
+                    # the front in stream order, the lookup runs over
+                    # O(sub-stream symbols) lanes
+                    from ..ops.vcfz_device import (
+                        _bucket,
+                        pack_cells_compact,
+                        sort_compact,
+                    )
+
+                    sc, cnt = sort_compact(cells, mask)
+                    kb = _bucket(
+                        int(np.asarray(cnt).max(initial=0)), cells.shape[1]
+                    )
+                    wv, emit_mask, tb, bad = pack_cells_compact(
+                        sc[:, :kb], cnt, entries_by_ctx[c], m_base, 0,
+                        n_ctx=1, v4=(version == 7),
+                    )
+                    counts_by_ctx.append(np.asarray(cnt))
+                else:
+                    wv, emit_mask, tb, bad = pack_cells(
+                        cells, mask, entries_by_ctx[c], m_base, 0,
+                        n_ctx=1, v4=(version == 7),
+                    )
+                    counts_by_ctx.append(np.asarray(mask.sum(axis=1)))
                 if bool(np.asarray(bad).any()):  # pragma: no cover
                     raise RuntimeError("device packer: symbol without codeword")
                 parts_by_ctx.append(compact_payloads(wv, emit_mask, tb))
-                counts_by_ctx.append(np.asarray(mask.sum(axis=1)))
             for k in range(take):
                 parts = [parts_by_ctx[c][k] for c in range(n_split)]
                 payloads.append(b"".join(parts))
@@ -338,10 +359,24 @@ def vcfz_from_vcfc_device(
                     + np.array([len(p) for p in parts], np.uint32).tobytes()
                 )
             continue
-        wv, emit_mask, tb, bad = pack_cells(
-            cells, cells != 0, entries, m_base, CTX_INIT,
-            n_ctx=n_ctx, v4=(version in (4, 6)),
-        )
+        if dev_compact:
+            # compact-space pack: one sort front-compacts each block's
+            # symbols, then the codeword lookup (the dense packer's
+            # dominant cost — ~7.6 ns/cell on chip, table-size-flat)
+            # runs over O(symbols) lanes instead of the full grid
+            from ..ops.vcfz_device import _bucket, pack_cells_compact, sort_compact
+
+            sc, cnt = sort_compact(cells, cells != 0)
+            kb = _bucket(int(np.asarray(cnt).max(initial=0)), cells.shape[1])
+            wv, emit_mask, tb, bad = pack_cells_compact(
+                sc[:, :kb], cnt, entries, m_base, CTX_INIT,
+                n_ctx=n_ctx, v4=(version in (4, 6)),
+            )
+        else:
+            wv, emit_mask, tb, bad = pack_cells(
+                cells, cells != 0, entries, m_base, CTX_INIT,
+                n_ctx=n_ctx, v4=(version in (4, 6)),
+            )
         if bool(np.asarray(bad).any()):  # pragma: no cover - books cover streams
             raise RuntimeError("device packer: symbol without codeword")
         payloads.extend(compact_payloads(wv, emit_mask, tb)[:take])

@@ -251,6 +251,15 @@ def pack_cells(sym, valid, entries, m_base, ctx_init, *, n_ctx: int, v4: bool):
         )
         ctx = jnp.where(prev < 0, ctx_init, prev & 7)
 
+    return _pack_from_ctx(sym, valid, ctx, entries, A)
+
+
+def _pack_from_ctx(sym, valid, ctx, entries, A):
+    """Shared bit-assembly tail of the packers: per-cell codeword lookup,
+    exclusive bit offsets, cross-word spill injection, and the segmented
+    word-sum.  Density-agnostic — `pack_cells` feeds it positional grids
+    (invalid cells interleave), `pack_cells_compact` front-compacted
+    symbol streams."""
     entry = jnp.take(entries, ctx * A + jnp.where(valid, sym, 0))
     length = jnp.where(valid, entry >> 16, 0)
     code = jnp.where(valid, entry & 0xFFFF, 0)
@@ -285,6 +294,44 @@ def pack_cells(sym, valid, entries, m_base, ctx_init, *, n_ctx: int, v4: bool):
     # the host compaction is a bare flatnonzero
     emit = word_last & (w_id * 32 < total_bits[:, None])
     return word_val, emit, total_bits, bad
+
+
+@functools.partial(jax.jit, static_argnames=("n_ctx", "v4"))
+def pack_cells_compact(sym_c, counts, entries, m_base, ctx_init, *, n_ctx: int, v4: bool):
+    """`pack_cells` on a FRONT-COMPACTED symbol stream: each row holds
+    its block's symbols contiguously (`sort_compact` output sliced to a
+    bucketed width), so the per-cell codeword table lookup — measured at
+    ~7.6 ns/cell on the v5e regardless of table size, 91% of the dense
+    packer's wall (scripts/pack_cells_probe.py) — runs over O(symbols)
+    cells instead of O(grid).  The context of each symbol is simply the
+    previous lane's class (no packed cummax needed), and the emitted
+    word stream is bit-for-bit the dense packer's (same cumsum offsets,
+    same spill injection: the straddler's next cell IS the next symbol).
+
+    Args:
+      sym_c:  (n_blocks, k) int32 — symbols, front-compacted per row
+      counts: (n_blocks,) int32 — valid symbols per row (<= k)
+      rest as `pack_cells`.
+
+    Returns the same (word_val, emit, total_bits, bad) tuple, in
+    compact cell space — feed to compact_payloads{,_device} as usual.
+    """
+    # one trailing invalid cell guarantees a landing site for the final
+    # cell's cross-word spill
+    sym_c = jnp.pad(sym_c, ((0, 0), (0, 1)))
+    n_blocks, B = sym_c.shape
+    A = entries.shape[0] // n_ctx
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_blocks, B), 1)
+        < counts[:, None]
+    )
+    if n_ctx == 1:
+        ctx = jnp.zeros_like(sym_c)
+    else:
+        cls = _cell_class(sym_c, m_base, v4=v4)
+        ctx = jnp.pad(cls[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+        ctx = jnp.where(ctx < 0, ctx_init, ctx)
+    return _pack_from_ctx(sym_c, valid, ctx, entries, A)
 
 
 def device_compaction() -> bool:
